@@ -1,0 +1,117 @@
+"""Deterministic synthetic Common-Crawl-style corpus.
+
+Builds the ``(url, warc_ts, html, text, lang)`` corpus mandated by
+BASELINE.json's input_hint from the driver's ``documents.parquet``
+table — no external data, no RNG: every page is a pure function of its
+document row, so the extraction result is derivable in closed form
+(the SQL oracles in ``__ray_entry__`` rely on this).
+
+Page template (see ``page_html``): DOCTYPE + head (title/style, dropped
+by extraction) + nav links + main content + a raw-text script with a
+fake closing tag inside a quoted string (exercises the quote-aware raw
+scanner on every page) + footer. Expected extracted text per row is
+exactly::
+
+    'home ' || lang || source || ' #' || doc_id || text || 'contact: mail'
+
+``variant_html`` (bench corpus) inflates the main content by a
+deterministic per-doc factor to create a realistic size skew with a
+giant-page tail; it keeps the same template shape.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pyarrow as pa
+
+_EPOCH = datetime.datetime(2025, 1, 1)
+
+# Constants describing the fixed template, used by tests/oracles.
+# Nodes: doctype, html, head, title, title#text, style, style#text,
+# body, nav, a, a#text, #text(space), a, a#text, main, h1, h1#text, p,
+# p#text, script, script#text, footer, #text, a, a#text  => 25
+TEMPLATE_N_NODES = 25
+TEMPLATE_N_ATTRS = 3  # nav a[href], nav a[href], footer a[href]
+TEMPLATE_N_LINKS = 3
+
+
+def page_html(doc_id: int, text: str, lang: str, source: str) -> bytes:
+    return (
+        "<!DOCTYPE html>"
+        f"<html><head><title>Doc {doc_id}</title>"
+        "<style>p{margin:0}</style></head>"
+        f'<body><nav><a href="/">home</a> <a href="/l/{lang}">{lang}</a></nav>'
+        f"<main><h1>{source} #{doc_id}</h1><p>{text}</p></main>"
+        '<script>var p="</nope>";</script>'
+        '<footer>contact: <a href="mailto:x@example.com">mail</a></footer>'
+        "</body></html>"
+    ).encode("utf-8")
+
+
+def expected_extracted_text(doc_id: int, text: str, lang: str,
+                            source: str) -> str:
+    return f"home {lang}{source} #{doc_id}{text}contact: mail"
+
+
+def synthesize_batch(batch: pa.Table) -> pa.Table:
+    """documents rows -> corpus rows (map_batches, pyarrow format)."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    langs = batch.column("lang").to_pylist()
+    sources = batch.column("source").to_pylist()
+    html = [page_html(d, t, l, s)
+            for d, t, l, s in zip(doc_ids, texts, langs, sources)]
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "url": pa.array([f"synth://doc/{d}" for d in doc_ids], pa.string()),
+        "warc_ts": pa.array(
+            [_EPOCH + datetime.timedelta(seconds=int(d)) for d in doc_ids],
+            pa.timestamp("ms")),
+        "html": pa.array(html, pa.binary()),
+        "text": batch.column("text"),
+        "lang": batch.column("lang"),
+    })
+
+
+# --- bench corpus (size-skewed, deterministic) --------------------------
+
+def _size_factor(doc_id: int) -> int:
+    """Deterministic skewed size multiplier: most pages small, a p99.9
+    tail of giant pages (hash-derived, no RNG)."""
+    h = (doc_id * 2654435761) & 0xFFFFFFFF  # Knuth multiplicative hash
+    r = h % 1000
+    if r < 700:
+        return 1 + h % 4        # 70%: 1-4x
+    if r < 950:
+        return 5 + h % 20       # 25%: 5-24x
+    if r < 998:
+        return 30 + h % 80      # ~5%: 30-110x
+    return 400 + h % 600        # 0.2%: giant pages
+
+
+def variant_batch(batch: pa.Table, repeat_tag: int = 0) -> pa.Table:
+    """documents rows -> size-skewed bench corpus rows. ``repeat_tag``
+    distinguishes corpus replicas when the base table is unioned with
+    itself to scale total bytes."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    langs = batch.column("lang").to_pylist()
+    sources = batch.column("source").to_pylist()
+    out_html = []
+    out_url = []
+    for d, t, l, s in zip(doc_ids, texts, langs, sources):
+        k = _size_factor(int(d) + 500 * repeat_tag)
+        body = " ".join([t] * k)
+        out_html.append(page_html(int(d), body, l, s))
+        out_url.append(f"synth://r{repeat_tag}/doc/{d}")
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "url": pa.array(out_url, pa.string()),
+        "warc_ts": pa.array(
+            [_EPOCH + datetime.timedelta(seconds=int(d)) for d in doc_ids],
+            pa.timestamp("ms")),
+        "html": pa.array(out_html, pa.binary()),
+        "text": batch.column("text"),
+        "lang": batch.column("lang"),
+    })
