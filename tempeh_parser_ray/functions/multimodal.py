@@ -1,0 +1,123 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media payloads are opaque ``binary`` columns with typed metadata; every
+transform is an actor-pool ``map_batches`` stage whose Ray-side plumbing
+(schema, batch sizing, actor signature, output layout) is real and
+tested. The actual codec calls are STUBBED — this container ships no
+image/audio libraries — behind ``try: import PIL`` gates: with the
+library absent, ``strict=True`` raises ``NotImplementedError`` and the
+default mode computes deterministic byte-level features (histograms,
+chunk offsets) that stand in for decoded features.
+
+Batch-size guidance baked into the stage defaults: media batches should
+be sized by BYTES not rows (reuse ``stages.rebatch`` with the media
+column) so a 4K image batch and a favicon batch cost the same memory.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("media", pa.binary()),
+    ("media_type", pa.string()),  # e.g. "image/png", "audio/wav"
+])
+
+
+class DecodeImageBatch:
+    """Actor-pool stage: media binary -> (width, height, channels,
+    features[16]). Real decode requires PIL (absent here -> stub)."""
+
+    def __init__(self, strict: bool = False, media_col: str = "media",
+                 id_col: str = "media_id"):
+        self.media_col = media_col
+        self.id_col = id_col
+        try:
+            import PIL.Image  # noqa: F401
+            self._pil = True
+        except ImportError:
+            self._pil = False
+            if strict:
+                raise NotImplementedError(
+                    "image decode requires Pillow, which is not available "
+                    "in this environment; run with strict=False for the "
+                    "deterministic byte-feature stub")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch.column(self.media_col).to_pylist()
+        widths, heights, channels = [], [], []
+        feats: list[list[float]] = []
+        for blob in blobs:
+            blob = blob or b""
+            if self._pil:  # pragma: no cover - library absent here
+                import io
+
+                import PIL.Image
+                img = PIL.Image.open(io.BytesIO(blob))
+                widths.append(img.width)
+                heights.append(img.height)
+                channels.append(len(img.getbands()))
+                arr = np.asarray(img, dtype=np.float64).ravel()
+                hist, _ = np.histogram(arr, bins=16, range=(0, 255))
+            else:
+                # STUB decode: deterministic pseudo-dimensions from the
+                # payload length; REAL byte-histogram features.
+                widths.append(int(len(blob) ** 0.5) or 1)
+                heights.append((len(blob) // max(1, int(len(blob) ** 0.5))) or 1)
+                channels.append(3)
+                arr = np.frombuffer(blob, dtype=np.uint8)
+                hist, _ = np.histogram(arr, bins=16, range=(0, 256))
+            total = hist.sum()
+            feats.append((hist / total if total else hist).astype(
+                np.float64).tolist())
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
+            "channels": pa.array(channels, pa.int32()),
+            "byte_features": pa.array(feats, pa.list_(pa.float64(), 16)),
+            "n_bytes": pa.array([len(b or b"") for b in blobs], pa.int64()),
+        })
+
+
+class FrameSampleBatch:
+    """Video frame sampling stub: emits deterministic byte-range "frame"
+    offsets (every ``stride`` bytes, up to ``max_frames``) — the real
+    implementation would seek containers via av/ffmpeg (absent here).
+    The output layout (one list<struct> per row) is the real contract."""
+
+    def __init__(self, stride: int = 1024, max_frames: int = 8,
+                 media_col: str = "media", id_col: str = "media_id"):
+        self.stride = stride
+        self.max_frames = max_frames
+        self.media_col = media_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch.column(self.media_col).to_pylist()
+        offsets = [0]
+        starts: list[int] = []
+        ends: list[int] = []
+        for blob in blobs:
+            n = len(blob or b"")
+            count = 0
+            p = 0
+            while p < n and count < self.max_frames:
+                starts.append(p)
+                ends.append(min(n, p + self.stride))
+                p += self.stride
+                count += 1
+            offsets.append(len(starts))
+        frame_struct = pa.StructArray.from_arrays(
+            [pa.array(starts, pa.int64()), pa.array(ends, pa.int64())],
+            names=["start", "end"])
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "frames": pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), frame_struct),
+            "n_bytes": pa.array([len(b or b"") for b in blobs], pa.int64()),
+        })

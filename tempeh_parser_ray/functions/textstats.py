@@ -1,0 +1,146 @@
+"""Text analysis over a document table (web-scale training-data ops).
+
+All functions are ``map_batches``-shaped (pa.Table -> pa.Table), pure
+and deterministic, so each has (where expressible) a DuckDB SQL oracle
+in ``__ray_entry__``. Token definition shared by everything here:
+``re.split(r"\\s+", text.strip())`` — i.e. maximal whitespace runs
+separate tokens; empty text yields zero tokens.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pyarrow as pa
+
+_WS_SPLIT = re.compile(r"\s+")
+
+# Tiny per-language stopword profiles for the n-gram/stopword-vote
+# language-ID heuristic. Deliberately small and deterministic.
+_LANG_STOPWORDS: dict[str, frozenset[str]] = {
+    "en": frozenset({"the", "a", "of", "and", "to", "in", "is", "that",
+                     "it", "for", "was", "on", "are", "with", "as"}),
+    "de": frozenset({"der", "die", "das", "und", "ist", "nicht", "ein",
+                     "eine", "zu", "den", "mit", "von", "auf", "für"}),
+    "es": frozenset({"el", "la", "de", "que", "y", "en", "un", "una",
+                     "es", "no", "los", "se", "del", "por", "con"}),
+    "fr": frozenset({"le", "la", "les", "de", "des", "et", "est", "un",
+                     "une", "que", "dans", "pour", "qui", "sur", "pas"}),
+}
+
+_EN_STOPWORDS = _LANG_STOPWORDS["en"]
+
+
+def _tokens(text: str) -> list[str]:
+    t = text.strip()
+    if not t:
+        return []
+    return _WS_SPLIT.split(t)
+
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> (doc_id, n_tokens)."""
+    texts = batch.column("text").to_pylist()
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_tokens": pa.array([len(_tokens(t or "")) for t in texts],
+                             pa.int64()),
+    })
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """Quality-scoring features per document: lengths, vocabulary
+    diversity, stopword density (SQL-checkable closed forms)."""
+    texts = batch.column("text").to_pylist()
+    n_chars: list[int] = []
+    n_tokens: list[int] = []
+    n_unique: list[int] = []
+    stop_ratio: list[float] = []
+    for t in texts:
+        t = t or ""
+        toks = _tokens(t)
+        n = len(toks)
+        n_chars.append(len(t))
+        n_tokens.append(n)
+        n_unique.append(len(set(toks)))
+        stops = sum(1 for x in toks if x in _EN_STOPWORDS)
+        stop_ratio.append(stops / n if n else 0.0)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_chars": pa.array(n_chars, pa.int64()),
+        "n_tokens": pa.array(n_tokens, pa.int64()),
+        "n_unique_tokens": pa.array(n_unique, pa.int64()),
+        "stopword_ratio": pa.array(stop_ratio, pa.float64()),
+    })
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Exact document fingerprint: md5 over UTF-8 text (matches DuckDB
+    ``md5(text)``), plus a 64-bit rolling-shingle content fingerprint
+    (min of 8-gram polynomial hashes — winnowing-style, not SQL-expressible)."""
+    texts = batch.column("text").to_pylist()
+    md5s: list[str] = []
+    rolling: list[int] = []
+    for t in texts:
+        t = t or ""
+        md5s.append(hashlib.md5(t.encode("utf-8")).hexdigest())
+        data = t.encode("utf-8")
+        if len(data) < 8:
+            rolling.append(_poly_hash(data))
+        else:
+            m = (1 << 61) - 1
+            best = m
+            h = 0
+            # rolling polynomial hash over byte 8-grams, base 257
+            base = 257
+            pow7 = pow(base, 7, m)
+            for i, b in enumerate(data):
+                if i < 8:
+                    h = (h * base + b) % m
+                    if i == 7 and h < best:
+                        best = h
+                else:
+                    h = ((h - data[i - 8] * pow7) * base + b) % m
+                    if h < best:
+                        best = h
+            rolling.append(best)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "fp_md5": pa.array(md5s, pa.string()),
+        "fp_shingle": pa.array(rolling, pa.int64()),
+    })
+
+
+def _poly_hash(data: bytes) -> int:
+    m = (1 << 61) - 1
+    h = 0
+    for b in data:
+        h = (h * 257 + b) % m
+    return h
+
+
+_CJK_RE = re.compile("[\u3040-\u30ff\u4e00-\u9fff]")
+
+
+def lang_id_batch(batch: pa.Table) -> pa.Table:
+    """Heuristic language ID: CJK char detection, else stopword vote
+    over tiny per-language profiles; 'und' when no evidence."""
+    texts = batch.column("text").to_pylist()
+    preds: list[str] = []
+    for t in texts:
+        t = t or ""
+        if _CJK_RE.search(t):
+            preds.append("zh")
+            continue
+        toks = _tokens(t.lower())
+        best_lang, best_score = "und", 0
+        for lang in sorted(_LANG_STOPWORDS):
+            score = sum(1 for x in toks if x in _LANG_STOPWORDS[lang])
+            if score > best_score:
+                best_lang, best_score = lang, score
+        preds.append(best_lang)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "lang_pred": pa.array(preds, pa.string()),
+    })

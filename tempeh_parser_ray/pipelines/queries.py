@@ -1,0 +1,346 @@
+"""Named query/pipeline catalog — the engine's public operator surface.
+
+Each function takes ``sf_dir`` (a driver testdata directory) and returns
+a Dataset / pyarrow Table. ``__ray_entry__.queries()`` exposes these;
+for every SQL-expressible one, ``__ray_entry__.oracle_sql()`` carries a
+DuckDB oracle with IDENTICAL column names. Everything is deterministic
+(fixed seeds, closed-form synthetic corpus).
+
+Ray is assumed to be initialised by the caller.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..functions import dedup as _dedup
+from ..functions import multimodal as _mm
+from ..functions import similarity as _sim
+from ..functions import textstats as _ts
+from ..sources import synthetic as _synth
+from ..sources.fixtures import fixture_corpus_table
+from . import extract_pipeline as _ep
+
+# modest pools for correctness-scale runs (sf<=0.01, ~500-row tables)
+_Q_CONCURRENCY = (1, 4)
+
+
+def _documents(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(str(Path(sf_dir) / "documents.parquet"))
+
+
+def _embeddings(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(str(Path(sf_dir) / "embeddings.parquet"))
+
+
+def _events(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(str(Path(sf_dir) / "events.parquet"))
+
+
+def _corpus(sf_dir: str) -> "ray.data.Dataset":
+    return _documents(sf_dir).map_batches(
+        _synth.synthesize_batch, batch_format="pyarrow")
+
+
+# --- flagship extraction ------------------------------------------------
+
+
+def extract_text(sf_dir: str) -> "ray.data.Dataset":
+    """Synthesized CC-style corpus -> fused parse+extract (the flagship
+    pipeline; E1 in SURVEY.md par.3)."""
+    ex = _ep.extract_dataset(_corpus(sf_dir), spans=False,
+                             concurrency=_Q_CONCURRENCY,
+                             passthrough=("doc_id",))
+    return ex.map_batches(
+        lambda b: b.select(["doc_id", "extracted_text", "n_chars_extracted",
+                            "n_nodes", "n_links", "error"]),
+        batch_format="pyarrow")
+
+
+def extract_lang_stats(sf_dir: str) -> pa.Table:
+    """Per-language extraction-quality stats (groupby over the
+    extraction output; SURVEY.md par.2.6)."""
+    ex = _ep.extract_dataset(_corpus(sf_dir), spans=False,
+                             concurrency=_Q_CONCURRENCY,
+                             passthrough=("doc_id", "lang"))
+    agg = ex.groupby("lang").aggregate(
+        ray.data.aggregate.Count(),
+        ray.data.aggregate.Sum("n_chars_extracted"),
+    )
+    tbl = pa.Table.from_pylist(agg.take_all())
+    return pa.table({
+        "lang": tbl.column("lang"),
+        "n_docs": tbl.column("count()").cast(pa.int64()),
+        "sum_chars": tbl.column("sum(n_chars_extracted)").cast(pa.int64()),
+    })
+
+
+def parse_trees(sf_dir: str) -> "ray.data.Dataset":
+    """Tree-building pipeline (ParseHtmlBatch) over the synthesized
+    corpus; per-doc node/attr counts."""
+    parsed = _ep.parse_dataset(_corpus(sf_dir),
+                               concurrency=_Q_CONCURRENCY,
+                               passthrough=("doc_id",))
+
+    def counts(batch: pa.Table) -> pa.Table:
+        n_attrs = pc.list_value_length(batch.column("attrs"))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_nodes": batch.column("n_nodes"),
+            "n_attrs": n_attrs.cast(pa.int32()) if n_attrs is not None
+            else pa.array([], pa.int32()),
+            "error": batch.column("error"),
+        })
+
+    return parsed.map_batches(counts, batch_format="pyarrow")
+
+
+def parse_fixture_corpus(sf_dir: str) -> "ray.data.Dataset":
+    """Reference conformance corpus through the tree pipeline
+    (byte-identical goldens are asserted in pytest)."""
+    ds = ray.data.from_arrow(fixture_corpus_table())
+    parsed = _ep.parse_dataset(ds, concurrency=(1, 2),
+                               passthrough=("url",))
+    return parsed.map_batches(
+        lambda b: b.select(["url", "n_nodes", "error"]),
+        batch_format="pyarrow")
+
+
+# --- text analysis ------------------------------------------------------
+
+
+def token_count(sf_dir: str) -> "ray.data.Dataset":
+    return _documents(sf_dir).map_batches(
+        _ts.token_count_batch, batch_format="pyarrow")
+
+
+def quality_score(sf_dir: str) -> "ray.data.Dataset":
+    return _documents(sf_dir).map_batches(
+        _ts.quality_batch, batch_format="pyarrow")
+
+
+def doc_fingerprint(sf_dir: str) -> "ray.data.Dataset":
+    return _documents(sf_dir).map_batches(
+        _ts.fingerprint_batch, batch_format="pyarrow").map_batches(
+        lambda b: b.select(["doc_id", "fp_md5"]), batch_format="pyarrow")
+
+
+def doc_fingerprint_shingle(sf_dir: str) -> "ray.data.Dataset":
+    """Rolling-shingle winnowing fingerprint (not SQL-expressible)."""
+    return _documents(sf_dir).map_batches(
+        _ts.fingerprint_batch, batch_format="pyarrow")
+
+
+def lang_id(sf_dir: str) -> "ray.data.Dataset":
+    return _documents(sf_dir).map_batches(
+        _ts.lang_id_batch, batch_format="pyarrow")
+
+
+def lang_stats(sf_dir: str) -> pa.Table:
+    agg = _documents(sf_dir).groupby("lang").aggregate(
+        ray.data.aggregate.Count(),
+        ray.data.aggregate.Sum("n_chars"),
+        ray.data.aggregate.Mean("n_chars"),
+    )
+    tbl = pa.Table.from_pylist(agg.take_all())
+    return pa.table({
+        "lang": tbl.column("lang"),
+        "n_docs": tbl.column("count()").cast(pa.int64()),
+        "sum_chars": tbl.column("sum(n_chars)").cast(pa.int64()),
+        "avg_chars": tbl.column("mean(n_chars)").cast(pa.float64()),
+    })
+
+
+def top_sources(sf_dir: str) -> pa.Table:
+    agg = _documents(sf_dir).groupby("source").aggregate(
+        ray.data.aggregate.Count())
+    tbl = pa.Table.from_pylist(agg.take_all())
+    tbl = pa.table({
+        "source": tbl.column("source"),
+        "n_docs": tbl.column("count()").cast(pa.int64()),
+    })
+    idx = pc.sort_indices(tbl, sort_keys=[("n_docs", "descending"),
+                                          ("source", "ascending")])
+    return tbl.take(idx[:10])
+
+
+def events_by_type(sf_dir: str) -> pa.Table:
+    agg = _events(sf_dir).groupby("event_type").aggregate(
+        ray.data.aggregate.Count(),
+        ray.data.aggregate.Sum("value"),
+    )
+    tbl = pa.Table.from_pylist(agg.take_all())
+    return pa.table({
+        "event_type": tbl.column("event_type"),
+        "n_events": tbl.column("count()").cast(pa.int64()),
+        "sum_value": pc.round(tbl.column("sum(value)").cast(pa.float64()),
+                              ndigits=6),
+    })
+
+
+# --- dedup --------------------------------------------------------------
+
+
+def dedup_exact(sf_dir: str) -> "ray.data.Dataset":
+    return _dedup.exact_dedup(_documents(sf_dir), key="text",
+                              id_col="doc_id")
+
+
+def _mutated_corpus(sf_dir: str) -> "ray.data.Dataset":
+    """documents + near-duplicate copies (docs with doc_id%10==0 get a
+    clone at doc_id+100000 with ' extra' appended) — the dedup oracle
+    workload; deterministic."""
+    docs = _documents(sf_dir)
+
+    def mutate(batch: pa.Table) -> pa.Table:
+        ids_np = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(ids_np % 10 == 0))
+        ids = [i + 100000 for i in sub.column("doc_id").to_pylist()]
+        texts = [t + " extra" for t in sub.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": sub.column("lang"),
+            "source": sub.column("source"),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        })
+
+    clones = docs.map_batches(mutate, batch_format="pyarrow")
+    return docs.union(clones)
+
+
+def dedup_minhash(sf_dir: str) -> pa.Table:
+    """MinHash+LSH near-dup candidates, exact-Jaccard-verified >=0.8,
+    over the mutated corpus (each clone should pair with its source)."""
+    corpus = _mutated_corpus(sf_dir)
+    cands = _dedup.minhash_lsh_candidates(
+        corpus, num_perm=64, bands=16, shingle_k=5,
+        concurrency=_Q_CONCURRENCY)
+    verified = _dedup.verify_pairs_jaccard(cands, corpus, threshold=0.8)
+    tbl = pa.Table.from_pylist(verified.take_all())
+    if tbl.num_rows == 0:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    tbl = pa.table({
+        "id_a": tbl.column("id_a"),
+        "id_b": tbl.column("id_b"),
+        "jaccard": pc.round(tbl.column("jaccard"), ndigits=4),
+    })
+    return tbl.take(pc.sort_indices(
+        tbl, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")]))
+
+
+def dedup_simhash(sf_dir: str) -> pa.Table:
+    corpus = _mutated_corpus(sf_dir)
+    pairs = _dedup.simhash_candidates(corpus, max_hamming=3)
+    tbl = pa.Table.from_pylist(pairs.take_all())
+    if tbl.num_rows == 0:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "hamming": pa.array([], pa.int64())})
+    tbl = tbl.select(["id_a", "id_b", "hamming"])
+    return tbl.take(pc.sort_indices(
+        tbl, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")]))
+
+
+def ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
+    """Exact n-gram Jaccard over LSH candidates, unthresholded."""
+    corpus = _mutated_corpus(sf_dir)
+    cands = _dedup.minhash_lsh_candidates(
+        corpus, num_perm=64, bands=16, shingle_k=5,
+        concurrency=_Q_CONCURRENCY)
+    verified = _dedup.verify_pairs_jaccard(cands, corpus, threshold=0.0)
+    tbl = pa.Table.from_pylist(verified.take_all())
+    if tbl.num_rows == 0:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    tbl = pa.table({
+        "id_a": tbl.column("id_a"),
+        "id_b": tbl.column("id_b"),
+        "jaccard": pc.round(tbl.column("jaccard"), ndigits=4),
+    })
+    return tbl.take(pc.sort_indices(
+        tbl, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")]))
+
+
+# --- similarity search --------------------------------------------------
+
+KNN_QUERY_IDS = [0, 1, 2, 3, 4]
+KNN_K = 5
+
+
+def knn_cosine(sf_dir: str) -> pa.Table:
+    tbl = _sim.knn_cosine_brute(_embeddings(sf_dir), KNN_QUERY_IDS,
+                                k=KNN_K)
+    return pa.table({
+        "query_id": tbl.column("query_id"),
+        "neighbor_id": tbl.column("neighbor_id"),
+        "rank": tbl.column("rank"),
+        "cosine_sim": pc.round(tbl.column("cosine_sim"), ndigits=4),
+    })
+
+
+def knn_cosine_lsh(sf_dir: str) -> pa.Table:
+    tbl = _sim.knn_cosine_lsh(_embeddings(sf_dir), KNN_QUERY_IDS,
+                              k=KNN_K, n_bits=8)
+    return pa.table({
+        "query_id": tbl.column("query_id"),
+        "neighbor_id": tbl.column("neighbor_id"),
+        "rank": tbl.column("rank"),
+        "cosine_sim": pc.round(tbl.column("cosine_sim"), ndigits=4),
+    })
+
+
+# --- multimodal plumbing ------------------------------------------------
+
+
+def _media_table(sf_dir: str) -> "ray.data.Dataset":
+    """Opaque-binary media table synthesized from document text bytes."""
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table({
+            "media_id": batch.column("doc_id"),
+            "media": pa.array([t.encode("utf-8") for t in texts],
+                              pa.binary()),
+            "media_type": pa.array(["application/octet-stream"] * len(texts),
+                                   pa.string()),
+        })
+
+    return _documents(sf_dir).map_batches(to_media, batch_format="pyarrow")
+
+
+def multimodal_features(sf_dir: str) -> "ray.data.Dataset":
+    ds = _media_table(sf_dir).map_batches(
+        _mm.DecodeImageBatch, batch_format="pyarrow",
+        concurrency=_Q_CONCURRENCY,
+        fn_constructor_kwargs=dict(strict=False))
+    return ds.map_batches(
+        lambda b: b.select(["media_id", "width", "height", "channels",
+                            "n_bytes"]),
+        batch_format="pyarrow")
+
+
+def frame_offsets(sf_dir: str) -> "ray.data.Dataset":
+    ds = _media_table(sf_dir).map_batches(
+        _mm.FrameSampleBatch, batch_format="pyarrow",
+        concurrency=_Q_CONCURRENCY,
+        fn_constructor_kwargs=dict(stride=64, max_frames=8))
+
+    def counts(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "n_frames": pc.list_value_length(
+                batch.column("frames")).cast(pa.int64()),
+            "n_bytes": batch.column("n_bytes"),
+        })
+
+    return ds.map_batches(counts, batch_format="pyarrow")

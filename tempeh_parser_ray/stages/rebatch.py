@@ -35,7 +35,7 @@ def make_byte_rebatcher(html_column: str = "html",
     def rebatch(batch: pa.Table) -> Iterator[pa.Table]:
         if batch.num_rows == 0:
             return
-        sizes = pc.binary_length(batch.column(html_column))
+        sizes = pc.fill_null(pc.binary_length(batch.column(html_column)), 0)
         sizes = sizes.to_numpy(zero_copy_only=False)
         start = 0
         acc = 0
