@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship extraction pipeline on sf0.001;
+``queries()`` exposes the full operator catalog from SURVEY.md §2 (each
+callable takes ``sf_dir``); ``oracle_sql()`` carries DuckDB oracles with
+IDENTICAL column names for every SQL-expressible query.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +14,200 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from tempeh_parser_ray.pipelines import queries as _q
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: synthesize the CC-style corpus from sf0.001
+    documents, run the fused parse+extract actor-pool stage, return the
+    extraction Dataset (lazy; driver consumes it)."""
+    return _q.extract_text("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # flagship extraction (SURVEY.md §2.2-2.3, §3)
+        "extract_text": _q.extract_text,
+        "extract_lang_stats": _q.extract_lang_stats,
+        "parse_trees": _q.parse_trees,
+        "parse_fixture_corpus": _q.parse_fixture_corpus,
+        # text analysis (§ training-data ops)
+        "token_count": _q.token_count,
+        "quality_score": _q.quality_score,
+        "doc_fingerprint": _q.doc_fingerprint,
+        "doc_fingerprint_shingle": _q.doc_fingerprint_shingle,
+        "lang_id": _q.lang_id,
+        "lang_stats": _q.lang_stats,
+        "top_sources": _q.top_sources,
+        "events_by_type": _q.events_by_type,
+        # dedup family
+        "dedup_exact": _q.dedup_exact,
+        "dedup_minhash": _q.dedup_minhash,
+        "dedup_simhash": _q.dedup_simhash,
+        "ngram_jaccard_pairs": _q.ngram_jaccard_pairs,
+        # similarity search
+        "knn_cosine": _q.knn_cosine,
+        "knn_cosine_lsh": _q.knn_cosine_lsh,
+        # multimodal plumbing
+        "multimodal_features": _q.multimodal_features,
+        "frame_offsets": _q.frame_offsets,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# The synthetic corpus is a pure function of each documents row
+# (sources/synthetic.py:page_html), so the extraction output has a
+# closed SQL form: extracted text == 'home '||lang||source||' #'||id||text||'contact: mail'.
+_EXTRACTED = ("'home ' || lang || source || ' #' || "
+              "CAST(doc_id AS VARCHAR) || text || 'contact: mail'")
+
+_TOKENS = r"string_split_regex(trim(text), '\s+')"
+_EN_STOP = ("['the','a','of','and','to','in','is','that','it','for',"
+            "'was','on','are','with','as']")
+_DE_STOP = ("['der','die','das','und','ist','nicht','ein','eine','zu',"
+            "'den','mit','von','auf','für']")
+_ES_STOP = ("['el','la','de','que','y','en','un','una','es','no','los',"
+            "'se','del','por','con']")
+_FR_STOP = ("['le','la','les','de','des','et','est','un','une','que',"
+            "'dans','pour','qui','sur','pas']")
+
+
+def _stop_count(stoplist: str, toks: str = "t") -> str:
+    return f"len(list_filter({toks}, x -> list_contains({stoplist}, x)))"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "extract_text": f"""
+            SELECT doc_id,
+                   {_EXTRACTED} AS extracted_text,
+                   CAST(length({_EXTRACTED}) AS BIGINT) AS n_chars_extracted,
+                   CAST(25 AS INTEGER) AS n_nodes,
+                   CAST(3 AS INTEGER) AS n_links,
+                   '' AS error
+            FROM documents
+        """,
+        "extract_lang_stats": f"""
+            SELECT lang,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(length({_EXTRACTED})) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang
+        """,
+        "parse_trees": """
+            SELECT doc_id,
+                   CAST(25 AS INTEGER) AS n_nodes,
+                   CAST(3 AS INTEGER) AS n_attrs,
+                   '' AS error
+            FROM documents
+        """,
+        "token_count": f"""
+            SELECT doc_id,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len({_TOKENS}) END AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "quality_score": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       CAST(length(text) AS BIGINT) AS n_chars,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE {_TOKENS} END AS t
+                FROM documents)
+            SELECT doc_id, n_chars,
+                   CAST(len(t) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(t)) AS BIGINT) AS n_unique_tokens,
+                   CASE WHEN len(t) = 0 THEN 0.0
+                        ELSE CAST({_stop_count(_EN_STOP)} AS DOUBLE) / len(t)
+                   END AS stopword_ratio
+            FROM toks
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, md5(text) AS fp_md5 FROM documents
+        """,
+        "lang_id": f"""
+            WITH scored AS (
+                SELECT doc_id,
+                       regexp_matches(text,
+                         '[\\x{{3040}}-\\x{{30ff}}\\x{{4e00}}-\\x{{9fff}}]') AS cjk,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE string_split_regex(trim(lower(text)), '\\s+')
+                       END AS t
+                FROM documents),
+            votes AS (
+                SELECT doc_id, cjk,
+                       {_stop_count(_DE_STOP)} AS s_de,
+                       {_stop_count(_EN_STOP)} AS s_en,
+                       {_stop_count(_ES_STOP)} AS s_es,
+                       {_stop_count(_FR_STOP)} AS s_fr
+                FROM scored)
+            SELECT doc_id,
+                   CASE WHEN cjk THEN 'zh'
+                        WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                        WHEN s_de >= greatest(s_en, s_es, s_fr) THEN 'de'
+                        WHEN s_en >= greatest(s_es, s_fr) THEN 'en'
+                        WHEN s_es >= s_fr THEN 'es'
+                        ELSE 'fr' END AS lang_pred
+            FROM votes
+        """,
+        "lang_stats": """
+            SELECT lang,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   AVG(n_chars) AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+        "top_sources": """
+            SELECT source, COUNT(*) AS n_docs
+            FROM documents GROUP BY source
+            ORDER BY n_docs DESC, source ASC LIMIT 10
+        """,
+        "events_by_type": """
+            SELECT event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT))
+                        AS BIGINT) AS sum_value_micros
+            FROM events GROUP BY event_type
+        """,
+        "dedup_exact": """
+            SELECT doc_id, text, lang, source, n_chars
+            FROM documents
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                       ORDER BY doc_id) = 1
+        """,
+        "knn_cosine": """
+            WITH q AS (
+                SELECT vec_id AS qid, embedding AS qe
+                FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+            sims AS (
+                SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                           CAST(e.embedding AS DOUBLE[])) AS sim
+                FROM q CROSS JOIN embeddings e
+                WHERE e.vec_id != q.qid)
+            SELECT query_id, neighbor_id,
+                   CAST(ROW_NUMBER() OVER (
+                        PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank,
+                   ROUND(sim, 4) AS cosine_sim
+            FROM sims
+            QUALIFY rank <= 5
+            ORDER BY query_id, rank
+        """,
+        "multimodal_features": """
+            SELECT doc_id AS media_id,
+                   CAST(GREATEST(CAST(FLOOR(SQRT(octet_length(
+                        encode(text)))) AS INTEGER), 1) AS INTEGER) AS width,
+                   CAST(GREATEST(octet_length(encode(text)) //
+                        GREATEST(CAST(FLOOR(SQRT(octet_length(encode(text))))
+                                 AS BIGINT), 1), 1) AS INTEGER) AS height,
+                   CAST(3 AS INTEGER) AS channels,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+            FROM documents
+        """,
+        "frame_offsets": """
+            SELECT doc_id AS media_id,
+                   CAST(LEAST(CEIL(octet_length(encode(text)) / 64.0), 8)
+                        AS BIGINT) AS n_frames,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+            FROM documents
+        """,
+    }

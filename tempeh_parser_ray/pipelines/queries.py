@@ -171,16 +171,27 @@ def top_sources(sf_dir: str) -> pa.Table:
 
 
 def events_by_type(sf_dir: str) -> pa.Table:
-    agg = _events(sf_dir).groupby("event_type").aggregate(
+    """Sum in exact integer micros so the result is order-independent
+    (bit-identical to the SQL oracle regardless of aggregation order)."""
+
+    def to_micros(batch: pa.Table) -> pa.Table:
+        micros = pc.round(pc.multiply(
+            batch.column("value").cast(pa.float64()), 1_000_000.0))
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "value_micros": micros.cast(pa.int64()),
+        })
+
+    agg = _events(sf_dir).map_batches(
+        to_micros, batch_format="pyarrow").groupby("event_type").aggregate(
         ray.data.aggregate.Count(),
-        ray.data.aggregate.Sum("value"),
+        ray.data.aggregate.Sum("value_micros"),
     )
     tbl = pa.Table.from_pylist(agg.take_all())
     return pa.table({
         "event_type": tbl.column("event_type"),
         "n_events": tbl.column("count()").cast(pa.int64()),
-        "sum_value": pc.round(tbl.column("sum(value)").cast(pa.float64()),
-                              ndigits=6),
+        "sum_value_micros": tbl.column("sum(value_micros)").cast(pa.int64()),
     })
 
 
