@@ -104,37 +104,49 @@ def knn_cosine_brute(embeddings: "ray.data.Dataset",
 # --- LSH-bucketed variant (scale path) ---------------------------------
 
 
-def _hyperplanes(dim: int, n_bits: int) -> np.ndarray:
+def _hyperplanes(dim: int, n_bits: int, n_tables: int) -> np.ndarray:
+    """(n_tables, n_bits, dim) fixed-seed Gaussian hyperplanes."""
     rng = np.random.RandomState(42)
-    return rng.randn(n_bits, dim)
+    return rng.randn(n_tables, n_bits, dim)
+
+
+def _codes(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-bit bucket codes: (n, n_tables) int64."""
+    n_tables, n_bits, _ = planes.shape
+    # (n, n_tables*n_bits) in one matmul, then pack bits per table
+    bits = (mat @ planes.reshape(n_tables * n_bits, -1).T) >= 0
+    bits = bits.reshape(len(mat), n_tables, n_bits)
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
+    return bits.astype(np.int64) @ weights  # (n, n_tables)
 
 
 def lsh_bucket_batch(batch: pa.Table, *, planes: np.ndarray,
                      id_col: str = "vec_id",
                      vec_col: str = "embedding") -> pa.Table:
+    """Attach per-table LSH bucket codes as bucket_0..bucket_{L-1}."""
     mat = _batch_matrix(batch, vec_col)
-    bits = (mat @ planes.T) >= 0  # (n, n_bits)
-    codes = np.zeros(len(mat), dtype=np.int64)
-    for b in range(planes.shape[0]):
-        codes |= bits[:, b].astype(np.int64) << b
-    return pa.table({
-        id_col: batch.column(id_col),
-        vec_col: batch.column(vec_col),
-        "bucket": pa.array(codes, pa.int64()),
-    })
+    codes = _codes(mat, planes)
+    cols = {id_col: batch.column(id_col), vec_col: batch.column(vec_col)}
+    for t in range(planes.shape[0]):
+        cols[f"bucket_{t}"] = pa.array(codes[:, t], pa.int64())
+    return pa.table(cols)
 
 
 def knn_cosine_lsh(embeddings: "ray.data.Dataset",
                    query_ids: list[int], k: int = 5, n_bits: int = 8,
+                   n_tables: int = 8,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    dim: Optional[int] = None) -> pa.Table:
-    """Approximate top-k: probe only the query's LSH bucket and its
-    Hamming-1 neighbor buckets. Same output schema as the brute-force
-    baseline (recall measured against it in tests)."""
+    """Approximate top-k via multi-table random-hyperplane LSH: a vector
+    is a candidate if it collides with the query (bucket or Hamming-1
+    neighbor bucket) in ANY of the L independent tables — the standard
+    amplification that single-table sign-LSH lacks. Candidates then go
+    through the exact partial-top-k path. Same output schema as the
+    brute-force baseline (recall measured against it in tests)."""
     if dim is None:
         first = embeddings.take(1)[0]
         dim = len(first[vec_col])
-    planes = _hyperplanes(dim, n_bits)
+    planes = _hyperplanes(dim, n_bits, n_tables)
     bucketed = embeddings.map_batches(
         lsh_bucket_batch, batch_format="pyarrow",
         fn_kwargs=dict(planes=planes, id_col=id_col, vec_col=vec_col))
@@ -149,16 +161,23 @@ def knn_cosine_lsh(embeddings: "ray.data.Dataset",
         tb for tb in bucketed.map_batches(
             grab, batch_format="pyarrow").iter_batches(
                 batch_format="pyarrow", batch_size=None))
-    probe: set[int] = set()
-    for code in qrows.column("bucket").to_pylist():
-        probe.add(code)
-        for b in range(n_bits):
-            probe.add(code ^ (1 << b))
-    probe_arr = pa.array(sorted(probe), pa.int64())
+    # Per-table probe sets: query code plus Hamming-1 neighbors. Tiny
+    # (Q * L * (n_bits+1) ints) — shipped in the task closure.
+    probes: list[pa.Array] = []
+    for t in range(n_tables):
+        pset: set[int] = set()
+        for code in qrows.column(f"bucket_{t}").to_pylist():
+            pset.add(code)
+            for b in range(n_bits):
+                pset.add(code ^ (1 << b))
+        probes.append(pa.array(sorted(pset), pa.int64()))
 
     def in_probe(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.is_in(batch.column("bucket"),
-                                     value_set=probe_arr))
+        mask = pc.is_in(batch.column("bucket_0"), value_set=probes[0])
+        for t in range(1, n_tables):
+            mask = pc.or_(mask, pc.is_in(batch.column(f"bucket_{t}"),
+                                         value_set=probes[t]))
+        return batch.filter(mask)
 
     candidates = bucketed.map_batches(in_probe, batch_format="pyarrow")
     return knn_cosine_brute(candidates, query_ids, k=k,

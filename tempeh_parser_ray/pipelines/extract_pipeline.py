@@ -142,6 +142,13 @@ def run_extraction_job(input_files: Sequence[str],
             ds = ray.data.read_parquet(shard_files)
             ex = extract_dataset(ds, spans=spans, concurrency=concurrency)
             shard_out = _lineage.shard_output_dir(out_dir, shard_id)
+            # A shard without a lineage marker may hold output from a
+            # crashed attempt; Ray's write_parquet appends unique file
+            # names, so clear it first to keep resume idempotent.
+            if shard_out.exists():
+                import shutil
+
+                shutil.rmtree(shard_out)
             ex.write_parquet(str(shard_out))
             # Small post-hoc aggregate over the written shard for the
             # lineage record (reads only the metric columns).

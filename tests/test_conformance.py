@@ -1,0 +1,113 @@
+"""Reference conformance: byte-identical node trees vs goldens generated
+from the running reference (tools/gen_goldens.mjs). Pure core — no Ray.
+
+Reference semantics covered: test/parseFile.test.js (full-tree goldens),
+test/htmlParser.test.js (option variants), plus the §2.2 quirk list
+(SURVEY.md) as micro-fixtures.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+
+from tempeh_parser_ray.core import extract as ex
+from tempeh_parser_ray.core.api import HTMLParser, ParserOptions
+
+FIXTURE_DIR = Path("/root/reference/test/fixtures")
+
+_VARIANT_OPTS = {
+    "preserve": dict(tag_name_casing="preserve"),
+    "upper": dict(tag_name_casing="upper"),
+    "ignoreSelfClosing": dict(ignore_self_closing_syntax=True),
+    "preserve_ignoreSelfClosing": dict(
+        tag_name_casing="preserve", ignore_self_closing_syntax=True),
+}
+
+
+def _opts_from_js(js_opts: dict) -> dict:
+    out = {}
+    if "tagNameCasing" in js_opts:
+        out["tag_name_casing"] = js_opts["tagNameCasing"]
+    if "ignoreSelfClosingSyntax" in js_opts:
+        out["ignore_self_closing_syntax"] = js_opts["ignoreSelfClosingSyntax"]
+    return out
+
+
+def test_all_default_fixtures(goldens_default):
+    parser = HTMLParser()
+    for name, want in goldens_default.items():
+        got = parser.parse_to_nested((FIXTURE_DIR / name).read_bytes())
+        assert got == want, f"tree mismatch for {name}"
+
+
+def test_variant_fixtures(goldens_variants):
+    for vname, fixtures in goldens_variants.items():
+        parser = HTMLParser(**_VARIANT_OPTS[vname])
+        for fname, want in fixtures.items():
+            got = parser.parse_to_nested((FIXTURE_DIR / fname).read_bytes())
+            assert got == want, f"tree mismatch for {vname}/{fname}"
+
+
+def test_micro_quirks(goldens_micro):
+    for name, case in goldens_micro.items():
+        parser = HTMLParser(**_opts_from_js(case["options"]))
+        got = parser.parse_to_nested(case["input"])
+        assert got == case["nodes"], f"quirk mismatch: {name}"
+
+
+def test_error_capture_no_abort():
+    """Web-scale tolerance (SURVEY.md P5): errors land in .error with
+    nodes parsed so far, instead of aborting (reference aborts the whole
+    stream, src/parseTemplate.js:40-49)."""
+    doc = HTMLParser().parse_bytes(b"<div>\xffabc</div>")
+    assert doc.error is not None
+    assert "Invalid UTF-8 leading byte: 255 at 1:5" in doc.error
+    assert doc.n_nodes == 1  # <div> committed before the error
+
+
+def test_invalid_options_rejected():
+    with pytest.raises(ValueError):
+        ParserOptions(tag_name_casing="mixed")
+
+
+def test_extraction_matches_reference_trees(goldens_default):
+    """Extraction over OUR parse equals the same allowlist walk applied
+    to the reference's golden trees — per-url byte-identical."""
+    parser = HTMLParser()
+    for name, want_tree in goldens_default.items():
+        doc = parser.parse_bytes((FIXTURE_DIR / name).read_bytes())
+        got = ex.extract(doc)
+        want_text = ex.extract_from_nested(want_tree)
+        assert got.text == want_text, f"extraction mismatch for {name}"
+        # spans tile the extracted text exactly
+        assert got.text == "".join(
+            got.text[s:e] for s, e in zip(got.span_starts, got.span_ends))
+        if got.span_ends:
+            assert got.span_ends[-1] == len(got.text)
+
+
+def test_extract_main_text_drops_link_farms():
+    html = (b"<body><nav><a href=/>one</a> <a href=/>two</a></nav>"
+            b"<p>real content paragraph with many words here</p></body>")
+    doc = HTMLParser().parse_bytes(html)
+    full = ex.extract(doc).text
+    main = ex.extract_main_text(doc, link_density_threshold=0.5)
+    assert "real content" in main
+    assert "one" in full and "one" not in main  # nav text filtered
+
+
+def test_encodings_bom():
+    """BOM variants of the same logical document parse identically
+    (reference src/lexer.js:446-501)."""
+    logical = "<p>héllo</p>"
+    want = HTMLParser().parse_to_nested(logical)
+    for enc, bom in [("utf-8", b"\xef\xbb\xbf"),
+                     ("utf-16-le", b"\xff\xfe"),
+                     ("utf-16-be", b"\xfe\xff"),
+                     ("utf-32-le", b"\xff\xfe\x00\x00"),
+                     ("utf-32-be", b"\x00\x00\xfe\xff")]:
+        data = bom + logical.encode(enc)
+        got = HTMLParser().parse_to_nested(data)
+        assert got == want, f"encoding {enc} mismatch"

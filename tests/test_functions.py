@@ -1,0 +1,160 @@
+"""Training-data function library: dedup / similarity / textstats /
+multimodal — semantic checks beyond row counts."""
+
+from __future__ import annotations
+
+import hashlib
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from tempeh_parser_ray.functions import dedup, multimodal, similarity, textstats
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _collect(ds) -> pa.Table:
+    return pa.concat_tables(
+        list(ds.iter_batches(batch_format="pyarrow", batch_size=None)))
+
+
+def _docs_ds(ray):
+    return ray.data.read_parquet(str(Path(SF_DIR) / "documents.parquet"))
+
+
+def test_exact_dedup_keeps_one_per_text(ray_session):
+    ray = ray_session
+    base = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array(["a", "b", "a", "c", "b"], pa.string()),
+    })
+    out = _collect(dedup.exact_dedup(ray.data.from_arrow(base)))
+    kept = dict(zip(out.column("text").to_pylist(),
+                    out.column("doc_id").to_pylist()))
+    assert kept == {"a": 1, "b": 2, "c": 4}  # smallest id per value
+
+
+def test_minhash_lsh_finds_planted_near_dups(ray_session):
+    ray = ray_session
+    docs = pq.read_table(Path(SF_DIR) / "documents.parquet")
+    texts = docs.column("text").to_pylist()[:50]
+    rows = {"doc_id": list(range(50)), "text": texts}
+    # plant near-dups: copy docs 0-9 with a tiny suffix
+    for i in range(10):
+        rows["doc_id"].append(1000 + i)
+        rows["text"].append(texts[i] + " tail")
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(rows["doc_id"], pa.int64()),
+        "text": pa.array(rows["text"], pa.string())}))
+    cands = dedup.minhash_lsh_candidates(ds, num_perm=64, bands=16,
+                                         shingle_k=5, concurrency=(1, 2))
+    verified = _collect(dedup.verify_pairs_jaccard(cands, ds, threshold=0.8))
+    pairs = set(zip(verified.column("id_a").to_pylist(),
+                    verified.column("id_b").to_pylist()))
+    planted = {(i, 1000 + i) for i in range(10)}
+    assert planted <= pairs, f"missing planted pairs: {planted - pairs}"
+    for j in verified.column("jaccard").to_pylist():
+        assert j >= 0.8
+
+
+def test_jaccard_exact_values():
+    assert dedup.jaccard("abcde", "abcde") == 1.0
+    assert dedup.jaccard("", "") == 1.0
+    assert 0.0 < dedup.jaccard("abcdefgh", "abcdexyz") < 1.0
+
+
+def test_simhash_near_dup_distance():
+    a = "the quick brown fox jumps over the lazy dog " * 5
+    b = a + "extra"
+    ha, hb = dedup.simhash64(a), dedup.simhash64(b)
+    d = bin(ha ^ hb).count("1")
+    assert d <= 3  # tiny edit -> tiny hamming distance
+    far = dedup.simhash64("completely different words entirely unrelated")
+    assert bin(ha ^ far).count("1") > 10
+
+
+def test_knn_lsh_recall_vs_brute(ray_session):
+    """LSH kNN must reach >=60% recall@5 of the exact baseline here."""
+    ray = ray_session
+    emb = ray.data.read_parquet(str(Path(SF_DIR) / "embeddings.parquet"))
+    qids = [0, 1, 2, 3, 4]
+    exact = similarity.knn_cosine_brute(emb, qids, k=5)
+    approx = similarity.knn_cosine_lsh(emb, qids, k=5, n_bits=8)
+    exact_set = set(zip(exact.column("query_id").to_pylist(),
+                        exact.column("neighbor_id").to_pylist()))
+    approx_set = set(zip(approx.column("query_id").to_pylist(),
+                         approx.column("neighbor_id").to_pylist()))
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, f"LSH recall too low: {recall}"
+
+
+def test_knn_brute_agrees_with_numpy(ray_session):
+    ray = ray_session
+    tbl = pq.read_table(Path(SF_DIR) / "embeddings.parquet")
+    ids = np.asarray(tbl.column("vec_id").to_pylist())
+    mat = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    q = 3
+    sims = (mat @ mat[ids == q].T).ravel() / norms / norms[ids == q]
+    order = np.lexsort((ids, -sims))
+    want = [int(ids[i]) for i in order if ids[i] != q][:5]
+    got = similarity.knn_cosine_brute(
+        ray.data.from_arrow(tbl), [q], k=5)
+    got_ids = got.column("neighbor_id").to_pylist()
+    assert got_ids == want
+
+
+def test_token_and_quality_stats():
+    batch = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["the cat the dog", "  ", "one"], pa.string())})
+    tc = textstats.token_count_batch(batch)
+    assert tc.column("n_tokens").to_pylist() == [4, 0, 1]
+    qa = textstats.quality_batch(batch)
+    assert qa.column("n_unique_tokens").to_pylist() == [3, 0, 1]
+    assert qa.column("stopword_ratio").to_pylist()[0] == 0.5  # 'the' x2 / 4
+
+
+def test_fingerprint_matches_md5():
+    batch = pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "text": pa.array(["hello world"], pa.string())})
+    fp = textstats.fingerprint_batch(batch)
+    assert fp.column("fp_md5").to_pylist()[0] == hashlib.md5(
+        b"hello world").hexdigest()
+
+
+def test_lang_id_heuristic():
+    batch = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["the cat is on the mat and it is flat",
+                          "der hund ist nicht mit der katze",
+                          "你好世界",
+                          "zzz qqq"], pa.string())})
+    out = textstats.lang_id_batch(batch)
+    assert out.column("lang_pred").to_pylist() == ["en", "de", "zh", "und"]
+
+
+def test_multimodal_decode_stub_features():
+    blob = bytes(range(256))
+    batch = pa.table({"media_id": pa.array([7], pa.int64()),
+                      "media": pa.array([blob], pa.binary())})
+    stage = multimodal.DecodeImageBatch(strict=False)
+    out = stage(batch)
+    assert out.column("n_bytes").to_pylist() == [256]
+    assert out.column("width").to_pylist() == [16]
+    assert out.column("height").to_pylist() == [16]
+    feats = out.column("byte_features").to_pylist()[0]
+    assert len(feats) == 16 and abs(sum(feats) - 1.0) < 1e-9
+
+
+def test_frame_sample_offsets():
+    batch = pa.table({"media_id": pa.array([1, 2], pa.int64()),
+                      "media": pa.array([b"x" * 150, b""], pa.binary())})
+    stage = multimodal.FrameSampleBatch(stride=64, max_frames=8)
+    out = stage(batch)
+    frames = out.column("frames").to_pylist()
+    assert [(f["start"], f["end"]) for f in frames[0]] == [
+        (0, 64), (64, 128), (128, 150)]
+    assert frames[1] == []

@@ -1,0 +1,164 @@
+"""End-to-end Ray Data pipeline tests: fixture-corpus conformance through
+the actor-pool stages, closed-form extraction oracle, skew rebatching,
+and shard-granular checkpoint/resume."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tempeh_parser_ray.pipelines import extract_pipeline as ep
+from tempeh_parser_ray.sources import synthetic as synth
+from tempeh_parser_ray.sources.fixtures import fixture_corpus_table
+from tempeh_parser_ray.stages import parse_stage, rebatch
+from tempeh_parser_ray.state import lineage
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _collect(ds) -> pa.Table:
+    return pa.concat_tables(
+        list(ds.iter_batches(batch_format="pyarrow", batch_size=None)))
+
+
+def test_fixture_corpus_trees_match_goldens(ray_session, goldens_default):
+    """read fixtures -> ParseHtmlBatch actor pool -> rebuild nested trees
+    -> byte-identical vs reference goldens, keyed by url."""
+    ray = ray_session
+    ds = ray.data.from_arrow(fixture_corpus_table())
+    parsed = ep.parse_dataset(ds, concurrency=(1, 2), passthrough=("url",))
+    tbl = _collect(parsed)
+    assert tbl.num_rows == len(goldens_default)
+    for i in range(tbl.num_rows):
+        url = tbl.column("url")[i].as_py()
+        name = url.removeprefix("fixture://")
+        nested = parse_stage.nested_from_row(
+            tbl.column("nodes")[i].as_py(), tbl.column("attrs")[i].as_py())
+        assert nested == goldens_default[name], f"tree mismatch {name}"
+        assert tbl.column("error")[i].as_py() == ""
+
+
+def test_extraction_closed_form(ray_session):
+    """Synthesized corpus -> fused ExtractBatch -> text matches the
+    closed-form oracle byte-for-byte; spans tile the text."""
+    ray = ray_session
+    docs = pq.read_table(Path(SF_DIR) / "documents.parquet")
+    corpus = ray.data.read_parquet(
+        str(Path(SF_DIR) / "documents.parquet")).map_batches(
+        synth.synthesize_batch, batch_format="pyarrow")
+    out = ep.extract_dataset(corpus, concurrency=(1, 2),
+                             passthrough=("doc_id", "url", "lang"))
+    tbl = _collect(out)
+    expected = {
+        d: synth.expected_extracted_text(d, t, l, s)
+        for d, t, l, s in zip(docs.column("doc_id").to_pylist(),
+                              docs.column("text").to_pylist(),
+                              docs.column("lang").to_pylist(),
+                              docs.column("source").to_pylist())}
+    assert tbl.num_rows == len(expected)
+    for i in range(tbl.num_rows):
+        did = tbl.column("doc_id")[i].as_py()
+        text = tbl.column("extracted_text")[i].as_py()
+        assert text == expected[did]
+        assert tbl.column("error")[i].as_py() == ""
+        assert tbl.column("n_nodes")[i].as_py() == synth.TEMPLATE_N_NODES
+        assert tbl.column("n_links")[i].as_py() == synth.TEMPLATE_N_LINKS
+        spans = tbl.column("spans")[i].as_py()
+        assert "".join(text[s["start"]:s["end"]] for s in spans) == text
+
+
+def test_rebatcher_splits_by_bytes():
+    fn = rebatch.make_byte_rebatcher(target_bytes=100)
+    batch = pa.table({
+        "html": pa.array([b"a" * 10, b"b" * 200, b"c" * 10, b"d" * 95,
+                          None, b"e" * 10], pa.binary()),
+        "i": pa.array(range(6), pa.int64()),
+    })
+    parts = list(fn(batch))
+    # giant row isolated; order preserved; all rows kept exactly once
+    assert [p.num_rows for p in parts] and sum(p.num_rows for p in parts) == 6
+    flat = [i for p in parts for i in p.column("i").to_pylist()]
+    assert flat == list(range(6))
+    for p in parts:
+        sizes = [len(x) if x is not None else 0
+                 for x in p.column("html").to_pylist()]
+        assert p.num_rows == 1 or sum(sizes) <= 100
+
+
+def test_rebatcher_empty_and_all_null():
+    fn = rebatch.make_byte_rebatcher(target_bytes=100)
+    empty = pa.table({"html": pa.array([], pa.binary())})
+    assert list(fn(empty)) == []
+    nulls = pa.table({"html": pa.array([None, None], pa.binary())})
+    got = list(fn(nulls))
+    assert sum(p.num_rows for p in got) == 2
+
+
+def test_checkpoint_resume(ray_session, tmp_path):
+    """Kill-and-resume at shard granularity: second run skips committed
+    shards; a shard with a missing lineage sidecar is re-run."""
+    ray = ray_session
+    # build 4 small input files from the documents table
+    docs = pq.read_table(Path(SF_DIR) / "documents.parquet")
+    corpus = synth.synthesize_batch(docs)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    files = []
+    n = corpus.num_rows
+    step = n // 4
+    for i in range(4):
+        part = corpus.slice(i * step, step if i < 3 else n - 3 * step)
+        f = in_dir / f"part-{i}.parquet"
+        pq.write_table(part, f)
+        files.append(str(f))
+
+    out_dir = tmp_path / "out"
+    t1 = ep.run_extraction_job(files, out_dir, shard_size=1, spans=False,
+                               concurrency=(1, 2))
+    assert t1["shards_run"] == 4 and t1["shards_skipped"] == 0
+    assert t1["n_docs"] == n and t1["n_errors"] == 0
+
+    # resume: everything committed -> all skipped
+    t2 = ep.run_extraction_job(files, out_dir, shard_size=1, spans=False,
+                               concurrency=(1, 2))
+    assert t2["shards_run"] == 0 and t2["shards_skipped"] == 4
+
+    # simulate a crash mid-shard-2: remove its commit marker
+    lineage.lineage_path(out_dir, 2).unlink()
+    t3 = ep.run_extraction_job(files, out_dir, shard_size=1, spans=False,
+                               concurrency=(1, 2))
+    assert t3["shards_run"] == 1 and t3["shards_skipped"] == 3
+
+    # lineage records audit the run
+    rec = lineage.read_lineage(out_dir, 2)
+    assert rec is not None and rec.n_docs > 0 and rec.html_bytes > 0
+    assert rec.input_files == [files[2]]
+
+    # total output rows across shards == corpus rows, no dup from resume
+    total = pq.read_table(out_dir / "shard=00002").num_rows + sum(
+        pq.read_table(out_dir / f"shard=0000{i}").num_rows
+        for i in (0, 1, 3))
+    assert total == n
+
+
+def test_giant_page_does_not_break_parse(ray_session):
+    """A page far above target_batch_bytes parses as a singleton batch."""
+    ray = ray_session
+    big_text = "word " * 200_000  # ~1MB
+    html = synth.page_html(1, big_text, "en", "src")
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "html": pa.array([html, synth.page_html(2, "small", "en", "s")],
+                         pa.binary())}))
+    out = ep.extract_dataset(ds, spans=False, concurrency=(1, 1),
+                             passthrough=("doc_id",),
+                             target_batch_bytes=64 * 1024)
+    tbl = _collect(out)
+    assert tbl.num_rows == 2
+    texts = dict(zip(tbl.column("doc_id").to_pylist(),
+                     tbl.column("extracted_text").to_pylist()))
+    assert texts[1] == synth.expected_extracted_text(1, big_text, "en", "src")
