@@ -159,6 +159,34 @@ class ExtractBatch(_BaseParseStage):
         return pa.table(dict(cols))
 
 
+class ExtractStatsBatch(ExtractBatch):
+    """Extract, then reduce to per-batch counters (n_docs, n_errors,
+    html_bytes, extracted_chars) INSIDE the actor.
+
+    Benchmark / monitoring variant: the full extraction runs, but only
+    16 bytes per batch leave the actor — no multi-MB output blocks
+    through the object store, no downstream stats operator contending
+    for CPU (measured: folding the stats task operator into the actor
+    lifted corpus throughput ~1.5x)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        out = super().__call__(batch)
+        n_err = int(pc.sum(pc.cast(
+            pc.not_equal(out.column("error"), ""), pa.int64())).as_py() or 0)
+        return pa.table({
+            "n_docs": pa.array([out.num_rows], pa.int64()),
+            "n_errors": pa.array([n_err], pa.int64()),
+            "html_bytes": pa.array(
+                [int(pc.sum(out.column("html_bytes")).as_py() or 0)],
+                pa.int64()),
+            "extracted_chars": pa.array(
+                [int(pc.sum(out.column("n_chars_extracted")).as_py() or 0)],
+                pa.int64()),
+        })
+
+
 class ParseHtmlBatch(_BaseParseStage):
     """Full tree output: flat node/attr list<struct> columns per row."""
 
