@@ -135,9 +135,13 @@ def time_queries(sf_dir: str) -> dict[str, float]:
 def run_once(args) -> dict:
     import logging
     import ray
+    import ray.data
     ray.init(address="local", num_cpus=args.num_cpus,
              include_dashboard=False, log_to_driver=False)
     logging.getLogger("ray.data").setLevel(logging.ERROR)
+    # Progress-bar rendering is driver-side work that competes with task
+    # dispatch at high throughput; benches run headless.
+    ray.data.DataContext.get_current().enable_progress_bars = False
     try:
         corpus = ensure_corpus(args.sf_dir, args.replicas)
         head = run_headline(corpus, args.num_cpus)
@@ -174,14 +178,20 @@ def run_scaling(args) -> dict:
     control plane its own cores, as a real cluster layout would."""
     lo, hi = args.scale_cpus, args.scale_cpus * 4
     runs: dict[int, list[dict]] = {lo: [], hi: []}
-    for cpus in (lo, hi):
-        for _ in range(args.repeats):
+    # Interleaved lo/hi so both levels sample the same host conditions
+    # (this VM's effective CPU speed drifts ~1.5x over tens of minutes).
+    for _ in range(args.repeats):
+        for cpus in (lo, hi):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
                        GRAFT_SF_DIR=args.sf_dir,
                        GRAFT_BENCH_REPLICAS=str(args.replicas))
             proc = subprocess.run(
                 [sys.executable, __file__, "--headline-only"],
-                env=env, capture_output=True, text=True, check=True)
+                env=env, capture_output=True, text=True)
+            if proc.returncode != 0:
+                sys.stderr.write(proc.stderr[-4000:])
+                raise SystemExit(
+                    f"headline subprocess failed at num_cpus={cpus}")
             runs[cpus].append(json.loads(proc.stdout.strip().splitlines()[-1]))
     best = {c: max(rs, key=lambda r: r["mb_per_sec"]) for c, rs in runs.items()}
     eff = best[hi]["mb_per_sec"] / (4 * best[lo]["mb_per_sec"])

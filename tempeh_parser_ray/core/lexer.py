@@ -62,10 +62,18 @@ TOKEN_TYPE_NAMES = {
 
 
 class Token(NamedTuple):
+    """Schema of the emitted token tuples. The hot path emits PLAIN
+    tuples ``(type, value, l, c)`` (NamedTuple construction is ~2x the
+    cost); this class documents the layout and builds typed tokens in
+    tests."""
+
     type: int
     value: Optional[str]
     l: int
     c: int
+
+
+_ZERO_LC = (0, 0)
 
 
 class DecodedInput(NamedTuple):
@@ -210,18 +218,30 @@ class Tokenizer:
     """Tokenizes one decoded document. Create once per document."""
 
     __slots__ = ("units", "n", "terminal_error", "build", "breaks",
-                 "tokens", "ignore_self_closing")
+                 "tokens", "ignore_self_closing", "track_positions", "lc")
 
-    def __init__(self, decoded: DecodedInput, ignore_self_closing: bool = False):
+    def __init__(self, decoded: DecodedInput, ignore_self_closing: bool = False,
+                 track_positions: bool = True):
+        """``track_positions=False`` skips line/column bookkeeping
+        entirely (no line-break scan, all tokens report 0:0) — the
+        extraction hot path never reads positions; callers that hit a
+        parse error and need the reference-exact message re-run with
+        positions on (errors are rare at web scale)."""
         self.units = decoded.units
         self.n = len(decoded.units)
         self.terminal_error = decoded.error
         self.build = (chars.combine_surrogates if decoded.utf16
                       else (lambda s: s))
         self.ignore_self_closing = ignore_self_closing
-        self.breaks = [m.start() for m in
-                       _BREAK_RE.finditer(decoded.units)]
-        self.tokens: list[Token] = []
+        self.track_positions = track_positions
+        if track_positions:
+            self.breaks = [m.start() for m in
+                           _BREAK_RE.finditer(decoded.units)]
+            self.lc = self._lc
+        else:
+            self.breaks = []
+            self.lc = lambda p: _ZERO_LC
+        self.tokens: list[tuple] = []
 
     # position -> (line, col) as the reference reports for the char AT p
     def _lc(self, p: int) -> tuple[int, int]:
@@ -236,6 +256,8 @@ class Tokenizer:
     # (line, column) internal state after all input consumed — used for
     # the EOF/ERROR terminator token position.
     def _end_lc(self) -> tuple[int, int]:
+        if not self.track_positions:
+            return _ZERO_LC
         if self.n == 0:
             return 1, 0
         p = self.n - 1
@@ -249,16 +271,16 @@ class Tokenizer:
     def _terminate(self) -> None:
         l, c = self._end_lc()
         if self.terminal_error is not None:
-            self.tokens.append(Token(ERROR, self.terminal_error, l, c))
+            self.tokens.append((ERROR, self.terminal_error, l, c))
         else:
-            self.tokens.append(Token(EOF, None, l, c))
+            self.tokens.append((EOF, None, l, c))
 
     def tokenize(self) -> list[Token]:
         units = self.units
         n = self.n
         build = self.build
         emit = self.tokens.append
-        lc = self._lc
+        lc = self.lc
         pos = 0
 
         while True:
@@ -274,7 +296,7 @@ class Tokenizer:
                     # the input ended in a decode error (no flush then).
                     if self.terminal_error is None and text_start < n:
                         tl, tc = lc(text_start)
-                        emit(Token(TEXT_CONTENT, build(units[text_start:n]),
+                        emit((TEXT_CONTENT, build(units[text_start:n]),
                                    tl, tc))
                     self._terminate()
                     return self.tokens
@@ -297,7 +319,7 @@ class Tokenizer:
             kind, j, pos = nxt
             if text_start < j:
                 tl, tc = lc(text_start)
-                emit(Token(TEXT_CONTENT, build(units[text_start:j]), tl, tc))
+                emit((TEXT_CONTENT, build(units[text_start:j]), tl, tc))
 
             if kind == "open":
                 pos = self._scan_opening_tag(pos)
@@ -310,7 +332,7 @@ class Tokenizer:
                     self._terminate()
                     return self.tokens
                 tl, tc = lc(pos)
-                emit(Token(COMMENT, chars.js_trim(build(units[pos:k])),
+                emit((COMMENT, chars.js_trim(build(units[pos:k])),
                            tl, tc))
                 pos = k + 3
             else:  # doctype, lexer.js:1394-1425; position backdated to '<'
@@ -319,7 +341,7 @@ class Tokenizer:
                     self._terminate()
                     return self.tokens
                 tl, tc = lc(j)
-                emit(Token(DOCTYPE_DECLARATION,
+                emit((DOCTYPE_DECLARATION,
                            chars.js_trim(build(units[pos:k])), tl, tc))
                 pos = k + 1
 
@@ -332,7 +354,7 @@ class Tokenizer:
         units = self.units
         n = self.n
         emit = self.tokens.append
-        lc = self._lc
+        lc = self.lc
 
         m = chars.TAGNAME_RE.match(units, pos)
         name_end = m.end()
@@ -343,7 +365,7 @@ class Tokenizer:
             return -1
         raw_tag = self.build(units[pos:name_end])
         tl, tc = lc(pos)
-        emit(Token(OPENING_TAGNAME, raw_tag, tl, tc))
+        emit((OPENING_TAGNAME, raw_tag, tl, tc))
 
         # Void / raw-text lookups use the as-written tag name
         # (lexer.js:777,819) — case-sensitive.
@@ -362,9 +384,9 @@ class Tokenizer:
                     el, ec = lc(p)
                     if is_void or (not self.ignore_self_closing
                                    and prev == "/"):
-                        emit(Token(SELF_CLOSING_TAG_END, None, el, ec))
+                        emit((SELF_CLOSING_TAG_END, None, el, ec))
                         return p + 1
-                    emit(Token(OPENING_TAG_END, None, el, ec))
+                    emit((OPENING_TAG_END, None, el, ec))
                     if is_raw:
                         return self._scan_raw_content(p + 1, raw_tag)
                     return p + 1
@@ -384,7 +406,7 @@ class Tokenizer:
         units = self.units
         n = self.n
         emit = self.tokens.append
-        lc = self._lc
+        lc = self.lc
 
         m = chars.ATTRNAME_RE.match(units, pos)
         name_end = m.end()
@@ -392,7 +414,7 @@ class Tokenizer:
             self._terminate()
             return -1
         tl, tc = lc(pos)
-        emit(Token(ATTRIBUTE_NAME, self.build(units[pos:name_end]), tl, tc))
+        emit((ATTRIBUTE_NAME, self.build(units[pos:name_end]), tl, tc))
 
         if units[name_end] != "=":
             return name_end  # boolean attribute; terminator unread
@@ -416,7 +438,7 @@ class Tokenizer:
             if "\\" in raw:
                 raw = chars.UNESCAPE_RE.sub(r"\1", raw)
             vl, vc = lc(q)
-            emit(Token(ATTRIBUTE_VALUE, self.build(raw), vl, vc))
+            emit((ATTRIBUTE_VALUE, self.build(raw), vl, vc))
             return end  # closing quote unread
         if c2 not in chars.UNQUOTED_VALUE_ILLEGAL:
             m2 = chars.UNQUOTED_VALUE_RE.match(units, q)
@@ -425,7 +447,7 @@ class Tokenizer:
                 self._terminate()
                 return -1
             vl, vc = lc(q)
-            emit(Token(ATTRIBUTE_VALUE, self.build(units[q:vend]), vl, vc))
+            emit((ATTRIBUTE_VALUE, self.build(units[q:vend]), vl, vc))
             return vend
         return q  # e.g. "a=" followed by whitespace/'>' — char unread
 
@@ -438,9 +460,9 @@ class Tokenizer:
         if name_end >= n:
             self._terminate()
             return -1
-        tl, tc = self._lc(pos)
+        tl, tc = self.lc(pos)
         self.tokens.append(
-            Token(CLOSING_TAGNAME, self.build(units[pos:name_end]), tl, tc))
+            (CLOSING_TAGNAME, self.build(units[pos:name_end]), tl, tc))
         k = units.find(">", name_end)
         if k == -1:
             self._terminate()
@@ -475,13 +497,13 @@ class Tokenizer:
             close_pos = m.start()
             raw = units[pos:close_pos]
             if raw:
-                tl, tc = self._lc(pos)
-                emit(Token(TEXT_CONTENT, self.build(raw), tl, tc))
+                tl, tc = self.lc(pos)
+                emit((TEXT_CONTENT, self.build(raw), tl, tc))
             # CLOSING_TAGNAME position: (line of the char AFTER the
             # closer, its col - len(closer)) — lexer.js:1372-1377.
             after = close_pos + closer_len
-            al, ac = self._lc(after)
-            emit(Token(CLOSING_TAGNAME, tag, al, ac - closer_len))
+            al, ac = self.lc(after)
+            emit((CLOSING_TAGNAME, tag, al, ac - closer_len))
             k = units.find(">", after)
             if k == -1:
                 self._terminate()
@@ -489,9 +511,13 @@ class Tokenizer:
             return k + 1
 
 
-def tokenize_str(raw: str, ignore_self_closing: bool = False) -> list[Token]:
-    return Tokenizer(decode_string_source(raw), ignore_self_closing).tokenize()
+def tokenize_str(raw: str, ignore_self_closing: bool = False,
+                 track_positions: bool = True) -> list[tuple]:
+    return Tokenizer(decode_string_source(raw), ignore_self_closing,
+                     track_positions).tokenize()
 
 
-def tokenize_bytes(data: bytes, ignore_self_closing: bool = False) -> list[Token]:
-    return Tokenizer(decode_bytes_source(data), ignore_self_closing).tokenize()
+def tokenize_bytes(data: bytes, ignore_self_closing: bool = False,
+                   track_positions: bool = True) -> list[tuple]:
+    return Tokenizer(decode_bytes_source(data), ignore_self_closing,
+                     track_positions).tokenize()

@@ -93,32 +93,32 @@ def parse_tokens(tokens: list[Token], tag_name_casing: str = "lower") -> ParsedD
     n = len(tokens)
     while i < n:
         t = tokens[i]
-        tt = t.type
+        tt = t[0]
         if tt == TEXT_CONTENT:
-            if t.value:
+            if t[1]:
                 kinds.append(KIND_TEXT)
                 tags.append(None)
-                texts.append(t.value)
+                texts.append(t[1])
                 parents.append(stack[-1][0] if stack else -1)
-                lines.append(t.l)
-                cols.append(t.c)
+                lines.append(t[2])
+                cols.append(t[3])
         elif tt == OPENING_TAGNAME:
-            tag = _case(t.value, tag_name_casing)
+            tag = _case(t[1], tag_name_casing)
             pending_attrs: list[list[Any]] = []
             committed = -1
             i += 1
             while i < n:
                 t2 = tokens[i]
-                t2t = t2.type
+                t2t = t2[0]
                 if t2t == ATTRIBUTE_NAME:
-                    pending_attrs.append([t2.value, "", t2.l, t2.c])
+                    pending_attrs.append([t2[1], "", t2[2], t2[3]])
                 elif t2t == ATTRIBUTE_VALUE:
                     if pending_attrs:
-                        pending_attrs[-1][1] = t2.value
+                        pending_attrs[-1][1] = t2[1]
                     else:
                         doc.error = (
                             "Tempeh parsing error: Encountered unexpected "
-                            f"attribute value {t2.value} at {t2.l}:{t2.c}"
+                            f"attribute value {t2[1]} at {t2[2]}:{t2[3]}"
                         )
                         return doc
                 elif t2t in (SELF_CLOSING_TAG_END, OPENING_TAG_END):
@@ -127,8 +127,8 @@ def parse_tokens(tokens: list[Token], tag_name_casing: str = "lower") -> ParsedD
                     tags.append(tag)
                     texts.append(None)
                     parents.append(stack[-1][0] if stack else -1)
-                    lines.append(t.l)
-                    cols.append(t.c)
+                    lines.append(t[2])
+                    cols.append(t[3])
                     for name, value, al, ac in pending_attrs:
                         doc.attr_node.append(node)
                         doc.attr_name.append(name)
@@ -146,20 +146,20 @@ def parse_tokens(tokens: list[Token], tag_name_casing: str = "lower") -> ParsedD
                     # OPENING_TAGNAME token's value and position
                     # (parseTemplate.js:157-163).
                     doc.error = (
-                        f"Tempeh parsing error: {t.value} at {t.l}:{t.c}"
+                        f"Tempeh parsing error: {t[1]} at {t[2]}:{t[3]}"
                     )
                     return doc
                 else:
                     name = TOKEN_TYPE_NAMES.get(t2t, f"UNKNOWN:{t2t}")
                     doc.error = (
                         "Tempeh parsing error: Encountered unexpected "
-                        f"token type {name} at {t2.l}:{t2.c}"
+                        f"token type {name} at {t2[2]}:{t2[3]}"
                     )
                     return doc
                 i += 1
             del committed
         elif tt == CLOSING_TAGNAME:
-            tag = _case(t.value, tag_name_casing)
+            tag = _case(t[1], tag_name_casing)
             for d in range(len(stack) - 1, -1, -1):
                 if stack[d][1] == tag:
                     del stack[d:]  # pop matched element + intermediates
@@ -168,27 +168,27 @@ def parse_tokens(tokens: list[Token], tag_name_casing: str = "lower") -> ParsedD
         elif tt == DOCTYPE_DECLARATION:
             kinds.append(KIND_DOCTYPE)
             tags.append(None)
-            texts.append(t.value)
+            texts.append(t[1])
             parents.append(stack[-1][0] if stack else -1)
-            lines.append(t.l)
-            cols.append(t.c)
+            lines.append(t[2])
+            cols.append(t[3])
         elif tt == COMMENT:
             kinds.append(KIND_COMMENT)
             tags.append(None)
-            texts.append(t.value)
+            texts.append(t[1])
             parents.append(stack[-1][0] if stack else -1)
-            lines.append(t.l)
-            cols.append(t.c)
+            lines.append(t[2])
+            cols.append(t[3])
         elif tt == EOF:
             break
         elif tt == ERROR:
-            doc.error = f"Tempeh parsing error: {t.value} at {t.l}:{t.c}"
+            doc.error = f"Tempeh parsing error: {t[1]} at {t[2]}:{t[3]}"
             return doc
         else:
             name = TOKEN_TYPE_NAMES.get(tt, f"UNKNOWN:{tt}")
             doc.error = (
                 "Tempeh parsing error: Encountered unexpected token type "
-                f"{name} at {t.l}:{t.c}"
+                f"{name} at {t[2]}:{t[3]}"
             )
             return doc
         i += 1
@@ -196,17 +196,32 @@ def parse_tokens(tokens: list[Token], tag_name_casing: str = "lower") -> ParsedD
 
 
 def parse_bytes(data: bytes, tag_name_casing: str = "lower",
-                ignore_self_closing: bool = False) -> ParsedDoc:
-    """parseFile-equivalent entry: raw page bytes -> ParsedDoc."""
-    return parse_tokens(
-        lexer.tokenize_bytes(data, ignore_self_closing), tag_name_casing)
+                ignore_self_closing: bool = False,
+                track_positions: bool = True) -> ParsedDoc:
+    """parseFile-equivalent entry: raw page bytes -> ParsedDoc.
+
+    ``track_positions=False`` is the extraction hot path: line/column
+    bookkeeping is skipped (all positions 0). If such a parse errors,
+    it is re-run WITH positions so the error message stays
+    reference-exact — errors are rare, the double parse is noise."""
+    doc = parse_tokens(
+        lexer.tokenize_bytes(data, ignore_self_closing, track_positions),
+        tag_name_casing)
+    if doc.error is not None and not track_positions:
+        return parse_bytes(data, tag_name_casing, ignore_self_closing, True)
+    return doc
 
 
 def parse_string(raw: str, tag_name_casing: str = "lower",
-                 ignore_self_closing: bool = False) -> ParsedDoc:
+                 ignore_self_closing: bool = False,
+                 track_positions: bool = True) -> ParsedDoc:
     """parseString-equivalent entry."""
-    return parse_tokens(
-        lexer.tokenize_str(raw, ignore_self_closing), tag_name_casing)
+    doc = parse_tokens(
+        lexer.tokenize_str(raw, ignore_self_closing, track_positions),
+        tag_name_casing)
+    if doc.error is not None and not track_positions:
+        return parse_string(raw, tag_name_casing, ignore_self_closing, True)
+    return doc
 
 
 def to_nested(doc: ParsedDoc) -> list[dict[str, Any]]:

@@ -57,6 +57,12 @@ def _list_array(offsets: list[int], struct_arr: pa.StructArray) -> pa.ListArray:
 
 
 class _BaseParseStage:
+    # ParseHtmlBatch emits l/c columns and needs them tracked; the
+    # extraction stages never read positions, so they skip the
+    # line/column bookkeeping entirely (parse errors re-run with
+    # positions inside core.parser for reference-exact messages).
+    TRACK_POSITIONS = True
+
     def __init__(self, tag_name_casing: str = "lower",
                  ignore_self_closing_syntax: bool = False,
                  html_column: str = "html",
@@ -76,10 +82,12 @@ class _BaseParseStage:
         elif isinstance(data, str):  # tolerate string-typed html columns
             return _parser.parse_string(
                 data, self.options.tag_name_casing,
-                self.options.ignore_self_closing_syntax)
+                self.options.ignore_self_closing_syntax,
+                self.TRACK_POSITIONS)
         return _parser.parse_bytes(
             data, self.options.tag_name_casing,
-            self.options.ignore_self_closing_syntax)
+            self.options.ignore_self_closing_syntax,
+            self.TRACK_POSITIONS)
 
     def _passthrough_columns(self, batch: pa.Table) -> list[tuple[str, pa.Array]]:
         cols = []
@@ -93,6 +101,8 @@ class _BaseParseStage:
 
 class ExtractBatch(_BaseParseStage):
     """Fused parse + main-content extraction (the flagship hot path)."""
+
+    TRACK_POSITIONS = False
 
     def __init__(self, *args, spans: bool = True, **kwargs):
         super().__init__(*args, **kwargs)
