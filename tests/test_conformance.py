@@ -111,3 +111,53 @@ def test_encodings_bom():
         data = bom + logical.encode(enc)
         got = HTMLParser().parse_to_nested(data)
         assert got == want, f"encoding {enc} mismatch"
+
+
+def test_fast_path_trees_match_tracked(goldens_default):
+    """track_positions=False must yield the same tree shape/values as the
+    tracked parse (positions zeroed) on every reference fixture."""
+    from tempeh_parser_ray.core import parser as P
+
+    def strip_pos(nodes):
+        out = []
+        for nd in nodes:
+            nd = {k: v for k, v in nd.items() if k not in ("l", "c")}
+            if "children" in nd:
+                nd["children"] = strip_pos(nd["children"])
+            if "attributes" in nd:
+                nd["attributes"] = [
+                    {k: v for k, v in a.items() if k not in ("l", "c")}
+                    for a in nd["attributes"]]
+            out.append(nd)
+        return out
+
+    for name in goldens_default:
+        data = (FIXTURE_DIR / name).read_bytes()
+        slow = P.to_nested(P.parse_bytes(data))
+        fast = P.to_nested(P.parse_bytes(data, track_positions=False))
+        assert strip_pos(fast) == strip_pos(slow), name
+
+
+def test_fast_path_error_messages_reference_exact():
+    """A fast parse that errors re-runs with positions: message must be
+    identical to the tracked parse's (decode error with real l:c)."""
+    from tempeh_parser_ray.core import parser as P
+
+    bad = b"line1\n<div " + b"\xff" + b"attr>"  # invalid UTF-8 lead byte
+    slow = P.parse_bytes(bad)
+    fast = P.parse_bytes(bad, track_positions=False)
+    assert slow.error is not None
+    assert fast.error == slow.error
+    assert "0:0" not in fast.error
+
+
+def test_fast_path_extraction_identical():
+    from tempeh_parser_ray.core import parser as P
+
+    for name in ["geyer.dev.tmph.html", "componentWithScripts.tmph.html"]:
+        data = (FIXTURE_DIR / name).read_bytes()
+        slow = ex.extract(P.parse_bytes(data))
+        fast = ex.extract(P.parse_bytes(data, track_positions=False))
+        assert fast.text == slow.text
+        assert fast.span_starts == slow.span_starts
+        assert fast.n_links == slow.n_links
