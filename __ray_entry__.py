@@ -51,6 +51,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing
         "multimodal_features": _q.multimodal_features,
         "frame_offsets": _q.frame_offsets,
+        # relational / windowed (SURVEY.md par.2.5-2.7, par.2.9)
+        "pricing_summary": _q.pricing_summary,
+        "orders_by_nation": _q.orders_by_nation,
+        "events_windowed": _q.events_windowed,
+        "orders_top10": _q.orders_top10,
+        # extraction variants
+        "extract_main_text": _q.extract_main_text,
+        "extract_multi_encoding": _q.extract_multi_encoding,
     }
 
 
@@ -208,6 +216,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(LEAST(CEIL(octet_length(encode(text)) / 64.0), 8)
                         AS BIGINT) AS n_frames,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+            FROM documents
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 1000000) AS BIGINT))
+                        AS BIGINT) AS sum_base_micros,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                       * 1000000) AS BIGINT))
+                        AS BIGINT) AS sum_disc_micros,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "orders_by_nation": """
+            SELECT n.n_name AS nation,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(ROUND(o.o_totalprice * 1000000) AS BIGINT))
+                        AS BIGINT) AS total_micros
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "events_windowed": """
+            SELECT event_type,
+                   date_trunc('hour', ts) AS window_start,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT))
+                        AS BIGINT) AS sum_value_micros
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "orders_top10": """
+            SELECT o_orderkey, o_totalprice, o_orderpriority
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "extract_main_text": f"""
+            SELECT doc_id,
+                   source || ' #' || CAST(doc_id AS VARCHAR) || text
+                          || 'contact: ' AS main_text
+            FROM documents
+        """,
+        "extract_multi_encoding": f"""
+            SELECT doc_id,
+                   CASE doc_id % 4 WHEN 0 THEN 'utf-8'
+                        WHEN 1 THEN 'utf-8-bom'
+                        WHEN 2 THEN 'utf-16le'
+                        ELSE 'utf-16be' END AS encoding,
+                   {_EXTRACTED} AS extracted_text,
+                   CAST(length({_EXTRACTED}) AS BIGINT) AS n_chars_extracted,
+                   '' AS error
             FROM documents
         """,
     }

@@ -45,6 +45,8 @@ QUERY_NAMES = [
     "knn_cosine", "knn_cosine_lsh",
     "multimodal_features", "frame_offsets",
     "lang_stats", "top_sources", "events_by_type",
+    "pricing_summary", "orders_by_nation", "events_windowed",
+    "orders_top10", "extract_main_text", "extract_multi_encoding",
 ]
 
 

@@ -355,3 +355,171 @@ def frame_offsets(sf_dir: str) -> "ray.data.Dataset":
         })
 
     return ds.map_batches(counts, batch_format="pyarrow")
+
+
+# --- relational / windowed operators over the TPC-H-ish tables ----------
+# (SURVEY.md par.2.5-2.7: joins, aggregations, sorts are absent in the
+# reference; the engine provides them Ray-Data-first. Monetary sums are
+# carried as exact integer micros so results are aggregation-order
+# independent — bit-identical to the SQL oracles.)
+
+
+def _micros(col) -> pa.Array:
+    return pc.round(pc.multiply(col.cast(pa.float64()), 1_000_000.0)).cast(
+        pa.int64())
+
+
+def pricing_summary(sf_dir: str) -> pa.Table:
+    """TPC-H Q1-style pricing summary: filter at the read, per-batch
+    partial aggregation (combiner), then a tiny 4-group global groupby."""
+    import datetime
+    cutoff = datetime.datetime(1998, 9, 2)
+    li = ray.data.read_parquet(
+        str(Path(sf_dir) / "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.less_equal(batch.column("l_shipdate"),
+                          pa.scalar(cutoff, pa.timestamp("us"))))
+        disc = pc.multiply(
+            batch.column("l_extendedprice").cast(pa.float64()),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        t = pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "qty": batch.column("l_quantity").cast(pa.int64()),
+            "base_micros": _micros(batch.column("l_extendedprice")),
+            "disc_micros": pc.round(pc.multiply(disc, 1_000_000.0)).cast(
+                pa.int64()),
+        })
+        # in-batch combine: groups collapse to <=|flags x statuses| rows
+        return pa.TableGroupBy(t, ["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("base_micros", "sum"), ("disc_micros", "sum"),
+             ("qty", "count")])
+
+    agg = li.map_batches(partial, batch_format="pyarrow").groupby(
+        ["l_returnflag", "l_linestatus"]).aggregate(
+        ray.data.aggregate.Sum("qty_sum"),
+        ray.data.aggregate.Sum("base_micros_sum"),
+        ray.data.aggregate.Sum("disc_micros_sum"),
+        ray.data.aggregate.Sum("qty_count"),
+    )
+    tbl = pa.Table.from_pylist(agg.take_all())
+    return pa.table({
+        "l_returnflag": tbl.column("l_returnflag"),
+        "l_linestatus": tbl.column("l_linestatus"),
+        "sum_qty": tbl.column("sum(qty_sum)").cast(pa.int64()),
+        "sum_base_micros": tbl.column("sum(base_micros_sum)").cast(pa.int64()),
+        "sum_disc_micros": tbl.column("sum(disc_micros_sum)").cast(pa.int64()),
+        "n_rows": tbl.column("sum(qty_count)").cast(pa.int64()),
+    })
+
+
+def orders_by_nation(sf_dir: str) -> pa.Table:
+    """orders -> customer -> nation rolled up per nation name.
+
+    The small side (customer+nation lookup dicts) is broadcast ONCE via
+    ``ray.put`` and read inside map_batches — no shuffle join; the only
+    exchange is the tiny 25-group aggregate."""
+    import pyarrow.parquet as pq
+    cust = pq.read_table(str(Path(sf_dir) / "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(str(Path(sf_dir) / "nation.parquet"),
+                        columns=["n_nationkey", "n_name"])
+    cust_to_nation = dict(zip(cust.column("c_custkey").to_pylist(),
+                              cust.column("c_nationkey").to_pylist()))
+    nation_name = dict(zip(nat.column("n_nationkey").to_pylist(),
+                           nat.column("n_name").to_pylist()))
+    lookup_ref = ray.put((cust_to_nation, nation_name))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        c2n, names = ray.get(lookup_ref)
+        nations = [names[c2n[c]] for c in
+                   batch.column("o_custkey").to_pylist()]
+        return pa.table({
+            "nation": pa.array(nations, pa.string()),
+            "price_micros": _micros(batch.column("o_totalprice")),
+        })
+
+    agg = ray.data.read_parquet(
+        str(Path(sf_dir) / "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"]).map_batches(
+        attach, batch_format="pyarrow").groupby("nation").aggregate(
+        ray.data.aggregate.Count(),
+        ray.data.aggregate.Sum("price_micros"),
+    )
+    tbl = pa.Table.from_pylist(agg.take_all())
+    return pa.table({
+        "nation": tbl.column("nation"),
+        "n_orders": tbl.column("count()").cast(pa.int64()),
+        "total_micros": tbl.column("sum(price_micros)").cast(pa.int64()),
+    })
+
+
+def events_windowed(sf_dir: str) -> pa.Table:
+    """Tumbling 1-hour windows per event type (streaming-style windowed
+    aggregate expressed as window-key + groupby; SURVEY.md par.2.9)."""
+
+    def win(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "window_start": pc.floor_temporal(batch.column("ts"),
+                                              unit="hour"),
+            "value_micros": _micros(batch.column("value")),
+        })
+
+    agg = _events(sf_dir).map_batches(win, batch_format="pyarrow").groupby(
+        ["event_type", "window_start"]).aggregate(
+        ray.data.aggregate.Count(),
+        ray.data.aggregate.Sum("value_micros"),
+    )
+    tbl = pa.Table.from_pylist(agg.take_all())
+    return pa.table({
+        "event_type": tbl.column("event_type"),
+        "window_start": tbl.column("window_start"),
+        "n_events": tbl.column("count()").cast(pa.int64()),
+        "sum_value_micros": tbl.column("sum(value_micros)").cast(pa.int64()),
+    })
+
+
+def orders_top10(sf_dir: str) -> pa.Table:
+    """Global top-k via distributed sort + limit (ds.sort exercises the
+    range-partitioned shuffle; k rows leave the cluster)."""
+    ds = ray.data.read_parquet(
+        str(Path(sf_dir) / "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice", "o_orderpriority"])
+    top = ds.sort(["o_totalprice", "o_orderkey"],
+                  descending=[True, False]).limit(10)
+    tbl = pa.Table.from_pylist(top.take_all())
+    return tbl.select(["o_orderkey", "o_totalprice", "o_orderpriority"])
+
+
+# --- extraction variants ------------------------------------------------
+
+
+def extract_main_text(sf_dir: str) -> "ray.data.Dataset":
+    """Boilerplate-filtered extraction: drops text under high
+    link-density parents (nav bars, link farms). On the synthetic
+    template this removes the nav and the footer mail link."""
+    from ..stages.parse_stage import MainTextBatch
+
+    return _corpus(sf_dir).map_batches(
+        MainTextBatch, batch_format="pyarrow", batch_size=None,
+        concurrency=_Q_CONCURRENCY)
+
+
+def extract_multi_encoding(sf_dir: str) -> "ray.data.Dataset":
+    """The same corpus cycled through utf-8 / utf-8+BOM / utf-16le /
+    utf-16be page encodings (doc_id%4): the BOM-sniffing decode path
+    must produce byte-identical extracted text regardless of encoding."""
+    corpus = _documents(sf_dir).map_batches(
+        _synth.synthesize_encoded_batch, batch_format="pyarrow")
+    ex = _ep.extract_dataset(corpus, spans=False,
+                             concurrency=_Q_CONCURRENCY,
+                             passthrough=("doc_id", "encoding"))
+    return ex.map_batches(
+        lambda b: b.select(["doc_id", "encoding", "extracted_text",
+                            "n_chars_extracted", "error"]),
+        batch_format="pyarrow")

@@ -74,6 +74,39 @@ def synthesize_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+ENCODINGS = ("utf-8", "utf-8-bom", "utf-16le", "utf-16be")
+
+
+def encoding_for(doc_id: int) -> str:
+    return ENCODINGS[doc_id % 4]
+
+
+def encode_page(html_utf8: bytes, encoding: str) -> bytes:
+    """Re-encode a page the way real crawls vary: plain UTF-8, UTF-8 with
+    BOM, or BOM-prefixed UTF-16 (either endianness) — all sniffable by
+    the parser's 4-byte BOM check (SURVEY.md S1)."""
+    if encoding == "utf-8":
+        return html_utf8
+    if encoding == "utf-8-bom":
+        return b"\xef\xbb\xbf" + html_utf8
+    text = html_utf8.decode("utf-8")
+    if encoding == "utf-16le":
+        return b"\xff\xfe" + text.encode("utf-16-le")
+    return b"\xfe\xff" + text.encode("utf-16-be")
+
+
+def synthesize_encoded_batch(batch: pa.Table) -> pa.Table:
+    """Corpus rows with per-doc encoding cycled by doc_id%4."""
+    out = synthesize_batch(batch)
+    doc_ids = out.column("doc_id").to_pylist()
+    htmls = out.column("html").to_pylist()
+    encs = [encoding_for(d) for d in doc_ids]
+    html2 = [encode_page(h, e) for h, e in zip(htmls, encs)]
+    out = out.drop_columns(["html"])
+    out = out.append_column("html", pa.array(html2, pa.binary()))
+    return out.append_column("encoding", pa.array(encs, pa.string()))
+
+
 # --- bench corpus (size-skewed, deterministic) --------------------------
 
 def _size_factor(doc_id: int) -> int:

@@ -197,6 +197,35 @@ class ExtractStatsBatch(ExtractBatch):
         })
 
 
+class MainTextBatch(_BaseParseStage):
+    """Boilerplate-filtered extraction: the allowlist walk PLUS the
+    link-density parent filter (``core.extract.extract_main_text``) —
+    drops navigation bars / link farms."""
+
+    TRACK_POSITIONS = False
+
+    def __init__(self, *args, link_density_threshold: float = 0.5,
+                 id_column: str = "doc_id", **kwargs):
+        super().__init__(*args, **kwargs)
+        self.threshold = link_density_threshold
+        self.id_column = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        html = batch.column(self.html_column)
+        texts = []
+        for i in range(batch.num_rows):
+            data = html[i].as_py()
+            if data is None:
+                texts.append("")
+                continue
+            doc = self._parse_doc(data)
+            texts.append(_extract.extract_main_text(doc, self.threshold))
+        return pa.table({
+            self.id_column: batch.column(self.id_column),
+            "main_text": pa.array(texts, pa.large_string()),
+        })
+
+
 class ParseHtmlBatch(_BaseParseStage):
     """Full tree output: flat node/attr list<struct> columns per row."""
 

@@ -162,3 +162,39 @@ def test_giant_page_does_not_break_parse(ray_session):
     texts = dict(zip(tbl.column("doc_id").to_pylist(),
                      tbl.column("extracted_text").to_pylist()))
     assert texts[1] == synth.expected_extracted_text(1, big_text, "en", "src")
+
+
+def test_multi_encoding_extraction_identical(ray_session):
+    """utf-8 / utf-8+BOM / utf-16le / utf-16be pages of the same doc
+    must extract byte-identically (BOM-sniffing decode, SURVEY.md S1)."""
+    import ray
+    from tempeh_parser_ray.pipelines import queries as q
+
+    docs = pq.read_table(Path(SF_DIR) / "documents.parquet")
+    expected = {
+        d: synth.expected_extracted_text(d, t, l, s)
+        for d, t, l, s in zip(docs.column("doc_id").to_pylist(),
+                              docs.column("text").to_pylist(),
+                              docs.column("lang").to_pylist(),
+                              docs.column("source").to_pylist())}
+    tbl = _collect(q.extract_multi_encoding(SF_DIR))
+    assert tbl.num_rows == len(expected)
+    seen_encodings = set()
+    for row in tbl.to_pylist():
+        assert row["extracted_text"] == expected[row["doc_id"]], row["doc_id"]
+        assert row["error"] == ""
+        assert row["encoding"] == synth.encoding_for(row["doc_id"])
+        seen_encodings.add(row["encoding"])
+    assert seen_encodings == set(synth.ENCODINGS)
+
+
+def test_main_text_drops_nav_keeps_content(ray_session):
+    from tempeh_parser_ray.pipelines import queries as q
+
+    docs = pq.read_table(Path(SF_DIR) / "documents.parquet")
+    meta = {r["doc_id"]: r for r in docs.to_pylist()}
+    tbl = _collect(q.extract_main_text(SF_DIR))
+    for row in tbl.to_pylist():
+        d = meta[row["doc_id"]]
+        want = f"{d['source']} #{d['doc_id']}{d['text']}contact: "
+        assert row["main_text"] == want  # nav + mail link dropped
