@@ -59,6 +59,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # extraction variants
         "extract_main_text": _q.extract_main_text,
         "extract_multi_encoding": _q.extract_multi_encoding,
+        # additional training-data ops
+        "token_count_bpe": _q.token_count_bpe,
+        "dedup_embedding": _q.dedup_embedding,
+        "media_resize": _q.media_resize,
     }
 
 
@@ -269,6 +273,37 @@ def oracle_sql() -> dict[str, str]:
                    {_EXTRACTED} AS extracted_text,
                    CAST(length({_EXTRACTED}) AS BIGINT) AS n_chars_extracted,
                    '' AS error
+            FROM documents
+        """,
+        "token_count_bpe": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT)
+                       AS n_bpe_tokens
+            FROM documents
+        """,
+        "dedup_embedding": """
+            WITH emb AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000 AS vec_id, embedding
+                FROM embeddings WHERE vec_id % 10 = 0)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 4) AS cosine_sim
+            FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+            WHERE ROUND(list_cosine_similarity(
+                      CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])), 4) >= 0.8
+            ORDER BY id_a, id_b
+        """,
+        "media_resize": """
+            SELECT doc_id AS media_id,
+                   CAST(16 AS INTEGER) AS width,
+                   CAST(16 AS INTEGER) AS height,
+                   CAST(1 AS INTEGER) AS channels,
+                   CAST(256 AS BIGINT) AS n_bytes_out
             FROM documents
         """,
     }

@@ -47,6 +47,7 @@ QUERY_NAMES = [
     "lang_stats", "top_sources", "events_by_type",
     "pricing_summary", "orders_by_nation", "events_windowed",
     "orders_top10", "extract_main_text", "extract_multi_encoding",
+    "token_count_bpe", "dedup_embedding", "media_resize",
 ]
 
 

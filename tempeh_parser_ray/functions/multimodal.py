@@ -121,3 +121,42 @@ class FrameSampleBatch:
                 pa.array(offsets, pa.int32()), frame_struct),
             "n_bytes": pa.array([len(b or b"") for b in blobs], pa.int64()),
         })
+
+
+class ResizeStubBatch:
+    """Actor-pool stage: deterministic stand-in for an image resize to
+    ``(target, target)`` — downsamples the byte stream by striding so
+    output size is exactly ``target*target*channels`` bytes (zero-padded
+    when the source is smaller). The Ray-side contract (binary in,
+    fixed-size binary out + dims) matches what a real PIL/cv2 resize
+    stage would ship."""
+
+    def __init__(self, target: int = 64, channels: int = 3,
+                 media_col: str = "media", id_col: str = "media_id"):
+        self.target = target
+        self.channels = channels
+        self.media_col = media_col
+        self.id_col = id_col
+        self.out_bytes = target * target * channels
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: list[bytes] = []
+        for cell in batch.column(self.media_col).to_pylist():
+            data = cell or b""
+            if len(data) >= self.out_bytes:
+                idx = np.linspace(0, len(data) - 1, self.out_bytes,
+                                  dtype=np.int64)
+                arr = np.frombuffer(data, dtype=np.uint8)[idx]
+                out.append(arr.tobytes())
+            else:
+                out.append(data + b"\x00" * (self.out_bytes - len(data)))
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "resized": pa.array(out, pa.binary()),
+            "width": pa.array([self.target] * batch.num_rows, pa.int32()),
+            "height": pa.array([self.target] * batch.num_rows, pa.int32()),
+            "channels": pa.array([self.channels] * batch.num_rows,
+                                 pa.int32()),
+            "n_bytes_out": pa.array([self.out_bytes] * batch.num_rows,
+                                    pa.int64()),
+        })

@@ -182,3 +182,60 @@ def knn_cosine_lsh(embeddings: "ray.data.Dataset",
     candidates = bucketed.map_batches(in_probe, batch_format="pyarrow")
     return knn_cosine_brute(candidates, query_ids, k=k,
                             id_col=id_col, vec_col=vec_col)
+
+
+def embedding_near_dup_pairs(embeddings: "ray.data.Dataset",
+                             threshold: float = 0.8,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> pa.Table:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, rounded
+    cosine >= threshold).
+
+    The normalized matrix is broadcast ONCE via ``ray.put``; each batch
+    computes one (batch x all) matmul and emits only pairs above the
+    threshold — the classic small-side-broadcast all-pairs baseline. At
+    10^9-vector scale the broadcast side becomes the LSH-bucketed
+    neighborhood (see ``knn_cosine_lsh``); same output contract."""
+    tbl = pa.concat_tables(
+        tb for tb in embeddings.iter_batches(batch_format="pyarrow",
+                                             batch_size=None))
+    ids_all = np.asarray(tbl.column(id_col).to_pylist(), dtype=np.int64)
+    mat = _batch_matrix(tbl, vec_col)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    unit = mat / norms[:, None]
+    ref = ray.put((ids_all, unit))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        all_ids, all_unit = ray.get(ref)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        m = _batch_matrix(batch, vec_col)
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0] = 1.0
+        sims = (m / n[:, None]) @ all_unit.T          # (b, N)
+        sims = np.round(sims, 4)
+        bi, aj = np.nonzero(sims >= threshold)
+        out_a, out_b, out_s = [], [], []
+        for i, j in zip(bi, aj):
+            ia, ib = int(ids[i]), int(all_ids[j])
+            if ia < ib:                               # dedupe + no self
+                out_a.append(ia)
+                out_b.append(ib)
+                out_s.append(float(sims[i, j]))
+        return pa.table({
+            "id_a": pa.array(out_a, pa.int64()),
+            "id_b": pa.array(out_b, pa.int64()),
+            "cosine_sim": pa.array(out_s, pa.float64()),
+        })
+
+    schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                        ("cosine_sim", pa.float64())])
+    batches = list(embeddings.map_batches(
+        pairs, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None))
+    if not batches:
+        return schema.empty_table()
+    out = pa.concat_tables(batches)
+    import pyarrow.compute as _pc
+    return out.take(_pc.sort_indices(
+        out, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")]))

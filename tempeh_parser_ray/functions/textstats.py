@@ -144,3 +144,22 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
         "doc_id": batch.column("doc_id"),
         "lang_pred": pa.array(preds, pa.string()),
     })
+
+
+# BPE-style pretokenizer (simplified GPT-2-ish classes, RE2-compatible so
+# the DuckDB oracle can run the SAME pattern): letter runs, digit runs,
+# runs of other non-space symbols.
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+_BPE_RE = re.compile(_BPE_PATTERN)
+
+
+def token_count_regex_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> (doc_id, n_bpe_tokens) with the BPE-ish
+    pretokenizer — approximates subword token counts for budget
+    estimation without a vocab file."""
+    texts = batch.column("text").to_pylist()
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_bpe_tokens": pa.array(
+            [len(_BPE_RE.findall(t or "")) for t in texts], pa.int64()),
+    })

@@ -523,3 +523,46 @@ def extract_multi_encoding(sf_dir: str) -> "ray.data.Dataset":
         lambda b: b.select(["doc_id", "encoding", "extracted_text",
                             "n_chars_extracted", "error"]),
         batch_format="pyarrow")
+
+
+def token_count_bpe(sf_dir: str) -> "ray.data.Dataset":
+    """BPE-ish pretokenizer counts (letter/digit/symbol runs)."""
+    return _documents(sf_dir).map_batches(
+        _ts.token_count_regex_batch, batch_format="pyarrow")
+
+
+def _mutated_embeddings(sf_dir: str) -> "ray.data.Dataset":
+    """embeddings + planted duplicates: vec_id%10==0 rows cloned at
+    vec_id+100000 (exact copies -> cosine 1.0); the natural vectors are
+    near-orthogonal, so the planted pairs are the oracle workload."""
+    emb = _embeddings(sf_dir)
+
+    def clone(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(ids % 10 == 0))
+        return pa.table({
+            "vec_id": pc.add(sub.column("vec_id"), 100000),
+            "embedding": sub.column("embedding"),
+        })
+
+    return emb.select_columns(["vec_id", "embedding"]).union(
+        emb.map_batches(clone, batch_format="pyarrow"))
+
+
+def dedup_embedding(sf_dir: str) -> pa.Table:
+    """Embedding-cosine near-duplicate pairs (broadcast all-pairs
+    baseline; LSH-bucketed at scale — see functions/similarity.py)."""
+    return _sim.embedding_near_dup_pairs(_mutated_embeddings(sf_dir),
+                                         threshold=0.8)
+
+
+def media_resize(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic resize-stub plumbing over the media table."""
+    ds = _media_table(sf_dir).map_batches(
+        _mm.ResizeStubBatch, batch_format="pyarrow",
+        concurrency=_Q_CONCURRENCY,
+        fn_constructor_kwargs=dict(target=16, channels=1))
+    return ds.map_batches(
+        lambda b: b.select(["media_id", "width", "height", "channels",
+                            "n_bytes_out"]),
+        batch_format="pyarrow")
