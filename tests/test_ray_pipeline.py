@@ -198,3 +198,32 @@ def test_main_text_drops_nav_keeps_content(ray_session):
         d = meta[row["doc_id"]]
         want = f"{d['source']} #{d['doc_id']}{d['text']}contact: "
         assert row["main_text"] == want  # nav + mail link dropped
+
+
+def test_resume_cleans_crashed_shard(ray_session, tmp_path):
+    """A shard dir left by a crashed attempt (output present, no lineage
+    record) must be wiped and re-run, yielding exactly-once output."""
+    import ray
+
+    docs = pq.read_table(Path(SF_DIR) / "documents.parquet")
+    cdir = tmp_path / "corpus"
+    cdir.mkdir()
+    for i in range(2):
+        pq.write_table(synth.synthesize_batch(docs.slice(i * 100, 100)),
+                       cdir / f"part-{i}.parquet")
+    files = sorted(str(p) for p in cdir.glob("*.parquet"))
+    out = tmp_path / "out"
+
+    # simulate a crash: shard 0's dir exists with junk, no lineage
+    crashed = lineage.shard_output_dir(out, 0)
+    crashed.mkdir(parents=True)
+    pq.write_table(pa.table({"garbage": [1, 2, 3]}),
+                   crashed / "leftover.parquet")
+
+    tot = ep.run_extraction_job(files, out, shard_size=1,
+                                concurrency=(1, 2), spans=False)
+    assert tot["shards_run"] == 2 and tot["n_docs"] == 200
+    written = pq.read_table(sorted(
+        str(p) for p in out.glob("shard=*/*.parquet")))
+    assert written.num_rows == 200
+    assert "garbage" not in written.column_names
