@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_multi_encoding": _q.extract_multi_encoding,
         # additional training-data ops
         "token_count_bpe": _q.token_count_bpe,
+        "user_sessions": _q.user_sessions,
         "dedup_embedding": _q.dedup_embedding,
         "media_resize": _q.media_resize,
     }
@@ -297,6 +298,30 @@ def oracle_sql() -> dict[str, str]:
                       CAST(a.embedding AS DOUBLE[]),
                       CAST(b.embedding AS DOUBLE[])), 4) >= 0.8
             ORDER BY id_a, id_b
+        """,
+        "user_sessions": """
+            WITH marked AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w
+                                    > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            numbered AS (
+                SELECT user_id, ts,
+                       SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                FROM marked
+            )
+            SELECT user_id,
+                   CAST(sid - 1 AS BIGINT) AS session_idx,
+                   COUNT(*) AS n_events,
+                   MIN(ts) AS start_ts,
+                   MAX(ts) AS end_ts
+            FROM numbered GROUP BY user_id, sid
+            ORDER BY user_id, session_idx
         """,
         "media_resize": """
             SELECT doc_id AS media_id,

@@ -566,3 +566,66 @@ def media_resize(sf_dir: str) -> "ray.data.Dataset":
         lambda b: b.select(["media_id", "width", "height", "channels",
                             "n_bytes_out"]),
         batch_format="pyarrow")
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+def user_sessions(sf_dir: str) -> pa.Table:
+    """Sessionization: per-user event streams split at >30-min
+    inactivity gaps (classic stateful streaming op).
+
+    Shape: ONE grouped aggregate collects each user's timestamps (only
+    (user_id, ts) pairs shuffle), then session assembly is a vectorized
+    numpy diff per user over whole batches of users — the same
+    collect-then-vectorize pattern as the LSH buckets. At scale the
+    partition key is user_id; a time-sharded corpus would pre-bucket by
+    (user, day) and merge boundary sessions."""
+
+    def ts_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "ts_us": batch.column("ts").cast(pa.int64()),
+        })
+
+    def collect_ts():
+        return ray.data.aggregate.AggregateFn(
+            init=lambda k: [],
+            accumulate_row=lambda acc, row: acc + [row["ts_us"]],
+            merge=lambda a, b: a + b,
+            name="ts_list")
+
+    users = _events(sf_dir).map_batches(
+        ts_rows, batch_format="pyarrow").groupby("user_id").aggregate(
+        collect_ts())
+
+    def sessions(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        out_u, out_i, out_n, out_s, out_e = [], [], [], [], []
+        for uid, ts_list in zip(batch.column("user_id").to_pylist(),
+                                batch.column("ts_list").to_pylist()):
+            ts = np.sort(np.asarray(ts_list, dtype=np.int64))
+            # new session where the gap STRICTLY exceeds the threshold
+            brk = np.nonzero(np.diff(ts) > SESSION_GAP_US)[0] + 1
+            starts = np.concatenate(([0], brk))
+            ends = np.concatenate((brk, [len(ts)]))
+            for i, (a, b) in enumerate(zip(starts, ends)):
+                out_u.append(uid)
+                out_i.append(i)
+                out_n.append(int(b - a))
+                out_s.append(int(ts[a]))
+                out_e.append(int(ts[b - 1]))
+        return pa.table({
+            "user_id": pa.array(out_u, pa.int64()),
+            "session_idx": pa.array(out_i, pa.int64()),
+            "n_events": pa.array(out_n, pa.int64()),
+            "start_ts": pa.array(out_s, pa.int64()).cast(pa.timestamp("us")),
+            "end_ts": pa.array(out_e, pa.int64()).cast(pa.timestamp("us")),
+        })
+
+    tbl = pa.concat_tables(list(users.map_batches(
+        sessions, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    return tbl.take(pc.sort_indices(
+        tbl, sort_keys=[("user_id", "ascending"),
+                        ("session_idx", "ascending")]))
