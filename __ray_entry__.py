@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_cosine": _q.knn_cosine,
         "knn_cosine_lsh": _q.knn_cosine_lsh,
+        "knn_cosine_ivf": _q.knn_cosine_ivf,
         # multimodal plumbing
         "multimodal_features": _q.multimodal_features,
         "frame_offsets": _q.frame_offsets,

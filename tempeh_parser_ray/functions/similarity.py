@@ -239,3 +239,109 @@ def embedding_near_dup_pairs(embeddings: "ray.data.Dataset",
     import pyarrow.compute as _pc
     return out.take(_pc.sort_indices(
         out, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")]))
+
+
+# --- IVF variant (coarse-quantizer scale path) --------------------------
+
+
+def _unit_rows(mat: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(mat, axis=1)
+    n[n == 0] = 1.0
+    return mat / n[:, None]
+
+
+def train_ivf_centroids(embeddings: "ray.data.Dataset",
+                        n_clusters: int = 16, n_iters: int = 3,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic distributed spherical k-means: init = the vectors
+    with the ``n_clusters`` smallest ids; each Lloyd iteration is one
+    map_batches pass emitting per-cluster partial (sum, count) — only
+    (n_clusters x dim) floats ever reach the driver."""
+
+    def grab_init(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col).to_pylist())
+        order = np.argsort(ids)[:n_clusters]
+        return batch.take(pa.array(order))
+
+    first = pa.concat_tables(
+        tb for tb in embeddings.map_batches(
+            grab_init, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None))
+    ids = np.asarray(first.column(id_col).to_pylist())
+    init = _batch_matrix(first, vec_col)[np.argsort(ids)[:n_clusters]]
+    centroids = _unit_rows(init)
+
+    for _ in range(n_iters):
+        cref = ray.put(centroids)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            u = _unit_rows(_batch_matrix(batch, vec_col))
+            assign = np.argmax(u @ c.T, axis=1)
+            sums = np.zeros_like(c)
+            counts = np.zeros(len(c), dtype=np.int64)
+            np.add.at(sums, assign, u)
+            np.add.at(counts, assign, 1)
+            return pa.table({
+                "cluster": pa.array(np.arange(len(c)), pa.int32()),
+                "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+                "count": pa.array(counts, pa.int64()),
+            })
+
+        parts = pa.concat_tables(
+            tb for tb in embeddings.map_batches(
+                partial, batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow", batch_size=None))
+        dim = centroids.shape[1]
+        sums = np.zeros((n_clusters, dim))
+        counts = np.zeros(n_clusters, dtype=np.int64)
+        for cl, vs, ct in zip(parts.column("cluster").to_pylist(),
+                              parts.column("vsum").to_pylist(),
+                              parts.column("count").to_pylist()):
+            sums[cl] += np.asarray(vs)
+            counts[cl] += ct
+        nz = counts > 0
+        centroids[nz] = _unit_rows(sums[nz] / counts[nz, None])
+    return centroids
+
+
+def knn_cosine_ivf(embeddings: "ray.data.Dataset",
+                   query_ids: list[int], k: int = 5,
+                   n_clusters: int = 16, n_probe: int = 4,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> pa.Table:
+    """IVF approximate top-k: coarse spherical-k-means quantizer; each
+    query probes its ``n_probe`` nearest centroids and brute-forces only
+    those inverted lists. Same output schema as the exact baseline."""
+    centroids = train_ivf_centroids(embeddings, n_clusters,
+                                    id_col=id_col, vec_col=vec_col)
+    cref = ray.put(centroids)
+
+    qset = set(query_ids)
+
+    def grab(batch: pa.Table) -> pa.Table:
+        mask = pa.array([i in qset for i in batch.column(id_col).to_pylist()])
+        return batch.filter(mask)
+
+    qrows = pa.concat_tables(
+        tb for tb in embeddings.map_batches(
+            grab, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None))
+    qu = _unit_rows(_batch_matrix(qrows, vec_col))
+    probe: set[int] = set()
+    for row in qu @ centroids.T:
+        for cl in np.argsort(-row)[:n_probe]:
+            probe.add(int(cl))
+    probe_sorted = sorted(probe)
+
+    def in_lists(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        u = _unit_rows(_batch_matrix(batch, vec_col))
+        assign = np.argmax(u @ c.T, axis=1)
+        mask = np.isin(assign, probe_sorted)
+        return batch.filter(pa.array(mask))
+
+    candidates = embeddings.map_batches(in_lists, batch_format="pyarrow")
+    return knn_cosine_brute(candidates, query_ids, k=k,
+                            id_col=id_col, vec_col=vec_col)

@@ -629,3 +629,16 @@ def user_sessions(sf_dir: str) -> pa.Table:
     return tbl.take(pc.sort_indices(
         tbl, sort_keys=[("user_id", "ascending"),
                         ("session_idx", "ascending")]))
+
+
+def knn_cosine_ivf(sf_dir: str) -> pa.Table:
+    """IVF (coarse k-means quantizer) approximate kNN — the inverted-
+    list scale path alongside the LSH variant."""
+    tbl = _sim.knn_cosine_ivf(_embeddings(sf_dir), KNN_QUERY_IDS,
+                              k=KNN_K, n_clusters=16, n_probe=4)
+    return pa.table({
+        "query_id": tbl.column("query_id"),
+        "neighbor_id": tbl.column("neighbor_id"),
+        "rank": tbl.column("rank"),
+        "cosine_sim": pc.round(tbl.column("cosine_sim"), ndigits=4),
+    })

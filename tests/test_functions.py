@@ -158,3 +158,19 @@ def test_frame_sample_offsets():
     assert [(f["start"], f["end"]) for f in frames[0]] == [
         (0, 64), (64, 128), (128, 150)]
     assert frames[1] == []
+
+
+def test_knn_ivf_recall_vs_brute(ray_session):
+    """IVF kNN must reach >=60% recall@5 of the exact baseline here."""
+    ray = ray_session
+    emb = ray.data.read_parquet(str(Path(SF_DIR) / "embeddings.parquet"))
+    qids = [0, 1, 2, 3, 4]
+    exact = similarity.knn_cosine_brute(emb, qids, k=5)
+    approx = similarity.knn_cosine_ivf(emb, qids, k=5,
+                                       n_clusters=16, n_probe=4)
+    exact_set = set(zip(exact.column("query_id").to_pylist(),
+                        exact.column("neighbor_id").to_pylist()))
+    approx_set = set(zip(approx.column("query_id").to_pylist(),
+                         approx.column("neighbor_id").to_pylist()))
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
