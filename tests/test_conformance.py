@@ -171,8 +171,8 @@ def test_differential_fuzz_vs_reference():
     import shutil
     import sys
 
-    if shutil.which("node") is None or not Path("/tmp/refshim").exists():
-        pytest.skip("node or reference shim unavailable")
+    if shutil.which("node") is None:
+        pytest.skip("node unavailable")
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
     import diff_fuzz
 

@@ -81,7 +81,14 @@ def gen_doc(rng: random.Random) -> str:
     return "".join(parts)
 
 
+def ensure_shim() -> None:
+    if not (Path(SHIM_DIR) / "HTMLParser.js").exists():
+        import make_refshim
+        make_refshim.make(SHIM_DIR)
+
+
 def run_reference(cases: list[dict]) -> list[dict]:
+    ensure_shim()
     proc = subprocess.run(
         ["node", str(Path(__file__).parent / "ref_batch_parse.mjs"),
          SHIM_DIR],
