@@ -1,0 +1,48 @@
+"""Unit tests for the manifest-driven parquet corpus source."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from tempeh_parser_ray.sources import parquet_corpus as src
+
+
+def _write(tmp_path, name, n_rows, row_group_size):
+    tbl = pa.table({
+        "doc_id": pa.array(range(n_rows), pa.int64()),
+        "html": pa.array([b"<p>%d</p>" % i for i in range(n_rows)],
+                         pa.binary()),
+        "extra": pa.array(["x"] * n_rows, pa.string()),
+    })
+    pq.write_table(tbl, tmp_path / name, row_group_size=row_group_size)
+
+
+def test_manifest_row_group_granularity(tmp_path):
+    _write(tmp_path, "a.parquet", 10, 4)   # 3 row groups
+    _write(tmp_path, "b.parquet", 6, 6)    # 1 row group
+    man = src.build_manifest(str(tmp_path))
+    assert man.num_rows == 4
+    rows = sorted(zip(man.column("file").to_pylist(),
+                      man.column("row_group").to_pylist(),
+                      man.column("n_rows").to_pylist()))
+    assert [r[1] for r in rows] == [0, 1, 2, 0]
+    assert sum(r[2] for r in rows) == 16
+
+
+def test_read_corpus_parquet_prunes_and_completes(ray_session, tmp_path):
+    _write(tmp_path, "a.parquet", 10, 4)
+    _write(tmp_path, "b.parquet", 6, 6)
+    ds = src.read_corpus_parquet(str(tmp_path), columns=["doc_id", "html"])
+    tbl = pa.concat_tables(
+        list(ds.iter_batches(batch_format="pyarrow", batch_size=None)))
+    assert tbl.num_rows == 16
+    assert sorted(tbl.column_names) == ["doc_id", "html"]  # pruned
+    assert sorted(tbl.column("doc_id").to_pylist()) == sorted(
+        list(range(10)) + list(range(6)))
+
+
+def test_read_corpus_accepts_file_list(ray_session, tmp_path):
+    _write(tmp_path, "a.parquet", 5, 5)
+    ds = src.read_corpus_parquet([str(tmp_path / "a.parquet")])
+    assert ds.count() == 5
