@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # additional training-data ops
         "token_count_bpe": _q.token_count_bpe,
         "user_sessions": _q.user_sessions,
+        "sample_documents": _q.sample_documents,
         "dedup_embedding": _q.dedup_embedding,
         "media_resize": _q.media_resize,
     }
@@ -323,6 +324,10 @@ def oracle_sql() -> dict[str, str]:
                    MAX(ts) AS end_ts
             FROM numbered GROUP BY user_id, sid
             ORDER BY user_id, session_idx
+        """,
+        "sample_documents": """
+            SELECT * FROM documents
+            WHERE ((doc_id * 2654435761) % 4294967296) % 100 < 10
         """,
         "media_resize": """
             SELECT doc_id AS media_id,

@@ -48,7 +48,7 @@ QUERY_NAMES = [
     "pricing_summary", "orders_by_nation", "events_windowed",
     "orders_top10", "extract_main_text", "extract_multi_encoding",
     "token_count_bpe", "dedup_embedding", "media_resize",
-    "user_sessions", "knn_cosine_ivf",
+    "user_sessions", "knn_cosine_ivf", "sample_documents",
 ]
 
 

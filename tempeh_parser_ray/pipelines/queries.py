@@ -642,3 +642,18 @@ def knn_cosine_ivf(sf_dir: str) -> pa.Table:
         "rank": tbl.column("rank"),
         "cosine_sim": pc.round(tbl.column("cosine_sim"), ndigits=4),
     })
+
+
+def sample_documents(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic 10% sample via a multiplicative hash of doc_id —
+    reproducible across runs/cluster sizes (unlike RNG-based sampling)
+    and pushed down as a vectorized filter."""
+
+    def pick(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(1 << 32)
+        return batch.filter(pa.array((h % np.uint64(100)) < 10))
+
+    return _documents(sf_dir).map_batches(pick, batch_format="pyarrow")
