@@ -269,10 +269,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "extract_multi_encoding": f"""
             SELECT doc_id,
-                   CASE doc_id % 4 WHEN 0 THEN 'utf-8'
+                   CASE doc_id % 6 WHEN 0 THEN 'utf-8'
                         WHEN 1 THEN 'utf-8-bom'
                         WHEN 2 THEN 'utf-16le'
-                        ELSE 'utf-16be' END AS encoding,
+                        WHEN 3 THEN 'utf-16be'
+                        WHEN 4 THEN 'utf-32le'
+                        ELSE 'utf-32be' END AS encoding,
                    {_EXTRACTED} AS extracted_text,
                    CAST(length({_EXTRACTED}) AS BIGINT) AS n_chars_extracted,
                    '' AS error

@@ -74,17 +74,18 @@ def synthesize_batch(batch: pa.Table) -> pa.Table:
     })
 
 
-ENCODINGS = ("utf-8", "utf-8-bom", "utf-16le", "utf-16be")
+ENCODINGS = ("utf-8", "utf-8-bom", "utf-16le", "utf-16be",
+             "utf-32le", "utf-32be")
 
 
 def encoding_for(doc_id: int) -> str:
-    return ENCODINGS[doc_id % 4]
+    return ENCODINGS[doc_id % 6]
 
 
 def encode_page(html_utf8: bytes, encoding: str) -> bytes:
     """Re-encode a page the way real crawls vary: plain UTF-8, UTF-8 with
-    BOM, or BOM-prefixed UTF-16 (either endianness) — all sniffable by
-    the parser's 4-byte BOM check (SURVEY.md S1)."""
+    BOM, or BOM-prefixed UTF-16/UTF-32 (either endianness) — all
+    sniffable by the parser's 4-byte BOM check (SURVEY.md S1)."""
     if encoding == "utf-8":
         return html_utf8
     if encoding == "utf-8-bom":
@@ -92,11 +93,15 @@ def encode_page(html_utf8: bytes, encoding: str) -> bytes:
     text = html_utf8.decode("utf-8")
     if encoding == "utf-16le":
         return b"\xff\xfe" + text.encode("utf-16-le")
-    return b"\xfe\xff" + text.encode("utf-16-be")
+    if encoding == "utf-16be":
+        return b"\xfe\xff" + text.encode("utf-16-be")
+    if encoding == "utf-32le":
+        return b"\xff\xfe\x00\x00" + text.encode("utf-32-le")
+    return b"\x00\x00\xfe\xff" + text.encode("utf-32-be")
 
 
 def synthesize_encoded_batch(batch: pa.Table) -> pa.Table:
-    """Corpus rows with per-doc encoding cycled by doc_id%4."""
+    """Corpus rows with per-doc encoding cycled by doc_id%6."""
     out = synthesize_batch(batch)
     doc_ids = out.column("doc_id").to_pylist()
     htmls = out.column("html").to_pylist()
