@@ -177,3 +177,19 @@ def test_differential_fuzz_vs_reference():
     import diff_fuzz
 
     assert diff_fuzz.main(n_cases=300, seed=1) == 0
+
+
+def test_differential_fuzz_bytes_mode():
+    """Decode-path fuzz (BOM sniffing, all 6 encodings, invalid byte
+    sequences) vs the reference parseFile path. Inputs that crash the
+    REFERENCE itself (its stream plumbing) only require that we don't
+    crash."""
+    import shutil
+    import sys
+
+    if shutil.which("node") is None:
+        pytest.skip("node unavailable")
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import diff_fuzz
+
+    assert diff_fuzz.main_bytes(n_cases=200, seed=1) == 0

@@ -146,7 +146,89 @@ def main(n_cases: int = 500, seed: int = 1) -> int:
     return 1 if bad else 0
 
 
+
+
+# --- bytes/file-path differential fuzz (BOM sniff + decode quirks) ------
+
+
+def gen_bytes_doc(rng: random.Random) -> bytes:
+    """Random byte documents: valid docs in each supported encoding plus
+    hostile byte sequences (invalid UTF-8 leads/continuations, truncated
+    multibyte, NULs, bogus BOMs)."""
+    r = rng.randrange(10)
+    if r < 6:
+        doc = gen_doc(rng)
+        enc = rng.choice(["utf8", "utf8bom", "utf16le", "utf16be",
+                          "utf32le", "utf32be"])
+        if enc == "utf8":
+            return doc.encode("utf-8")
+        if enc == "utf8bom":
+            return b"\xef\xbb\xbf" + doc.encode("utf-8")
+        if enc == "utf16le":
+            return b"\xff\xfe" + doc.encode("utf-16-le")
+        if enc == "utf16be":
+            return b"\xfe\xff" + doc.encode("utf-16-be")
+        if enc == "utf32le":
+            return b"\xff\xfe\x00\x00" + doc.encode("utf-32-le")
+        return b"\x00\x00\xfe\xff" + doc.encode("utf-32-be")
+    if r < 8:
+        # valid prefix + hostile tail
+        base = gen_doc(rng).encode("utf-8")
+        tail = rng.choice([b"\x80\x80", b"\xf8\x01", b"\xc3", b"\xe2\x82",
+                           b"\xf0\x9f\x91", b"\x00junk", b"\xff\xff\xff"])
+        cut = rng.randrange(len(base) + 1)
+        return base[:cut] + tail + base[cut:]
+    # pure random bytes
+    return bytes(rng.randrange(256) for _ in range(rng.randrange(0, 64)))
+
+
+def main_bytes(n_cases: int = 300, seed: int = 1,
+               workdir: str = "/tmp/diff_fuzz_files") -> int:
+    import shutil
+
+    from tempeh_parser_ray.core import parser as P
+
+    rng = random.Random(seed)
+    wd = Path(workdir)
+    shutil.rmtree(wd, ignore_errors=True)
+    wd.mkdir(parents=True)
+    docs = [gen_bytes_doc(rng) for _ in range(n_cases)]
+    cases = []
+    for i, d in enumerate(docs):
+        f = wd / f"case{i:05d}.html"
+        f.write_bytes(d)
+        cases.append({"file": str(f)})
+    ref = run_reference(cases)
+    bad = crashes = 0
+    for i, (r, d) in enumerate(zip(ref, docs)):
+        if r.get("error", "").startswith("REF-CRASH"):
+            # the REFERENCE itself crashed/hung on this input (its
+            # fire-and-forget stream plumbing); our engine must simply
+            # not crash — parity is undefined there.
+            P.parse_bytes(d)
+            crashes += 1
+            continue
+        doc = P.parse_bytes(d)
+        o = ({"error": doc.error} if doc.error is not None
+             else {"nodes": P.to_nested(doc)})
+        if ("error" in r) != ("error" in o):
+            bad += 1
+            print(f"[{i}] BYTES ERROR-PRESENCE mismatch: input={d!r}"
+                  f"\n  ref={r}\n  ours={o}")
+        elif "error" not in r and r["nodes"] != o["nodes"]:
+            bad += 1
+            print(f"[{i}] BYTES TREE mismatch: input={d!r}"
+                  f"\n  ref={json.dumps(r['nodes'])[:300]}"
+                  f"\n  ours={json.dumps(o['nodes'])[:300]}")
+    shutil.rmtree(wd, ignore_errors=True)
+    print(f"bytes mode: {n_cases} cases, {bad} divergences, "
+          f"{crashes} reference-crash inputs (seed={seed})")
+    return 1 if bad else 0
+
+
 if __name__ == "__main__":
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 500
-    s = int(sys.argv[2]) if len(sys.argv) > 2 else 1
-    raise SystemExit(main(n, s))
+    args = [a for a in sys.argv[1:] if a != "--bytes"]
+    n = int(args[0]) if args else 500
+    s = int(args[1]) if len(args) > 1 else 1
+    fn = main_bytes if "--bytes" in sys.argv else main
+    raise SystemExit(fn(n, s))

@@ -3,6 +3,8 @@
 // the node trees as ASCII-escaped JSON.
 //
 // stdin:  JSON array of {input: string, options: object}
+//         or {file: path, options: object} (parseFile path: BOM sniff +
+//         encoding decode run in the reference)
 // stdout: JSON array of {nodes: [...]} | {error: string}
 //
 // Usage: node tools/ref_batch_parse.mjs <shimDir> < cases.json
@@ -15,13 +17,36 @@ let raw = "";
 for await (const chunk of process.stdin) raw += chunk;
 const cases = JSON.parse(raw);
 
+// Some hostile inputs crash the REFERENCE itself (unhandled rejection
+// from its fire-and-forget parseTemplate, e.g. double-close of the node
+// WritableStream). Record those as REF-CRASH results instead of dying —
+// the comparison layer treats them as expected divergence (our engine
+// never aborts; reference parity is undefined there).
+let asyncCrash = null;
+process.on("uncaughtException", (err) => { asyncCrash = String(err); });
+process.on("unhandledRejection", (err) => { asyncCrash = String(err); });
+
 const out = [];
-for (const { input, options } of cases) {
+for (const { input, file, options } of cases) {
   const parser = new HTMLParser(options ?? {});
+  asyncCrash = null;
   try {
-    out.push({ nodes: await parser.parseString(input).toArray() });
+    const result = file != null
+      ? parser.parseFile(file)
+      : parser.parseString(input);
+    const nodes = await Promise.race([
+      result.toArray(),
+      new Promise((_r, rej) =>
+        setTimeout(() => rej(new Error("REF-HANG")), 2000)),
+    ]);
+    out.push(asyncCrash != null
+      ? { error: "REF-CRASH: " + asyncCrash }
+      : { nodes });
   } catch (err) {
-    out.push({ error: String(err.message ?? err) });
+    const msg = String(err.message ?? err);
+    out.push(msg === "REF-HANG" || asyncCrash != null
+      ? { error: "REF-CRASH: " + (asyncCrash ?? msg) }
+      : { error: msg });
   }
 }
 process.stdout.write(
