@@ -12,10 +12,11 @@ Prints ONE JSON line:
      "queries": {name: sec, ...}, "sf": 0.1, "num_cpus": N,
      "docs_per_sec": ..., "mb_per_sec": ..., "html_mb": ...}
 
-``--scaling`` runs the headline twice in FRESH processes (num_cpus=8
-then 32) on the same materialized corpus and reports both throughputs
-plus efficiency = T32 / (4 * T8); it also refreshes the "Measured
-scaling" section of BASELINE.md.
+``--scaling`` runs the headline at two parallelism levels (default 7 and
+28 cpus, interleaved best-of-3 fresh processes) on the same materialized
+corpus and reports both throughputs plus efficiency =
+tput(4N) / (4 * tput(N)); it also refreshes the "Measured scaling"
+section of BASELINE.md.
 
 This script OWNS its Ray session (the driver contract applies only to
 ``__ray_entry__``).
