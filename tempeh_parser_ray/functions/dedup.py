@@ -202,7 +202,9 @@ def _collect_ids_agg(id_col: str):
     ``ids``)."""
     return ray.data.aggregate.AggregateFn(
         init=lambda k: [],
-        accumulate_row=lambda acc, row: acc + [row[id_col]],
+        # in-place append: `acc + [x]` copies the list per row, which is
+        # quadratic for large duplicate clusters
+        accumulate_row=lambda acc, row: (acc.append(row[id_col]) or acc),
         merge=lambda a, b: a + b,
         name="ids")
 
@@ -373,8 +375,8 @@ def simhash_candidates(ds: "ray.data.Dataset",
     def collect_rows():
         return ray.data.aggregate.AggregateFn(
             init=lambda k: [],
-            accumulate_row=lambda acc, row: acc + [[row["doc_id"],
-                                                    row["simhash"]]],
+            accumulate_row=lambda acc, row: (
+                acc.append([row["doc_id"], row["simhash"]]) or acc),
             merge=lambda a, b: a + b,
             name="rows")
 

@@ -591,7 +591,8 @@ def user_sessions(sf_dir: str) -> pa.Table:
     def collect_ts():
         return ray.data.aggregate.AggregateFn(
             init=lambda k: [],
-            accumulate_row=lambda acc, row: acc + [row["ts_us"]],
+            accumulate_row=lambda acc, row: (acc.append(row["ts_us"])
+                                             or acc),
             merge=lambda a, b: a + b,
             name="ts_list")
 
