@@ -100,3 +100,25 @@ def test_giant_page_isolated_by_rebatcher(ray_session):
         assert by_url[f"u{i}"] == len(f"doc {i}")
     errs = set(got.column("error").to_pylist())
     assert errs == {""}
+
+
+def test_large_binary_and_string_html_columns(ray_session):
+    """Corpora may carry html as large_binary or string columns; the
+    pipeline must handle both without special-casing upstream."""
+    import pyarrow as pa
+    from tempeh_parser_ray.pipelines.extract_pipeline import extract_dataset
+
+    ray = ray_session
+    for typ, mk in [(pa.large_binary(), lambda s: s.encode()),
+                    (pa.string(), lambda s: s)]:
+        tbl = pa.table({
+            "url": pa.array(["a", "b"], pa.string()),
+            "html": pa.array([mk("<p>x</p>"), mk("<main>y</main>")], typ),
+        })
+        out = extract_dataset(ray.data.from_arrow(tbl), spans=False,
+                              concurrency=(1, 2), passthrough=("url",))
+        got = pa.concat_tables(list(out.iter_batches(
+            batch_format="pyarrow", batch_size=None)))
+        texts = dict(zip(got.column("url").to_pylist(),
+                         got.column("extracted_text").to_pylist()))
+        assert texts == {"a": "x", "b": "y"}, typ
