@@ -158,7 +158,16 @@ def run_extraction_job(input_files: Sequence[str],
     shards = [files[i:i + shard_size] for i in range(0, len(files), shard_size)]
     out_dir = Path(output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    done = _lineage.completed_shards(out_dir) if resume else set()
+    done: set[int] = set()
+    if resume:
+        for sid in _lineage.completed_shards(out_dir):
+            # A lineage marker only commits THIS shard composition: if
+            # the file list or shard_size changed between runs, the
+            # record is stale and the shard re-runs.
+            rec = _lineage.read_lineage(out_dir, sid)
+            if (rec is not None and sid < len(shards)
+                    and rec.input_files == shards[sid]):
+                done.add(sid)
 
     totals = {"n_docs": 0, "n_errors": 0, "html_bytes": 0,
               "extracted_chars": 0, "wall_seconds": 0.0,

@@ -227,3 +227,28 @@ def test_resume_cleans_crashed_shard(ray_session, tmp_path):
         str(p) for p in out.glob("shard=*/*.parquet")))
     assert written.num_rows == 200
     assert "garbage" not in written.column_names
+
+
+def test_resume_invalidates_stale_lineage(ray_session, tmp_path):
+    """A lineage record from a different shard composition (shard_size
+    changed) must NOT be skipped — the shard re-runs."""
+    docs = pq.read_table(Path(SF_DIR) / "documents.parquet")
+    cdir = tmp_path / "corpus"
+    cdir.mkdir()
+    for i in range(2):
+        pq.write_table(synth.synthesize_batch(docs.slice(i * 50, 50)),
+                       cdir / f"part-{i}.parquet")
+    files = sorted(str(p) for p in cdir.glob("*.parquet"))
+    out = tmp_path / "out"
+
+    t1 = ep.run_extraction_job(files, out, shard_size=2,
+                               concurrency=(1, 2), spans=False)
+    assert t1["shards_run"] == 1 and t1["n_docs"] == 100
+    # same output dir, DIFFERENT sharding: old record must not match
+    t2 = ep.run_extraction_job(files, out, shard_size=1,
+                               concurrency=(1, 2), spans=False)
+    assert t2["shards_skipped"] == 0 and t2["n_docs"] == 100
+    # and a rerun with the same config now skips everything
+    t3 = ep.run_extraction_job(files, out, shard_size=1,
+                               concurrency=(1, 2), spans=False)
+    assert t3["shards_skipped"] == 2 and t3["shards_run"] == 0
