@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_documents": _q.sample_documents,
         "dedup_embedding": _q.dedup_embedding,
         "media_resize": _q.media_resize,
+        "audio_features": _q.audio_features,
     }
 
 
@@ -330,6 +331,13 @@ def oracle_sql() -> dict[str, str]:
         "sample_documents": """
             SELECT * FROM documents
             WHERE ((doc_id * 2654435761) % 4294967296) % 100 < 10
+        """,
+        "audio_features": """
+            SELECT doc_id AS media_id,
+                   CAST(LEAST(CEIL(octet_length(encode(text)) / 256.0), 64)
+                        AS BIGINT) AS n_windows,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+            FROM documents
         """,
         "media_resize": """
             SELECT doc_id AS media_id,

@@ -50,6 +50,7 @@ QUERY_NAMES = [
     "orders_top10", "extract_main_text", "extract_multi_encoding",
     "token_count_bpe", "dedup_embedding", "media_resize",
     "user_sessions", "knn_cosine_ivf", "sample_documents",
+    "audio_features",
 ]
 
 

@@ -160,3 +160,42 @@ class ResizeStubBatch:
             "n_bytes_out": pa.array([self.out_bytes] * batch.num_rows,
                                     pa.int64()),
         })
+
+
+class AudioFeatureStubBatch:
+    """Actor-pool stage: deterministic stand-in for audio feature
+    extraction (e.g. per-frame RMS). Frames the byte stream into
+    fixed-size windows and emits one mean-byte 'energy' per window —
+    the Ray-side contract (binary in, list<float> frame features +
+    counts out) matches a real librosa/torchaudio stage; swap the
+    window statistic for the codec call when the library exists."""
+
+    def __init__(self, window: int = 256, max_windows: int = 64,
+                 media_col: str = "media", id_col: str = "media_id"):
+        self.window = window
+        self.max_windows = max_windows
+        self.media_col = media_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats: list[list[float]] = []
+        n_windows: list[int] = []
+        n_bytes: list[int] = []
+        for cell in batch.column(self.media_col).to_pylist():
+            data = cell or b""
+            n_bytes.append(len(data))
+            arr = np.frombuffer(data, dtype=np.uint8)
+            k = min(self.max_windows,
+                    max(0, -(-len(arr) // self.window)))
+            vals = []
+            for w in range(k):
+                chunk = arr[w * self.window:(w + 1) * self.window]
+                vals.append(float(chunk.mean()) if len(chunk) else 0.0)
+            feats.append(vals)
+            n_windows.append(k)
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "frame_energy": pa.array(feats, pa.list_(pa.float64())),
+            "n_windows": pa.array(n_windows, pa.int64()),
+            "n_bytes": pa.array(n_bytes, pa.int64()),
+        })

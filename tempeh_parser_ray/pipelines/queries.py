@@ -658,3 +658,15 @@ def sample_documents(sf_dir: str) -> "ray.data.Dataset":
         return batch.filter(pa.array((h % np.uint64(100)) < 10))
 
     return _documents(sf_dir).map_batches(pick, batch_format="pyarrow")
+
+
+def audio_features(sf_dir: str) -> "ray.data.Dataset":
+    """Audio-feature stub plumbing (windowed energies) over the media
+    table; counts are SQL-checkable, energies pytest-checked."""
+    ds = _media_table(sf_dir).map_batches(
+        _mm.AudioFeatureStubBatch, batch_format="pyarrow",
+        concurrency=_Q_CONCURRENCY,
+        fn_constructor_kwargs=dict(window=256, max_windows=64))
+    return ds.map_batches(
+        lambda b: b.select(["media_id", "n_windows", "n_bytes"]),
+        batch_format="pyarrow")

@@ -174,3 +174,13 @@ def test_knn_ivf_recall_vs_brute(ray_session):
                          approx.column("neighbor_id").to_pylist()))
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.6, f"IVF recall too low: {recall}"
+
+
+def test_audio_feature_stub_windows():
+    data = bytes(range(256)) * 2 + b"\x10" * 10  # 2 full + 1 partial window
+    batch = pa.table({"media_id": pa.array([1], pa.int64()),
+                      "media": pa.array([data], pa.binary())})
+    out = multimodal.AudioFeatureStubBatch(window=256)(batch)
+    assert out.column("n_windows").to_pylist() == [3]
+    e = out.column("frame_energy").to_pylist()[0]
+    assert e[0] == e[1] == 127.5 and e[2] == 16.0
