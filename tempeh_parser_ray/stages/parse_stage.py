@@ -127,7 +127,15 @@ class ExtractBatch(_BaseParseStage):
 
         for i in range(n):
             data = html[i].as_py()
-            html_bytes.append(len(data) if data is not None else 0)
+            # str-typed html columns: count UTF-8 BYTES (not code points)
+            # so MB/s metrics and lineage stay consistent with the
+            # byte-based rebatcher (pc.binary_length) on binary columns.
+            if data is None:
+                html_bytes.append(0)
+            elif isinstance(data, str):
+                html_bytes.append(len(data.encode("utf-8")))
+            else:
+                html_bytes.append(len(data))
             if data is None:
                 doc = _parser.ParsedDoc()
             else:

@@ -127,6 +127,11 @@ def main(n_cases: int = 500, seed: int = 1) -> int:
         # The reference throws "Tempeh parsing error: ..."; we record the
         # same message in the error column. Compare trees when both
         # succeed, error presence otherwise.
+        if "error" in r and str(r["error"]).startswith("REF-CRASH"):
+            # The reference itself crashed/hung on this input (its stream
+            # plumbing double-closes on some docs); only require that OUR
+            # parser did not crash — mirror of main_bytes.
+            continue
         if ("error" in r) != ("error" in o):
             bad += 1
             print(f"[{i}] ERROR-PRESENCE mismatch\n  input={cases[i]['input']!r}"
