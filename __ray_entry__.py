@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_ivf": _q.knn_cosine_ivf,
         # multimodal plumbing
         "multimodal_features": _q.multimodal_features,
+        "image_header_dims": _q.image_header_dims,
         "frame_offsets": _q.frame_offsets,
         # relational / windowed (SURVEY.md par.2.5-2.7, par.2.9)
         "pricing_summary": _q.pricing_summary,
@@ -293,6 +294,17 @@ def oracle_sql() -> dict[str, str]:
                                  AS BIGINT), 1), 1) AS INTEGER) AS height,
                    CAST(3 AS INTEGER) AS channels,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+            FROM documents
+        """,
+        # closed form of the real PNG-header decode: the synthesized
+        # 33-byte PNG payloads carry dims as functions of doc_id
+        "image_header_dims": """
+            SELECT doc_id AS media_id,
+                   CAST(1 + doc_id % 640 AS INTEGER) AS width,
+                   CAST(1 + (doc_id * 7) % 480 AS INTEGER) AS height,
+                   CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3
+                        ELSE 4 END AS INTEGER) AS channels,
+                   CAST(33 AS BIGINT) AS n_bytes
             FROM documents
         """,
         "frame_offsets": """

@@ -44,7 +44,7 @@ QUERY_NAMES = [
     "token_count", "quality_score", "lang_id", "doc_fingerprint",
     "dedup_exact", "dedup_minhash", "dedup_simhash",
     "knn_cosine", "knn_cosine_lsh",
-    "multimodal_features", "frame_offsets",
+    "multimodal_features", "image_header_dims", "frame_offsets",
     "lang_stats", "top_sources", "events_by_type",
     "pricing_summary", "orders_by_nation", "events_windowed",
     "orders_top10", "extract_main_text", "extract_multi_encoding",

@@ -28,6 +28,52 @@ MEDIA_SCHEMA = pa.schema([
 ])
 
 
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # by PNG color type
+
+
+def parse_image_header(blob: bytes
+                       ) -> Optional[tuple[int, int, int, str]]:
+    """REAL (dependency-free) container-header decode: (width, height,
+    channels, format) for PNG / GIF / JPEG / BMP payloads, ``None`` for
+    anything else. Pure byte parsing of the published container specs —
+    no codec library needed for dimensions/metadata, which is what the
+    100 TB filtering/statistics pipelines actually consume; full pixel
+    decode still needs PIL (gated in :class:`DecodeImageBatch`)."""
+    n = len(blob)
+    if n >= 26 and blob[:8] == b"\x89PNG\r\n\x1a\n" \
+            and blob[12:16] == b"IHDR":
+        w = int.from_bytes(blob[16:20], "big")
+        h = int.from_bytes(blob[20:24], "big")
+        color_type = blob[25]
+        return w, h, _PNG_CHANNELS.get(color_type, 3), "png"
+    if n >= 10 and blob[:6] in (b"GIF87a", b"GIF89a"):
+        w = int.from_bytes(blob[6:8], "little")
+        h = int.from_bytes(blob[8:10], "little")
+        return w, h, 3, "gif"
+    if n >= 4 and blob[:2] == b"\xff\xd8":
+        # scan JPEG markers for a start-of-frame segment
+        p = 2
+        while p + 9 <= n:
+            if blob[p] != 0xFF:
+                break
+            marker = blob[p + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                p += 2
+                continue
+            seg_len = int.from_bytes(blob[p + 2:p + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h = int.from_bytes(blob[p + 5:p + 7], "big")
+                w = int.from_bytes(blob[p + 7:p + 9], "big")
+                return w, h, blob[p + 9], "jpeg"
+            p += 2 + seg_len
+        return None
+    if n >= 26 and blob[:2] == b"BM":
+        w = int.from_bytes(blob[18:22], "little", signed=True)
+        h = int.from_bytes(blob[22:26], "little", signed=True)
+        return w, abs(h), 3, "bmp"
+    return None
+
+
 class DecodeImageBatch:
     """Actor-pool stage: media binary -> (width, height, channels,
     features[16]). Real decode requires PIL (absent here -> stub)."""
@@ -63,6 +109,14 @@ class DecodeImageBatch:
                 channels.append(len(img.getbands()))
                 arr = np.asarray(img, dtype=np.float64).ravel()
                 hist, _ = np.histogram(arr, bins=16, range=(0, 255))
+            elif (hdr := parse_image_header(blob)) is not None:
+                # REAL container-header decode (PNG/GIF/JPEG/BMP dims
+                # need no codec library); byte-histogram features.
+                widths.append(hdr[0])
+                heights.append(hdr[1])
+                channels.append(hdr[2])
+                arr = np.frombuffer(blob, dtype=np.uint8)
+                hist, _ = np.histogram(arr, bins=16, range=(0, 256))
             else:
                 # STUB decode: deterministic pseudo-dimensions from the
                 # payload length; REAL byte-histogram features.

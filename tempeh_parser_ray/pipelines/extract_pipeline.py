@@ -138,10 +138,84 @@ def lang_quality_stats(extracted: "ray.data.Dataset") -> "ray.data.Dataset":
     )
 
 
+def _write_shard_batch(batch: pa.Table, *, out_root: str,
+                       label_col: str = "shard") -> pa.Table:
+    """Final pipeline stage: write each batch's rows into their shard's
+    ``shard=NNNNN/`` directory and emit ONE tiny stats row per shard
+    touched (stats ride the pipeline — no post-hoc read-back pass).
+
+    File names are keyed on a content hash of the batch's ``doc_id``
+    (or ``url``) column: the pipeline is deterministic, so a retried
+    write task OVERWRITES its own file instead of duplicating rows."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    stats_schema = pa.schema([
+        ("shard", pa.int32()), ("n_docs", pa.int64()),
+        ("n_errors", pa.int64()), ("html_bytes", pa.int64()),
+        ("extracted_chars", pa.int64()),
+    ])
+    if batch.num_rows == 0:
+        return stats_schema.empty_table()
+    shard_vals = batch.column(label_col).to_numpy(zero_copy_only=False)
+    rows = []
+    for sid in np.unique(shard_vals):
+        sub = batch.filter(pa.array(shard_vals == sid))
+        data = sub.drop_columns([label_col])
+        if "doc_id" in data.column_names:
+            key_src = data.column("doc_id").to_numpy(
+                zero_copy_only=False).tobytes()
+        elif "url" in data.column_names:
+            key_src = "".join(data.column("url").to_pylist()).encode()
+        else:
+            import uuid
+
+            key_src = uuid.uuid4().bytes
+        name = hashlib.md5(key_src).hexdigest()[:16]
+        d = Path(out_root) / f"shard={int(sid):05d}"
+        d.mkdir(parents=True, exist_ok=True)
+        pq.write_table(data, d / f"part-{name}.parquet")
+        n_err = int(pc.sum(pc.cast(
+            pc.not_equal(data.column("error"), ""), pa.int64())).as_py() or 0)
+        rows.append({
+            "shard": int(sid),
+            "n_docs": data.num_rows,
+            "n_errors": n_err,
+            "html_bytes": int(pc.sum(
+                data.column("html_bytes")).as_py() or 0),
+            "extracted_chars": int(pc.sum(
+                data.column("n_chars_extracted")).as_py() or 0),
+        })
+    return pa.Table.from_pylist(rows, schema=stats_schema)
+
+
+def _prune_stale_shards(out_dir: Path, n_shards: int) -> None:
+    """Remove shard outputs/lineage whose id is beyond the CURRENT
+    composition (input list shrank or shard_size grew between runs into
+    the same output_dir) — otherwise a consumer reading the directory
+    would silently mix stale shard data with the new run."""
+    import shutil
+
+    for p in out_dir.glob("shard=*"):
+        try:
+            sid = int(p.name.split("=")[1])
+        except (IndexError, ValueError):
+            continue
+        if sid >= n_shards and p.is_dir():
+            shutil.rmtree(p)
+    for sid in _lineage.completed_shards(out_dir):
+        if sid >= n_shards:
+            _lineage.lineage_path(out_dir, sid).unlink(missing_ok=True)
+
+
 def run_extraction_job(input_files: Sequence[str],
                        output_dir: str | Path,
                        *,
                        shard_size: int = 16,
+                       wave_size: int = 8,
                        resume: bool = True,
                        spans: bool = True,
                        concurrency: Optional[tuple[int, int]] = None,
@@ -149,15 +223,20 @@ def run_extraction_job(input_files: Sequence[str],
     """Checkpointed, resumable corpus extraction.
 
     ``input_files`` are grouped into deterministic shards of
-    ``shard_size`` files (sorted order). Each shard streams through the
-    extraction DAG into ``<out>/shard=NNNNN/`` and commits a lineage
-    sidecar; committed shards are skipped when ``resume``. Returns a
-    summary dict with per-run totals.
+    ``shard_size`` files (sorted order). Pending shards run in WAVES of
+    ``wave_size``: one Dataset (and one parser actor-pool spin-up)
+    covers the whole wave, a shard-id column routes every row to its
+    ``<out>/shard=NNNNN/`` directory inside the pipeline, and per-shard
+    stats ride along as 40-byte rows — no post-hoc read-back of the
+    output. Lineage sidecars commit per shard when the wave finishes;
+    committed shards are skipped when ``resume`` (a crash mid-wave
+    re-runs at most ``wave_size`` shards). Returns per-run totals.
     """
     files = sorted(str(f) for f in input_files)
     shards = [files[i:i + shard_size] for i in range(0, len(files), shard_size)]
     out_dir = Path(output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
+    _prune_stale_shards(out_dir, len(shards))
     done: set[int] = set()
     if resume:
         for sid in _lineage.completed_shards(out_dir):
@@ -172,71 +251,59 @@ def run_extraction_job(input_files: Sequence[str],
     totals = {"n_docs": 0, "n_errors": 0, "html_bytes": 0,
               "extracted_chars": 0, "wall_seconds": 0.0,
               "shards_run": 0, "shards_skipped": 0}
+    pending = [sid for sid in range(len(shards)) if sid not in done]
+    totals["shards_skipped"] = len(shards) - len(pending)
 
-    for shard_id, shard_files in enumerate(shards):
-        if shard_id in done:
-            totals["shards_skipped"] += 1
-            continue
-        with _lineage.ShardTimer() as timer:
-            ds = read_corpus_parquet(shard_files)
-            ex = extract_dataset(ds, spans=spans, concurrency=concurrency)
-            shard_out = _lineage.shard_output_dir(out_dir, shard_id)
-            # A shard without a lineage marker may hold output from a
-            # crashed attempt; Ray's write_parquet appends unique file
-            # names, so clear it first to keep resume idempotent.
+    for w in range(0, len(pending), max(1, wave_size)):
+        wave = pending[w:w + max(1, wave_size)]
+        # A shard without a lineage marker may hold output from a
+        # crashed attempt; content-keyed file names make re-writes
+        # idempotent, but clearing keeps foreign leftovers out too.
+        import shutil
+
+        for sid in wave:
+            shard_out = _lineage.shard_output_dir(out_dir, sid)
             if shard_out.exists():
-                import shutil
-
                 shutil.rmtree(shard_out)
-            ex.write_parquet(str(shard_out))
-            # Small post-hoc aggregate over the written shard for the
-            # lineage record (reads only the metric columns).
-            stats = ray.data.read_parquet(
-                str(shard_out),
-                columns=["html_bytes", "n_chars_extracted", "error"],
-            ).map_batches(_shard_stats, batch_format="pyarrow",
-                          batch_size=None).sum(
-                ["n_docs", "n_errors", "html_bytes", "extracted_chars"])
-        n_docs = int(stats["sum(n_docs)"])
-        n_err = int(stats["sum(n_errors)"])
-        h_bytes = int(stats["sum(html_bytes)"])
-        e_chars = int(stats["sum(extracted_chars)"])
-        record = _lineage.ShardLineage(
-            shard=shard_id,
-            input_files=shard_files,
-            n_docs=n_docs,
-            n_errors=n_err,
-            html_bytes=h_bytes,
-            extracted_chars=e_chars,
-            wall_seconds=timer.seconds,
-            docs_per_sec=n_docs / timer.seconds if timer.seconds else 0.0,
-            mb_per_sec=(h_bytes / 1e6) / timer.seconds if timer.seconds else 0.0,
-            started_unix=timer.t0,
-            finished_unix=timer.t1,
-        )
-        _lineage.write_lineage(out_dir, record)
-        totals["n_docs"] += n_docs
-        totals["n_errors"] += n_err
-        totals["html_bytes"] += h_bytes
-        totals["extracted_chars"] += e_chars
+        file_labels = {f: sid for sid in wave for f in shards[sid]}
+        with _lineage.ShardTimer() as timer:
+            ds = read_corpus_parquet(sorted(file_labels),
+                                     file_labels=file_labels)
+            ex = extract_dataset(
+                ds, spans=spans, concurrency=concurrency,
+                passthrough=_PARSE_PASSTHROUGH + ("shard",))
+            stats_rows = pa.Table.from_pylist(ex.map_batches(
+                _write_shard_batch, batch_format="pyarrow",
+                batch_size=None,
+                fn_kwargs=dict(out_root=str(out_dir))).take_all())
+        per_shard: dict[int, dict] = {
+            sid: {"n_docs": 0, "n_errors": 0, "html_bytes": 0,
+                  "extracted_chars": 0} for sid in wave}
+        for r in stats_rows.to_pylist():
+            acc = per_shard[r["shard"]]
+            for k in acc:
+                acc[k] += r[k]
+        for sid in wave:
+            acc = per_shard[sid]
+            record = _lineage.ShardLineage(
+                shard=sid,
+                input_files=shards[sid],
+                n_docs=acc["n_docs"],
+                n_errors=acc["n_errors"],
+                html_bytes=acc["html_bytes"],
+                extracted_chars=acc["extracted_chars"],
+                wall_seconds=timer.seconds,
+                docs_per_sec=(acc["n_docs"] / timer.seconds
+                              if timer.seconds else 0.0),
+                mb_per_sec=((acc["html_bytes"] / 1e6) / timer.seconds
+                            if timer.seconds else 0.0),
+                started_unix=timer.t0,
+                finished_unix=timer.t1,
+                extra={"wave": wave, "wave_seconds": timer.seconds},
+            )
+            _lineage.write_lineage(out_dir, record)
+            for k in acc:
+                totals[k] += acc[k]
         totals["wall_seconds"] += timer.seconds
-        totals["shards_run"] += 1
+        totals["shards_run"] += len(wave)
     return totals
-
-
-def _shard_stats(batch: pa.Table) -> pa.Table:
-    import pyarrow.compute as pc
-
-    n = batch.num_rows
-    n_err = int(pc.sum(
-        pc.cast(pc.not_equal(batch.column("error"), ""), pa.int64())
-    ).as_py() or 0)
-    return pa.table({
-        "n_docs": pa.array([n], pa.int64()),
-        "n_errors": pa.array([n_err], pa.int64()),
-        "html_bytes": pa.array(
-            [int(pc.sum(batch.column("html_bytes")).as_py() or 0)], pa.int64()),
-        "extracted_chars": pa.array(
-            [int(pc.sum(batch.column("n_chars_extracted")).as_py() or 0)],
-            pa.int64()),
-    })

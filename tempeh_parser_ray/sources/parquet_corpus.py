@@ -75,10 +75,17 @@ def build_manifest(paths: Sequence[str] | str,
 
 class _ReadRowGroups:
     """Stateless reader UDF (plain function semantics; class only to
-    carry the column list without a closure capture per task)."""
+    carry the column list / file labels without a closure capture per
+    task). ``file_labels`` attaches a constant int column per source
+    file (e.g. the shard id) so downstream stages can route output
+    without a join."""
 
-    def __init__(self, columns: Optional[list[str]]):
+    def __init__(self, columns: Optional[list[str]],
+                 file_labels: Optional[dict[str, int]] = None,
+                 label_column: str = "shard"):
         self.columns = columns
+        self.file_labels = file_labels
+        self.label_column = label_column
 
     def __call__(self, batch: pa.Table) -> Iterator[pa.Table]:
         by_file: dict[str, list[int]] = {}
@@ -88,16 +95,23 @@ class _ReadRowGroups:
         for f, rgs in by_file.items():
             pf = pq.ParquetFile(f)
             try:
-                yield pf.read_row_groups(rgs, columns=self.columns,
+                tbl = pf.read_row_groups(rgs, columns=self.columns,
                                          use_threads=False)
             finally:
                 pf.close()
+            if self.file_labels is not None:
+                lab = pa.array([self.file_labels[f]] * tbl.num_rows,
+                               pa.int32())
+                tbl = tbl.append_column(self.label_column, lab)
+            yield tbl
 
 
 def read_corpus_parquet(paths: Sequence[str] | str,
                         *,
                         columns: Optional[Sequence[str]] = None,
                         row_groups_per_block: int = 1,
+                        file_labels: Optional[dict[str, int]] = None,
+                        label_column: str = "shard",
                         ) -> "ray.data.Dataset":
     """Drop-in for ``ray.data.read_parquet`` on html-corpus tables."""
     manifest = build_manifest(paths)
@@ -110,6 +124,6 @@ def read_corpus_parquet(paths: Sequence[str] | str,
     n_blocks = max(1, -(-manifest.num_rows // row_groups_per_block))
     return (ray.data.from_arrow(manifest)
             .repartition(n_blocks)
-            .map_batches(_ReadRowGroups(cols),
+            .map_batches(_ReadRowGroups(cols, file_labels, label_column),
                          batch_format="pyarrow",
                          batch_size=row_groups_per_block))

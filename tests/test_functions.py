@@ -184,3 +184,52 @@ def test_audio_feature_stub_windows():
     assert out.column("n_windows").to_pylist() == [3]
     e = out.column("frame_energy").to_pylist()[0]
     assert e[0] == e[1] == 127.5 and e[2] == 16.0
+
+
+def test_image_header_parse_real_formats():
+    """The dependency-free container-header decode returns TRUE dims for
+    PNG / GIF / JPEG / BMP payloads (no codec library involved)."""
+    import struct
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II5B", 640, 480, 8, 6, 0, 0, 0)
+           + b"\x00\x00\x00\x00")
+    assert multimodal.parse_image_header(png) == (640, 480, 4, "png")
+
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little")
+    assert multimodal.parse_image_header(gif) == (320, 200, 3, "gif")
+
+    # JPEG: SOI, APP0 segment, SOF0 with h=123 w=456, 3 components
+    jpeg = (b"\xff\xd8"
+            + b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00"
+            + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", 123, 456) + b"\x03" + b"\x00" * 2)
+    assert multimodal.parse_image_header(jpeg) == (456, 123, 3, "jpeg")
+
+    bmp = (b"BM" + b"\x00" * 16
+           + (800).to_bytes(4, "little") + (600).to_bytes(4, "little"))
+    assert multimodal.parse_image_header(bmp) == (800, 600, 3, "bmp")
+
+    assert multimodal.parse_image_header(b"") is None
+    assert multimodal.parse_image_header(b"plain text payload") is None
+    assert multimodal.parse_image_header(b"\x89PNG\r\n\x1a\nshort") is None
+
+
+def test_decode_image_batch_uses_header_dims():
+    """DecodeImageBatch prefers the real header decode over the
+    byte-length stub when the payload is a recognized container."""
+    import struct
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II5B", 17, 29, 8, 2, 0, 0, 0)
+           + b"\x00\x00\x00\x00")
+    batch = pa.table({
+        "media_id": pa.array([1, 2], pa.int64()),
+        "media": pa.array([png, b"not an image"], pa.binary()),
+    })
+    out = multimodal.DecodeImageBatch(strict=False)(batch)
+    rows = {r["media_id"]: r for r in out.to_pylist()}
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["channels"]) \
+        == (17, 29, 3)
+    # non-image payload falls back to the documented stub dims
+    assert rows[2]["width"] == int(len(b"not an image") ** 0.5)

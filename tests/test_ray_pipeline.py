@@ -229,6 +229,57 @@ def test_resume_cleans_crashed_shard(ray_session, tmp_path):
     assert "garbage" not in written.column_names
 
 
+def test_shrunken_input_prunes_stale_shards(ray_session, tmp_path):
+    """If the input file list shrinks between runs into the same
+    output_dir, shard dirs/lineage beyond the new composition must be
+    pruned — a consumer reading the output dir must never mix stale
+    shard data into the new run."""
+    docs = pq.read_table(Path(SF_DIR) / "documents.parquet")
+    cdir = tmp_path / "corpus"
+    cdir.mkdir()
+    for i in range(3):
+        pq.write_table(synth.synthesize_batch(docs.slice(i * 50, 50)),
+                       cdir / f"part-{i}.parquet")
+    files = sorted(str(p) for p in cdir.glob("*.parquet"))
+    out = tmp_path / "out"
+
+    t1 = ep.run_extraction_job(files, out, shard_size=1,
+                               concurrency=(1, 2), spans=False)
+    assert t1["shards_run"] == 3 and t1["n_docs"] == 150
+
+    # drop the last input file: composition shrinks to 2 shards
+    t2 = ep.run_extraction_job(files[:2], out, shard_size=1,
+                               concurrency=(1, 2), spans=False)
+    assert t2["shards_skipped"] == 2 and t2["shards_run"] == 0
+    assert not lineage.shard_output_dir(out, 2).exists()
+    assert lineage.read_lineage(out, 2) is None
+    total = pq.read_table(sorted(
+        str(p) for p in out.glob("shard=*/*.parquet"))).num_rows
+    assert total == 100  # stale shard rows are gone from the output dir
+
+
+def test_wave_pipelined_job_multiwave(ray_session, tmp_path):
+    """wave_size < n_shards: multiple waves, per-shard lineage still
+    commits with exact counts and the output partitions stay disjoint."""
+    docs = pq.read_table(Path(SF_DIR) / "documents.parquet")
+    cdir = tmp_path / "corpus"
+    cdir.mkdir()
+    for i in range(4):
+        pq.write_table(synth.synthesize_batch(docs.slice(i * 40, 40)),
+                       cdir / f"part-{i}.parquet")
+    files = sorted(str(p) for p in cdir.glob("*.parquet"))
+    out = tmp_path / "out"
+    tot = ep.run_extraction_job(files, out, shard_size=1, wave_size=2,
+                                concurrency=(1, 2), spans=False)
+    assert tot["shards_run"] == 4 and tot["n_docs"] == 160
+    for sid in range(4):
+        rec = lineage.read_lineage(out, sid)
+        assert rec is not None and rec.n_docs == 40
+        assert rec.input_files == [files[sid]]
+        got = pq.read_table(out / f"shard={sid:05d}").num_rows
+        assert got == 40
+
+
 def test_resume_invalidates_stale_lineage(ray_session, tmp_path):
     """A lineage record from a different shard composition (shard_size
     changed) must NOT be skipped — the shard re-runs."""
