@@ -635,17 +635,9 @@ def user_sessions(sf_dir: str) -> "ray.data.Dataset":
             "ts_us": batch.column("ts").cast(pa.int64()),
         })
 
-    def collect_ts():
-        return ray.data.aggregate.AggregateFn(
-            init=lambda k: [],
-            accumulate_row=lambda acc, row: (acc.append(row["ts_us"])
-                                             or acc),
-            merge=lambda a, b: a + b,
-            name="ts_list")
-
     users = _events(sf_dir).map_batches(
         ts_rows, batch_format="pyarrow").groupby("user_id").aggregate(
-        collect_ts())
+        _dedup.collect_columns_agg(["ts_us"], "ts_list"))
 
     def sessions(batch: pa.Table) -> pa.Table:
         import numpy as np
