@@ -358,7 +358,12 @@ def verify_pairs_jaccard(pairs: "ray.data.Dataset",
     The Jaccard is a sorted-array intersection over 64-bit shingle
     hashes — exact string-shingle Jaccard up to ~1e-13/pair collision
     odds (so values are emitted UNROUNDED; they equal the closed-form
-    SQL value bit-for-bit)."""
+    SQL value bit-for-bit).
+
+    ``pairs`` is consumed twice (id gather, then verification), so it is
+    materialized once up front — it is the SMALL side by contract
+    (candidate pairs, not corpus)."""
+    pairs = pairs.materialize()
     cand_ids = collect_candidate_ids(pairs)
     ids_ref = ray.put(cand_ids)
 
@@ -415,7 +420,7 @@ def verify_pairs_jaccard(pairs: "ray.data.Dataset",
             return out.filter(pa.array([s >= threshold for s in sims]))
 
     return pairs.map_batches(Verify, batch_format="pyarrow",
-                             concurrency=(1, 4))
+                             concurrency=(1, 8))
 
 
 # --- SimHash ------------------------------------------------------------

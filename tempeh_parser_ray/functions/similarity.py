@@ -188,7 +188,7 @@ def embedding_near_dup_pairs(embeddings: "ray.data.Dataset",
                              threshold: float = 0.8,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",
-                             n_bits: int = 8,
+                             n_bits: int = 10,
                              n_tables: int = 8) -> pa.Table:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, rounded
     cosine >= threshold) — LSH-bucketed end to end; the full embedding
@@ -199,15 +199,14 @@ def embedding_near_dup_pairs(embeddings: "ray.data.Dataset",
     2. candidate pairs come from ONE grouped aggregate over tiny
        ``(table, code, id)`` rows — exact duplicates share every code,
        so recall is 1.0 for identical vectors and
-       ``1-(1-p^n_bits)^n_tables`` for near ones (0.99 at cos 0.95 with
-       the 8x8 default); size ``n_bits ~ log2(N / target_bucket)`` so
+       ``1-(1-p^n_bits)^n_tables`` for near ones (0.97 at cos 0.95 with
+       the 10x8 default); size ``n_bits ~ log2(N / target_bucket)`` so
        per-bucket pair counts stay bounded as N grows;
     3. candidate pairs are verified by a distributed semi-join: only the
        candidate-doc VECTOR subset (bounded by candidate count) is
        broadcast, and per-pair cosines are a vectorized gather+einsum
        over the pair Dataset."""
-    from .dedup import _collect_ids_agg, _distinct_pairs, \
-        collect_candidate_ids
+    from .dedup import _collect_ids_agg, collect_candidate_ids
 
     first = embeddings.take(1)
     if not first:
@@ -250,8 +249,14 @@ def embedding_near_dup_pairs(embeddings: "ray.data.Dataset",
         return pa.table({"id_a": pa.array(out_a, pa.int64()),
                          "id_b": pa.array(out_b, pa.int64())})
 
-    pairs = _distinct_pairs(
-        buckets.map_batches(bucket_pairs, batch_format="pyarrow"))
+    # pairs are consumed twice (id gather + verification): materialize
+    # the SMALL side once so the bucketing pipeline runs exactly once.
+    # Cross-table duplicate pairs are NOT shuffled away here — verifying
+    # a duplicate costs one vectorized dot, far less than an extra
+    # all-to-all over every candidate pair; the tiny surviving table is
+    # deduped at the end instead.
+    pairs = buckets.map_batches(
+        bucket_pairs, batch_format="pyarrow").materialize()
 
     # semi-join fetch: only candidate-doc vectors are collected/broadcast
     cand_ids = collect_candidate_ids(pairs)
@@ -297,8 +302,12 @@ def embedding_near_dup_pairs(embeddings: "ray.data.Dataset",
     if not batches:
         return out_schema.empty_table()
     out = pa.concat_tables(batches)
-    return out.take(pc.sort_indices(
-        out, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")]))
+    # drop cross-table duplicate pairs (identical verified values) and
+    # order deterministically — the surviving table is the small side
+    df = out.to_pandas().drop_duplicates(["id_a", "id_b"])
+    df = df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False,
+                                schema=out_schema)
 
 
 # --- IVF variant (coarse-quantizer scale path) --------------------------

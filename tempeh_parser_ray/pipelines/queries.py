@@ -27,8 +27,9 @@ from ..sources import synthetic as _synth
 from ..sources.fixtures import fixture_corpus_table
 from . import extract_pipeline as _ep
 
-# modest pools for correctness-scale runs (sf<=0.01, ~500-row tables)
-_Q_CONCURRENCY = (1, 4)
+# autoscaling pools: 1 actor suffices at correctness scale (sf<=0.01,
+# ~500-row tables); sf0.1 bench runs grow toward the cap
+_Q_CONCURRENCY = (1, 8)
 
 
 def _documents(sf_dir: str) -> "ray.data.Dataset":
@@ -223,7 +224,9 @@ def _mutated_corpus(sf_dir: str) -> "ray.data.Dataset":
         })
 
     clones = docs.map_batches(mutate, batch_format="pyarrow")
-    return docs.union(clones)
+    # the raw read yields only a handful of blocks; re-split so the
+    # downstream shingle/minhash actor pools see enough tasks to scale
+    return docs.union(clones).repartition(32)
 
 
 def dedup_minhash(sf_dir: str) -> pa.Table:
