@@ -37,7 +37,11 @@ def _documents(sf_dir: str) -> "ray.data.Dataset":
 
 
 def _embeddings(sf_dir: str) -> "ray.data.Dataset":
-    return ray.data.read_parquet(str(Path(sf_dir) / "embeddings.parquet"))
+    # the table reads as ~1 block; re-split so matmul/bucketing stages
+    # parallelize (results are partition-invariant: partial top-k is
+    # exact with id tie-breaks, pair sims are per-row dots)
+    return ray.data.read_parquet(
+        str(Path(sf_dir) / "embeddings.parquet")).repartition(16)
 
 
 def _events(sf_dir: str) -> "ray.data.Dataset":
