@@ -54,3 +54,22 @@ class HTMLParser:
         if doc.error is not None:
             raise ValueError(doc.error)
         return _parser.to_nested(doc)
+
+    def iter_nodes(self, source: str | bytes):
+        """Streamed per-node consumption (reference async iteration /
+        ``childStream``, ``src/HTMLParser.js:24-67``): a generator
+        yielding each root node's completed nested subtree as soon as
+        it closes — consumers can recursively walk a yielded subtree
+        before later siblings are parsed. Raises ``ValueError`` with
+        the reference-exact message on a parse error (the iterator
+        rejects, matching the reference; completed roots are yielded
+        first)."""
+        from . import lexer as _lexer
+
+        tokens = (_lexer.tokenize_bytes(source,
+                                        self.options.ignore_self_closing_syntax)
+                  if isinstance(source, bytes)
+                  else _lexer.tokenize_str(
+                      source, self.options.ignore_self_closing_syntax))
+        return _parser.iter_root_nodes(tokens,
+                                       self.options.tag_name_casing)

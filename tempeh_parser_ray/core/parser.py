@@ -195,6 +195,126 @@ def parse_tokens(tokens: list[Token], tag_name_casing: str = "lower") -> ParsedD
     return doc
 
 
+def iter_root_nodes(tokens: list[Token], tag_name_casing: str = "lower"):
+    """Streamed per-node consumption — the engine's equivalent of the
+    reference's async iteration / ``childStream`` recursion
+    (``src/HTMLParser.js:24-67``, README.md:203-224): yields each ROOT
+    node's completed nested subtree (same JSON shape as ``to_nested``)
+    as soon as its closing tag resolves, holding only the open-element
+    path and the current subtree — consumers can recursively walk a
+    yielded subtree before later siblings are parsed. The distributed
+    equivalent in the Ray engine is block-level pipelining (SURVEY.md
+    §2.9); this is the single-document surface.
+
+    Error semantics mirror the reference's iterator, which REJECTS the
+    pending step: roots completed before the error are yielded, then
+    ``ValueError`` is raised with the reference-exact message (the
+    batch ``parse_tokens`` path instead records ``error`` and keeps
+    parsed nodes — SURVEY.md P5 web-scale tolerance).
+
+    Equivalence with the batch builder is pinned by a differential
+    test: ``list(iter_root_nodes(toks))`` must equal
+    ``to_nested(parse_tokens(toks))`` on every non-error document."""
+
+    def _attach(node: dict[str, Any],
+                stack: list[tuple[dict[str, Any], str]]):
+        if stack:
+            stack[-1][0].setdefault("children", []).append(node)
+            return None
+        return node  # completed root (non-element or yielded later)
+
+    stack: list[tuple[dict[str, Any], str]] = []
+    root_open: Optional[dict[str, Any]] = None  # stack[0]'s node
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        tt = t[0]
+        if tt == TEXT_CONTENT:
+            if t[1]:
+                done = _attach({"textContent": t[1], "l": t[2], "c": t[3]},
+                               stack)
+                if done is not None:
+                    yield done
+        elif tt == OPENING_TAGNAME:
+            tag = _case(t[1], tag_name_casing)
+            pending_attrs: list[list[Any]] = []
+            i += 1
+            while i < n:
+                t2 = tokens[i]
+                t2t = t2[0]
+                if t2t == ATTRIBUTE_NAME:
+                    pending_attrs.append([t2[1], "", t2[2], t2[3]])
+                elif t2t == ATTRIBUTE_VALUE:
+                    if pending_attrs:
+                        pending_attrs[-1][1] = t2[1]
+                    else:
+                        raise ValueError(
+                            "Tempeh parsing error: Encountered unexpected "
+                            f"attribute value {t2[1]} at {t2[2]}:{t2[3]}")
+                elif t2t in (SELF_CLOSING_TAG_END, OPENING_TAG_END):
+                    node: dict[str, Any] = {"tagName": tag,
+                                            "c": t[3], "l": t[2]}
+                    if pending_attrs:
+                        node["attributes"] = [
+                            {"name": a, "l": al, "c": ac, "value": v}
+                            for a, v, al, ac in pending_attrs]
+                    done = _attach(node, stack)
+                    if t2t == OPENING_TAG_END:
+                        stack.append((node, tag))
+                        if done is not None:
+                            root_open = node
+                    elif done is not None:
+                        yield done
+                    break
+                elif t2t == EOF:
+                    # element dropped (parseTemplate.js:154-155); the
+                    # still-open root subtree is complete as-parsed
+                    if root_open is not None:
+                        yield root_open
+                    return
+                elif t2t == ERROR:
+                    raise ValueError(
+                        f"Tempeh parsing error: {t[1]} at {t[2]}:{t[3]}")
+                else:
+                    name = TOKEN_TYPE_NAMES.get(t2t, f"UNKNOWN:{t2t}")
+                    raise ValueError(
+                        "Tempeh parsing error: Encountered unexpected "
+                        f"token type {name} at {t2[2]}:{t2[3]}")
+                i += 1
+        elif tt == CLOSING_TAGNAME:
+            tag = _case(t[1], tag_name_casing)
+            for d in range(len(stack) - 1, -1, -1):
+                if stack[d][1] == tag:
+                    del stack[d:]
+                    if d == 0 and root_open is not None:
+                        yield root_open  # root subtree now complete
+                        root_open = None
+                    break
+        elif tt == DOCTYPE_DECLARATION:
+            done = _attach({"doctypeDeclaration": t[1],
+                            "l": t[2], "c": t[3]}, stack)
+            if done is not None:
+                yield done
+        elif tt == COMMENT:
+            done = _attach({"comment": t[1], "l": t[2], "c": t[3]}, stack)
+            if done is not None:
+                yield done
+        elif tt == EOF:
+            break
+        elif tt == ERROR:
+            raise ValueError(
+                f"Tempeh parsing error: {t[1]} at {t[2]}:{t[3]}")
+        else:
+            name = TOKEN_TYPE_NAMES.get(tt, f"UNKNOWN:{tt}")
+            raise ValueError(
+                "Tempeh parsing error: Encountered unexpected token type "
+                f"{name} at {t[2]}:{t[3]}")
+        i += 1
+    if root_open is not None:
+        yield root_open  # EOF with unclosed root element
+
+
 def parse_bytes(data: bytes, tag_name_casing: str = "lower",
                 ignore_self_closing: bool = False,
                 track_positions: bool = True) -> ParsedDoc:

@@ -193,3 +193,87 @@ def test_differential_fuzz_bytes_mode():
     import diff_fuzz
 
     assert diff_fuzz.main_bytes(n_cases=200, seed=1) == 0
+
+
+# --- streamed per-node iteration (reference childStream equivalent) -----
+
+
+def _stream_tokens(src, opts=None):
+    from tempeh_parser_ray.core import lexer
+    if isinstance(src, bytes):
+        return lexer.tokenize_bytes(src, (opts or {}).get("isc", False))
+    return lexer.tokenize_str(src, (opts or {}).get("isc", False))
+
+
+def test_iter_root_nodes_matches_batch_builder_on_fixtures():
+    """list(iter_root_nodes(toks)) must equal to_nested(parse_tokens(toks))
+    for every fixture at every casing — the streaming iterator and the
+    batch tree builder are differentially pinned to each other (and the
+    batch builder to the reference goldens)."""
+    from tempeh_parser_ray.core import parser as P
+    from tempeh_parser_ray.sources.fixtures import fixture_corpus_table
+
+    tbl = fixture_corpus_table()
+    for i in range(tbl.num_rows):
+        html = tbl.column("html")[i].as_py()
+        for casing in ("lower", "upper", "preserve"):
+            toks = _stream_tokens(html)
+            doc = P.parse_tokens(toks, casing)
+            assert doc.error is None
+            assert list(P.iter_root_nodes(toks, casing)) == P.to_nested(doc)
+
+
+def test_iter_root_nodes_matches_batch_builder_fuzz():
+    """300 seeded adversarial documents: equivalence on success, exact
+    error-message parity (iterator raises; batch records) on failure."""
+    import random
+    import sys
+    from pathlib import Path as _P
+
+    sys.path.insert(0, str(_P(__file__).resolve().parent.parent / "tools"))
+    from diff_fuzz import gen_doc
+
+    from tempeh_parser_ray.core import parser as P
+
+    rng = random.Random(99)
+    cases: list = [gen_doc(rng) for _ in range(300)]
+    # hostile BYTES inputs pin the error path: the iterator must raise
+    # with the reference-exact message the batch builder records
+    cases += [b"<a>text\x80more", b"<a \xf8>", b"plain \xffjunk",
+              b"<a><b>x\x80"]
+    n_err = 0
+    for doc_src in cases:
+        casing = rng.choice(["lower", "upper", "preserve"])
+        toks = _stream_tokens(doc_src)
+        doc = P.parse_tokens(toks, casing)
+        if doc.error is None:
+            assert list(P.iter_root_nodes(toks, casing)) == P.to_nested(doc)
+        else:
+            n_err += 1
+            try:
+                got = list(P.iter_root_nodes(toks, casing))
+            except ValueError as e:
+                assert str(e) == doc.error
+                continue
+            raise AssertionError(
+                f"iterator did not raise for {doc.error!r}; got {got!r}")
+    assert n_err >= 4  # the corpus must exercise the error path
+
+
+def test_iter_nodes_is_incremental():
+    """The first completed root is available BEFORE later siblings are
+    parsed/consumed — true streaming, not parse-then-iterate."""
+    from tempeh_parser_ray.core.api import HTMLParser
+
+    it = HTMLParser().iter_nodes("<a>x</a><b>y</b><c>z</c>")
+    first = next(it)
+    assert first["tagName"] == "a"
+    assert first["children"][0]["textContent"] == "x"
+    rest = list(it)
+    assert [r["tagName"] for r in rest] == ["b", "c"]
+
+    # unclosed root element at EOF is yielded as-parsed
+    it2 = HTMLParser().iter_nodes(b"<ul><li>one")
+    roots = list(it2)
+    assert len(roots) == 1 and roots[0]["tagName"] == "ul"
+    assert roots[0]["children"][0]["tagName"] == "li"
