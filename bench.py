@@ -237,8 +237,14 @@ def _record_scaling(out: dict, lo: int, hi: int) -> None:
         return
     marker = "## Measured scaling"
     text = path.read_text()
+    tail = ""
     if marker in text:
-        text = text[:text.index(marker)].rstrip() + "\n"
+        head, rest = text.split(marker, 1)
+        # preserve any sections AFTER the measured-scaling block
+        nxt = rest.find("\n## ")
+        if nxt != -1:
+            tail = rest[nxt + 1:]
+        text = head.rstrip() + "\n"
     s = out["scaling"]
     text += f"""
 {marker}
@@ -254,6 +260,8 @@ processes — the sandbox stand-in for N-node vs 4N-node clusters.
 
 Scaling efficiency ({lo}->{hi} cpus): **{s['efficiency']}** (criterion: >= 0.8).
 """
+    if tail:
+        text += "\n" + tail
     path.write_text(text)
 
 

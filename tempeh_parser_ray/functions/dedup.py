@@ -13,10 +13,10 @@ Data primitives only. Partitioning notes (100 TB design):
   uniformly distributed by construction.
 * **SimHash**: near-dup banding over 16-bit chunks of a 64-bit simhash;
   same shuffle shape as LSH.
-* **n-gram Jaccard**: exact verification of LSH candidate pairs; the
-  docs needed for verification are fetched via a broadcast dict at test
-  scale — at production scale this becomes a hash-join of the candidate
-  pair list against the corpus (documented, same operator shape).
+* **n-gram Jaccard**: exact verification of LSH candidate pairs via a
+  distributed semi-join — candidate IDS are gathered from the small pair
+  side, the corpus is filtered+shingled distributedly, and only the
+  candidate-doc shingle subset is broadcast to the verify actor pool.
 
 Determinism: all hashing is seeded from fixed constants (no RNG state).
 """
@@ -74,7 +74,6 @@ def exact_dedup(ds: "ray.data.Dataset", key: str = "text",
 
 # --- shingles + MinHash -------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
 _MAX_HASH = (1 << 32) - 1
 
 
@@ -107,8 +106,9 @@ def _shingle_hashes64(text: str, k: int) -> np.ndarray:
 
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """32-bit shingle hashes (the MinHash input domain: ``a*h+b`` needs
-    h < 2^32 for an exact universal hash below the Mersenne prime)."""
+    """32-bit shingle hashes — the compact MinHash input domain (the
+    keyed splitmix64 permutations operate on any uint64, but 32 bits
+    keep signature entropy while halving the per-doc working set)."""
     h = _shingle_hashes64(text, k)
     if h.size == 0:
         return h
