@@ -303,3 +303,26 @@ def test_resume_invalidates_stale_lineage(ray_session, tmp_path):
     t3 = ep.run_extraction_job(files, out, shard_size=1,
                                concurrency=(1, 2), spans=False)
     assert t3["shards_skipped"] == 2 and t3["shards_run"] == 0
+
+
+def test_shard_writer_retry_is_idempotent(tmp_path):
+    """Content-hash file naming: re-running the same batch through the
+    writer (as a retried Ray write task would) overwrites its own file
+    instead of appending a duplicate."""
+    batch = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "shard": pa.array([0, 0, 1], pa.int32()),
+        "extracted_text": pa.array(["a", "b", "c"], pa.large_string()),
+        "n_chars_extracted": pa.array([1, 1, 1], pa.int64()),
+        "html_bytes": pa.array([10, 20, 30], pa.int64()),
+        "error": pa.array(["", "", ""], pa.string()),
+    })
+    stats1 = ep._write_shard_batch(batch, out_root=str(tmp_path))
+    files1 = sorted(str(p) for p in tmp_path.glob("shard=*/*.parquet"))
+    stats2 = ep._write_shard_batch(batch, out_root=str(tmp_path))
+    files2 = sorted(str(p) for p in tmp_path.glob("shard=*/*.parquet"))
+    assert files1 == files2 and len(files1) == 2  # one per shard, no dups
+    assert stats1.to_pylist() == stats2.to_pylist()
+    total = sum(pq.read_table(f).num_rows for f in files1)
+    assert total == 3
+    assert "shard" not in pq.read_table(files1[0]).column_names
