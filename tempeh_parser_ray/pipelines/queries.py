@@ -27,9 +27,14 @@ from ..sources import synthetic as _synth
 from ..sources.fixtures import fixture_corpus_table
 from . import extract_pipeline as _ep
 
-# autoscaling pools: 1 actor suffices at correctness scale (sf<=0.01,
-# ~500-row tables); sf0.1 bench runs grow toward the cap
-_Q_CONCURRENCY = (1, 8)
+def _q_pool() -> int:
+    """FIXED actor-pool size for catalog-query stages, sized to the
+    CURRENT cluster: cpus//4 capped at 8, floor 2. Fixed beats the
+    (min,max) autoscaler ~2x here (it adds ~1 actor/1.3 s and plateaus
+    below max); sizing from ``cluster_resources`` keeps small test
+    sessions (4 cpus) from requesting more actors than can schedule."""
+    n = int(ray.cluster_resources().get("CPU", 8))
+    return max(2, min(8, n // 4))
 
 
 def _documents(sf_dir: str) -> "ray.data.Dataset":
@@ -60,7 +65,7 @@ def extract_text(sf_dir: str) -> "ray.data.Dataset":
     """Synthesized CC-style corpus -> fused parse+extract (the flagship
     pipeline; E1 in SURVEY.md par.3)."""
     ex = _ep.extract_dataset(_corpus(sf_dir), spans=False,
-                             concurrency=_Q_CONCURRENCY,
+                             concurrency=_q_pool(),
                              passthrough=("doc_id",))
     return ex.map_batches(
         lambda b: b.select(["doc_id", "extracted_text", "n_chars_extracted",
@@ -72,7 +77,7 @@ def extract_lang_stats(sf_dir: str) -> pa.Table:
     """Per-language extraction-quality stats (groupby over the
     extraction output; SURVEY.md par.2.6)."""
     ex = _ep.extract_dataset(_corpus(sf_dir), spans=False,
-                             concurrency=_Q_CONCURRENCY,
+                             concurrency=_q_pool(),
                              passthrough=("doc_id", "lang"))
     agg = ex.groupby("lang").aggregate(
         ray.data.aggregate.Count(),
@@ -90,7 +95,7 @@ def parse_trees(sf_dir: str) -> "ray.data.Dataset":
     """Tree-building pipeline (ParseHtmlBatch) over the synthesized
     corpus; per-doc node/attr counts."""
     parsed = _ep.parse_dataset(_corpus(sf_dir),
-                               concurrency=_Q_CONCURRENCY,
+                               concurrency=_q_pool(),
                                passthrough=("doc_id",))
 
     def counts(batch: pa.Table) -> pa.Table:
@@ -245,7 +250,7 @@ def dedup_minhash(sf_dir: str) -> pa.Table:
     corpus = _mutated_corpus(sf_dir)
     cands = _dedup.minhash_lsh_candidates(
         corpus, num_perm=64, bands=16, shingle_k=5,
-        concurrency=_Q_CONCURRENCY)
+        concurrency=_q_pool())
     verified = _dedup.verify_pairs_jaccard(cands, corpus, threshold=0.8)
     tbl = pa.Table.from_pylist(verified.take_all())
     if tbl.num_rows == 0:
@@ -283,7 +288,7 @@ def ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
     corpus = _mutated_corpus(sf_dir)
     cands = _dedup.minhash_lsh_candidates(
         corpus, num_perm=64, bands=16, shingle_k=5,
-        concurrency=_Q_CONCURRENCY)
+        concurrency=_q_pool())
     verified = _dedup.verify_pairs_jaccard(
         cands, corpus, threshold=NGRAM_JACCARD_THRESHOLD)
     tbl = pa.Table.from_pylist(verified.take_all())
@@ -346,7 +351,7 @@ def _media_table(sf_dir: str) -> "ray.data.Dataset":
 def multimodal_features(sf_dir: str) -> "ray.data.Dataset":
     ds = _media_table(sf_dir).map_batches(
         _mm.DecodeImageBatch, batch_format="pyarrow",
-        concurrency=_Q_CONCURRENCY,
+        concurrency=_q_pool(),
         fn_constructor_kwargs=dict(strict=False))
     return ds.map_batches(
         lambda b: b.select(["media_id", "width", "height", "channels",
@@ -383,7 +388,7 @@ def image_header_dims(sf_dir: str) -> "ray.data.Dataset":
     ds = _documents(sf_dir).map_batches(
         _png_blob_batch, batch_format="pyarrow").map_batches(
         _mm.DecodeImageBatch, batch_format="pyarrow",
-        concurrency=_Q_CONCURRENCY,
+        concurrency=_q_pool(),
         fn_constructor_kwargs=dict(strict=False))
     return ds.map_batches(
         lambda b: b.select(["media_id", "width", "height", "channels",
@@ -394,7 +399,7 @@ def image_header_dims(sf_dir: str) -> "ray.data.Dataset":
 def frame_offsets(sf_dir: str) -> "ray.data.Dataset":
     ds = _media_table(sf_dir).map_batches(
         _mm.FrameSampleBatch, batch_format="pyarrow",
-        concurrency=_Q_CONCURRENCY,
+        concurrency=_q_pool(),
         fn_constructor_kwargs=dict(stride=64, max_frames=8))
 
     def counts(batch: pa.Table) -> pa.Table:
@@ -558,7 +563,7 @@ def extract_main_text(sf_dir: str) -> "ray.data.Dataset":
 
     return _corpus(sf_dir).map_batches(
         MainTextBatch, batch_format="pyarrow", batch_size=None,
-        concurrency=_Q_CONCURRENCY)
+        concurrency=_q_pool())
 
 
 def extract_multi_encoding(sf_dir: str) -> "ray.data.Dataset":
@@ -569,7 +574,7 @@ def extract_multi_encoding(sf_dir: str) -> "ray.data.Dataset":
     corpus = _documents(sf_dir).map_batches(
         _synth.synthesize_encoded_batch, batch_format="pyarrow")
     ex = _ep.extract_dataset(corpus, spans=False,
-                             concurrency=_Q_CONCURRENCY,
+                             concurrency=_q_pool(),
                              passthrough=("doc_id", "encoding"))
     return ex.map_batches(
         lambda b: b.select(["doc_id", "encoding", "extracted_text",
@@ -612,7 +617,7 @@ def media_resize(sf_dir: str) -> "ray.data.Dataset":
     """Deterministic resize-stub plumbing over the media table."""
     ds = _media_table(sf_dir).map_batches(
         _mm.ResizeStubBatch, batch_format="pyarrow",
-        concurrency=_Q_CONCURRENCY,
+        concurrency=_q_pool(),
         fn_constructor_kwargs=dict(target=16, channels=1))
     return ds.map_batches(
         lambda b: b.select(["media_id", "width", "height", "channels",
@@ -708,7 +713,7 @@ def audio_features(sf_dir: str) -> "ray.data.Dataset":
     table; counts are SQL-checkable, energies pytest-checked."""
     ds = _media_table(sf_dir).map_batches(
         _mm.AudioFeatureStubBatch, batch_format="pyarrow",
-        concurrency=_Q_CONCURRENCY,
+        concurrency=_q_pool(),
         fn_constructor_kwargs=dict(window=256, max_windows=64))
     return ds.map_batches(
         lambda b: b.select(["media_id", "n_windows", "n_bytes"]),
