@@ -63,6 +63,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_multi_encoding": _q.extract_multi_encoding,
         # additional training-data ops
         "token_count_bpe": _q.token_count_bpe,
+        "term_doc_freq": _q.term_doc_freq,
+        "orders_mktsegment": _q.orders_mktsegment,
+        "top_doc_per_lang": _q.top_doc_per_lang,
         "user_sessions": _q.user_sessions,
         "sample_documents": _q.sample_documents,
         "dedup_embedding": _q.dedup_embedding,
@@ -368,6 +371,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length({_EXTRACTED}) AS BIGINT) AS n_chars_extracted,
                    '' AS error
             FROM documents
+        """,
+        "term_doc_freq": r"""
+            WITH toks AS (
+                SELECT DISTINCT doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS token
+                FROM documents WHERE trim(text) <> '')
+            SELECT token, COUNT(*) AS df FROM toks GROUP BY token
+            ORDER BY df DESC, token ASC LIMIT 20
+        """,
+        "orders_mktsegment": """
+            SELECT c.c_mktsegment AS mktsegment,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(ROUND(o.o_totalprice * 1000000) AS BIGINT))
+                        AS BIGINT) AS total_micros
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "top_doc_per_lang": """
+            SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+            FROM documents
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY lang
+                                       ORDER BY n_chars DESC, doc_id) = 1
+            ORDER BY lang
         """,
         "token_count_bpe": r"""
             SELECT doc_id,

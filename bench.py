@@ -48,7 +48,8 @@ QUERY_NAMES = [
     "lang_stats", "top_sources", "events_by_type",
     "pricing_summary", "orders_by_nation", "events_windowed",
     "orders_top10", "extract_main_text", "extract_multi_encoding",
-    "token_count_bpe", "dedup_embedding", "media_resize",
+    "token_count_bpe", "term_doc_freq", "orders_mktsegment",
+    "top_doc_per_lang", "dedup_embedding", "media_resize",
     "user_sessions", "knn_cosine_ivf", "sample_documents",
     "audio_features",
 ]

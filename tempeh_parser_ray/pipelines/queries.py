@@ -708,6 +708,97 @@ def sample_documents(sf_dir: str) -> "ray.data.Dataset":
     return _documents(sf_dir).map_batches(pick, batch_format="pyarrow")
 
 
+def term_doc_freq(sf_dir: str) -> pa.Table:
+    """Corpus-level inverted term statistics (the vocabulary /
+    TF-IDF-document-frequency building block): tokens are DEDUPED PER
+    DOC map-side (so only distinct (doc, token) evidence shuffles),
+    then ONE groupby(token) count. Top 20 by df desc, token asc."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out: list[str] = []
+        for t in batch.column("text").to_pylist():
+            out.extend(set((t or "").split()))
+        return pa.table({"token": pa.array(out, pa.string())})
+
+    agg = _documents(sf_dir).map_batches(
+        explode, batch_format="pyarrow").groupby("token").aggregate(
+        ray.data.aggregate.Count())
+    tbl = pa.Table.from_pylist(agg.take_all())
+    tbl = pa.table({
+        "token": tbl.column("token"),
+        "df": tbl.column("count()").cast(pa.int64()),
+    })
+    idx = pc.sort_indices(tbl, sort_keys=[("df", "descending"),
+                                          ("token", "ascending")])
+    return tbl.take(idx[:20])
+
+
+def orders_mktsegment(sf_dir: str) -> pa.Table:
+    """Large-side shuffle HASH JOIN (``Dataset.join``) — the
+    counterpart of the broadcast lookup in ``orders_by_nation`` for
+    when the build side is too big to broadcast: orders x customer on
+    custkey, rolled up per market segment in exact integer micros."""
+    orders = ray.data.read_parquet(
+        str(Path(sf_dir) / "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"])
+    cust = ray.data.read_parquet(
+        str(Path(sf_dir) / "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"])
+    joined = orders.join(cust, join_type="inner", num_partitions=16,
+                         on=("o_custkey",), right_on=("c_custkey",))
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "mktsegment": batch.column("c_mktsegment"),
+            "price_micros": _micros(batch.column("o_totalprice")),
+        })
+
+    agg = joined.map_batches(proj, batch_format="pyarrow").groupby(
+        "mktsegment").aggregate(
+        ray.data.aggregate.Count(),
+        ray.data.aggregate.Sum("price_micros"),
+    )
+    tbl = pa.Table.from_pylist(agg.take_all())
+    return pa.table({
+        "mktsegment": tbl.column("mktsegment"),
+        "n_orders": tbl.column("count()").cast(pa.int64()),
+        "total_micros": tbl.column("sum(price_micros)").cast(pa.int64()),
+    })
+
+
+def _lang_winners(tbl: pa.Table) -> pa.Table:
+    """First row per lang after a (lang asc, n_chars desc, doc_id asc)
+    sort — vectorized group-wise argmax."""
+    import numpy as np
+
+    idx = pc.sort_indices(tbl, sort_keys=[
+        ("lang", "ascending"), ("n_chars", "descending"),
+        ("doc_id", "ascending")])
+    t2 = tbl.take(idx)
+    langs = np.asarray(t2.column("lang").to_pylist(), dtype=object)
+    first = np.ones(len(langs), dtype=bool)
+    first[1:] = langs[1:] != langs[:-1]
+    return t2.filter(pa.array(first))
+
+
+def top_doc_per_lang(sf_dir: str) -> pa.Table:
+    """Group-wise argmax (longest doc per language, ties to the lowest
+    doc_id) with a MAP-SIDE COMBINER: each batch emits at most one
+    winner row per lang, so only |langs| x n_blocks tiny rows leave the
+    workers; the exact final reduce runs over that partial set."""
+    def partial(batch: pa.Table) -> pa.Table:
+        return _lang_winners(batch.select(["lang", "doc_id", "n_chars"]))
+
+    parts = list(_documents(sf_dir).map_batches(
+        partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None))
+    if not parts:
+        return pa.schema([("lang", pa.string()), ("doc_id", pa.int64()),
+                          ("n_chars", pa.int64())]).empty_table()
+    return _lang_winners(pa.concat_tables(parts)).select(
+        ["lang", "doc_id", "n_chars"])
+
+
 def audio_features(sf_dir: str) -> "ray.data.Dataset":
     """Audio-feature stub plumbing (windowed energies) over the media
     table; counts are SQL-checkable, energies pytest-checked."""
