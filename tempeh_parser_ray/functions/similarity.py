@@ -156,16 +156,20 @@ def knn_cosine_lsh(embeddings: "ray.data.Dataset",
         mask = pa.array([i in qset for i in batch.column(id_col).to_pylist()])
         return batch.filter(mask)
 
+    # Query codes are computed LOCALLY from the grabbed query vectors
+    # with the same fixed planes — one cheap scan of the raw embeddings
+    # instead of a second full bucketing pass over the whole table.
     qrows = pa.concat_tables(
-        tb for tb in bucketed.map_batches(
+        tb for tb in embeddings.map_batches(
             grab, batch_format="pyarrow").iter_batches(
                 batch_format="pyarrow", batch_size=None))
+    qcodes = _codes(_batch_matrix(qrows, vec_col), planes)  # (Q, L)
     # Per-table probe sets: query code plus Hamming-1 neighbors. Tiny
     # (Q * L * (n_bits+1) ints) — shipped in the task closure.
     probes: list[pa.Array] = []
     for t in range(n_tables):
         pset: set[int] = set()
-        for code in qrows.column(f"bucket_{t}").to_pylist():
+        for code in qcodes[:, t].tolist():
             pset.add(code)
             for b in range(n_bits):
                 pset.add(code ^ (1 << b))
