@@ -71,6 +71,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": _q.dedup_embedding,
         "media_resize": _q.media_resize,
         "audio_features": _q.audio_features,
+        # temporal joins / windows (custom operators, pipelines/windows.py)
+        "events_asof_join": _q.events_asof_join,
+        "events_sliding_3h": _q.events_sliding_3h,
+        # sketches / summaries (functions/sketches.py)
+        "doc_length_percentiles": _q.doc_length_percentiles,
+        "approx_distinct_tokens_hll": _q.approx_distinct_tokens_hll,
+        # additional relational / text ops
+        "customers_no_urgent_orders": _q.customers_no_urgent_orders,
+        "bigram_counts": _q.bigram_counts,
+        "distinct_tokens_per_lang": _q.distinct_tokens_per_lang,
+        "top3_docs_per_lang": _q.top3_docs_per_lang,
+        "label_stats": _q.label_stats,
     }
 
 
@@ -460,5 +472,87 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS INTEGER) AS channels,
                    CAST(256 AS BIGINT) AS n_bytes_out
             FROM documents
+        """,
+        "events_asof_join": """
+            WITH p AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+            c AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click'),
+            j AS (
+                SELECT p.event_id, p.user_id, p.ts,
+                       c.event_id AS prior_event_id, c.ts AS prior_ts,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY p.event_id
+                           ORDER BY c.ts DESC NULLS LAST,
+                                    c.event_id DESC) AS rn
+                FROM p LEFT JOIN c
+                  ON p.user_id = c.user_id AND c.ts <= p.ts
+            )
+            SELECT event_id, user_id, ts, prior_event_id, prior_ts
+            FROM j WHERE rn = 1
+        """,
+        "events_sliding_3h": """
+            WITH hourly AS (
+                SELECT event_type, date_trunc('hour', ts) AS window_start,
+                       COUNT(*) AS n,
+                       SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS s
+                FROM events GROUP BY 1, 2)
+            SELECT event_type, window_start,
+                   CAST(SUM(n) OVER w AS BIGINT) AS n_events_3h,
+                   CAST(SUM(s) OVER w AS BIGINT) AS sum_value_micros_3h
+            FROM hourly
+            WINDOW w AS (PARTITION BY event_type ORDER BY window_start
+                         RANGE BETWEEN INTERVAL 2 HOURS PRECEDING
+                               AND CURRENT ROW)
+        """,
+        "doc_length_percentiles": """
+            SELECT lang,
+                   CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50,
+                   CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90,
+                   CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "customers_no_urgent_orders": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_orderpriority = '1-URGENT')
+            ORDER BY c_custkey
+        """,
+        "bigram_counts": r"""
+            WITH toks AS (
+                SELECT string_split_regex(trim(text), '\s+') AS t
+                FROM documents WHERE trim(text) <> ''),
+            b AS (
+                SELECT unnest([t[i] || ' ' || t[i+1]
+                               for i in range(1, len(t))]) AS bigram
+                FROM toks WHERE len(t) >= 2)
+            SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
+            ORDER BY n DESC, bigram ASC LIMIT 20
+        """,
+        "distinct_tokens_per_lang": r"""
+            SELECT lang,
+                   CAST(COUNT(DISTINCT token) AS BIGINT)
+                       AS n_distinct_tokens
+            FROM (SELECT lang,
+                         unnest(string_split_regex(trim(text), '\s+'))
+                             AS token
+                  FROM documents WHERE trim(text) <> '')
+            GROUP BY lang ORDER BY lang
+        """,
+        "top3_docs_per_lang": """
+            SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(ROW_NUMBER() OVER (
+                        PARTITION BY lang
+                        ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+            FROM documents
+            QUALIFY rank <= 3
+            ORDER BY lang, rank
+        """,
+        "label_stats": """
+            SELECT label, COUNT(*) AS n_vecs,
+                   CAST(SUM(CAST(ROUND(CAST(embedding[1] AS DOUBLE)
+                                       * 1000000) AS BIGINT)) AS BIGINT)
+                       AS sum_e0_micros
+            FROM embeddings GROUP BY label ORDER BY label
         """,
     }

@@ -51,7 +51,10 @@ QUERY_NAMES = [
     "token_count_bpe", "term_doc_freq", "orders_mktsegment",
     "top_doc_per_lang", "dedup_embedding", "media_resize",
     "user_sessions", "knn_cosine_ivf", "sample_documents",
-    "audio_features",
+    "audio_features", "events_asof_join", "events_sliding_3h",
+    "doc_length_percentiles", "approx_distinct_tokens_hll",
+    "customers_no_urgent_orders", "bigram_counts",
+    "distinct_tokens_per_lang", "top3_docs_per_lang", "label_stats",
 ]
 
 

@@ -1,0 +1,193 @@
+"""Sketch / summary operators: exact distributed quantiles via value
+histograms, and HyperLogLog approximate distinct counts.
+
+Scale notes (100 TB design):
+
+* **Histogram quantiles**: the only exchange is a
+  ``groupby(group, value)`` over PRE-COMBINED per-batch value counts —
+  rows shuffled are bounded by ``|groups| x |distinct values|`` per
+  block, not by row count. The final quantile extraction runs over the
+  per-group distinct-value histogram (bounded by the value domain, e.g.
+  document lengths), never the raw rows. For unbounded/continuous
+  domains, bucket the value first (``value // resolution``) — same
+  machinery, bounded error.
+* **HyperLogLog**: per-batch register partials (4 KiB per group at
+  p=12) merge with an elementwise max — a pure grouped aggregate; no
+  token ever shuffles twice and the driver sees ``|groups|`` register
+  arrays. This is THE distinct-count path at 10^12 tokens (the exact
+  ``groupby(token)`` path materializes the vocabulary).
+
+Determinism: hashing is md5-based (seedless, stable across processes);
+no RNG anywhere.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+# --- exact grouped quantiles via value-count histograms -----------------
+
+
+def grouped_value_counts(ds: "ray.data.Dataset", group_col: str,
+                         value_col: str) -> "ray.data.Dataset":
+    """Distributed ``(group, value) -> count`` histogram with a
+    map-side combiner (per-batch ``TableGroupBy`` collapse)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([group_col, value_col])
+        return pa.TableGroupBy(t, [group_col, value_col]).aggregate(
+            [([], "count_all")]).rename_columns(
+            [group_col, value_col, "n"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return parts.groupby([group_col, value_col]).aggregate(
+        ray.data.aggregate.Sum("n"))
+
+
+def quantile_disc_from_hist(values: np.ndarray, counts: np.ndarray,
+                            qs: Sequence[float]) -> list[int]:
+    """Exact discrete quantiles from a sorted value histogram, matching
+    DuckDB ``quantile_disc``: the element at sorted index
+    ``max(ceil(q*n) - 1, 0)``."""
+    order = np.argsort(values, kind="stable")
+    values, counts = values[order], counts[order]
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+    out = []
+    for q in qs:
+        idx = max(math.ceil(q * n) - 1, 0)
+        pos = int(np.searchsorted(cum, idx, side="right"))
+        out.append(int(values[pos]))
+    return out
+
+
+def grouped_quantiles(ds: "ray.data.Dataset", group_col: str,
+                      value_col: str, qs: Sequence[float],
+                      q_names: Sequence[str]) -> pa.Table:
+    """Exact per-group discrete quantiles of an integer column.
+
+    Only the pre-combined histogram shuffles; the quantile extraction
+    reads the per-group distinct-value histogram (bounded by the value
+    domain, NOT the row count)."""
+    hist = grouped_value_counts(ds, group_col, value_col)
+    tbl = pa.concat_tables(list(hist.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    groups = tbl.column(group_col).to_pylist()
+    vals = np.asarray(tbl.column(value_col).to_pylist(), dtype=np.int64)
+    cnts = np.asarray(tbl.column("sum(n)").to_pylist(), dtype=np.int64)
+    out_g: list = []
+    out_q: list[list[int]] = [[] for _ in qs]
+    for g in sorted(set(groups)):
+        mask = np.asarray([x == g for x in groups])
+        qvals = quantile_disc_from_hist(vals[mask], cnts[mask], qs)
+        out_g.append(g)
+        for i, v in enumerate(qvals):
+            out_q[i].append(v)
+    cols: dict[str, pa.Array] = {group_col: pa.array(out_g)}
+    for name, col in zip(q_names, out_q):
+        cols[name] = pa.array(col, pa.int64())
+    return pa.table(cols)
+
+
+# --- HyperLogLog --------------------------------------------------------
+
+HLL_P = 12  # 4096 registers; relative error ~1.04/sqrt(4096) = 1.6%
+_HLL_M = 1 << HLL_P
+
+
+def _hll_registers(tokens: set[str]) -> np.ndarray:
+    """Register array for a set of tokens (md5-hashed -> 64-bit)."""
+    regs = np.zeros(_HLL_M, dtype=np.uint8)
+    shift = 64 - HLL_P
+    mask = (1 << shift) - 1
+    for t in tokens:
+        h = int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8],
+                           "little")
+        idx = h >> shift
+        w = h & mask
+        rank = shift - w.bit_length() + 1
+        if rank > regs[idx]:
+            regs[idx] = rank
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimator with the small-range linear-counting
+    correction (no large-range correction needed at 64-bit hashes)."""
+    m = float(_HLL_M)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / float(np.sum(np.exp2(-regs.astype(np.float64))))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros > 0:
+        est = m * math.log(m / zeros)
+    return est
+
+
+def hll_merge_agg(reg_col: str = "regs", name: str = "regs"):
+    """Grouped aggregate: elementwise max over binary register rows."""
+    from ray.data.block import BlockAccessor
+
+    def acc_block(acc: np.ndarray | None, block) -> np.ndarray:
+        t = BlockAccessor.for_block(block).to_arrow()
+        for buf in t.column(reg_col).to_pylist():
+            r = np.frombuffer(buf, dtype=np.uint8)
+            acc = r.copy() if acc is None else np.maximum(acc, r)
+        return acc
+
+    def merge(a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return np.maximum(a, b)
+
+    return ray.data.aggregate.AggregateFn(
+        init=lambda k: None,
+        accumulate_block=acc_block,
+        merge=merge,
+        finalize=lambda a: (a if a is not None
+                            else np.zeros(_HLL_M, np.uint8)).tobytes(),
+        name=name)
+
+
+def grouped_hll_distinct(ds: "ray.data.Dataset", group_col: str,
+                         text_col: str) -> pa.Table:
+    """Approximate distinct-token count per group.
+
+    Per-batch partial: one register array per group present in the
+    batch (tokens deduped in-batch first). Exchange: 4 KiB register
+    rows, merged by a pure grouped max-aggregate."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        per_group: dict = {}
+        for g, t in zip(batch.column(group_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            per_group.setdefault(g, set()).update((t or "").split())
+        groups = sorted(per_group)
+        return pa.table({
+            group_col: pa.array(groups),
+            "regs": pa.array([_hll_registers(per_group[g]).tobytes()
+                              for g in groups], pa.binary()),
+        })
+
+    merged = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        group_col).aggregate(hll_merge_agg("regs", "regs"))
+    tbl = pa.concat_tables(list(merged.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    ests = [int(round(hll_estimate(np.frombuffer(b, dtype=np.uint8))))
+            for b in tbl.column("regs").to_pylist()]
+    out = pa.table({
+        group_col: tbl.column(group_col),
+        "n_distinct_est": pa.array(ests, pa.int64()),
+    })
+    idx = pa.compute.sort_indices(out, sort_keys=[(group_col, "ascending")])
+    return out.take(idx)

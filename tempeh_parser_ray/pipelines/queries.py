@@ -22,10 +22,12 @@ import ray.data
 from ..functions import dedup as _dedup
 from ..functions import multimodal as _mm
 from ..functions import similarity as _sim
+from ..functions import sketches as _sk
 from ..functions import textstats as _ts
 from ..sources import synthetic as _synth
 from ..sources.fixtures import fixture_corpus_table
 from . import extract_pipeline as _ep
+from . import windows as _win
 
 def _q_pool() -> int:
     """FIXED actor-pool size for catalog-query stages, sized to the
@@ -797,6 +799,182 @@ def top_doc_per_lang(sf_dir: str) -> pa.Table:
                           ("n_chars", pa.int64())]).empty_table()
     return _lang_winners(pa.concat_tables(parts)).select(
         ["lang", "doc_id", "n_chars"])
+
+
+def events_asof_join(sf_dir: str) -> "ray.data.Dataset":
+    """As-of join: each purchase event paired with the user's most
+    recent click at-or-before it (nulls when none) — the custom
+    temporal-join operator from the builder brief, expressed as one
+    grouped collect + vectorized searchsorted (pipelines/windows.py)."""
+    return _win.asof_last_event(_events(sf_dir), left_type="purchase",
+                                right_type="click")
+
+
+def events_sliding_3h(sf_dir: str) -> pa.Table:
+    """Sliding 3-hour windowed totals per event type (RANGE window over
+    the hourly pre-aggregate)."""
+    return _win.sliding_hourly(_events(sf_dir), window_hours=3)
+
+
+def doc_length_percentiles(sf_dir: str) -> pa.Table:
+    """Exact per-language length percentiles via a distributed
+    value-count histogram (only pre-combined (lang, n_chars, count)
+    rows shuffle; the quantile extraction reads the bounded per-group
+    histogram, matching DuckDB quantile_disc)."""
+    return _sk.grouped_quantiles(_documents(sf_dir), "lang", "n_chars",
+                                 [0.5, 0.9, 0.99], ["p50", "p90", "p99"])
+
+
+def customers_no_urgent_orders(sf_dir: str) -> "ray.data.Dataset":
+    """ANTI join: customers that never placed a 1-URGENT order, via a
+    distributed ``left_anti`` hash join of customer against the
+    distinct urgent-order custkeys (filter pushed to the read; the
+    distinct pass is a keys-only groupby, so only pre-deduped keys
+    shuffle)."""
+    cust = ray.data.read_parquet(
+        str(Path(sf_dir) / "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_mktsegment"])
+    okeys = ray.data.read_parquet(
+        str(Path(sf_dir) / "orders.parquet"),
+        columns=["o_custkey", "o_orderpriority"]).filter(
+        expr="o_orderpriority == '1-URGENT'").select_columns(
+        ["o_custkey"]).groupby("o_custkey").count().drop_columns(
+        ["count()"])
+    return cust.join(okeys, join_type="left_anti", num_partitions=8,
+                     on=("c_custkey",), right_on=("o_custkey",))
+
+
+def bigram_counts(sf_dir: str) -> pa.Table:
+    """Top-20 whitespace-token bigrams: per-batch Counter partials (the
+    map-side combiner bounds shuffle rows by the bigram vocabulary per
+    block), one groupby(bigram) sum, top-k on the driver."""
+    from collections import Counter
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            toks = (t or "").split()
+            c.update(map(" ".join, zip(toks, toks[1:])))
+        return pa.table({
+            "bigram": pa.array(list(c.keys()), pa.string()),
+            "n": pa.array(list(c.values()), pa.int64()),
+        })
+
+    agg = _documents(sf_dir).map_batches(
+        partial, batch_format="pyarrow").groupby("bigram").aggregate(
+        ray.data.aggregate.Sum("n"))
+    tbl = pa.Table.from_pylist(agg.take_all())
+    tbl = pa.table({
+        "bigram": tbl.column("bigram"),
+        "n": tbl.column("sum(n)").cast(pa.int64()),
+    })
+    idx = pc.sort_indices(tbl, sort_keys=[("n", "descending"),
+                                          ("bigram", "ascending")])
+    return tbl.take(idx[:20])
+
+
+def distinct_tokens_per_lang(sf_dir: str) -> pa.Table:
+    """EXACT distinct-token count per language: per-doc in-batch token
+    dedupe, one groupby(lang, token) to global-dedupe, then a tiny
+    per-lang count of the distinct pairs."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        langs: list[str] = []
+        toks: list[str] = []
+        for lang, t in zip(batch.column("lang").to_pylist(),
+                           batch.column("text").to_pylist()):
+            for tok in set((t or "").split()):
+                langs.append(lang)
+                toks.append(tok)
+        return pa.table({"lang": pa.array(langs, pa.string()),
+                         "token": pa.array(toks, pa.string())})
+
+    pairs = _documents(sf_dir).map_batches(
+        explode, batch_format="pyarrow").groupby(
+        ["lang", "token"]).count().drop_columns(["count()"])
+    agg = pairs.groupby("lang").count()
+    tbl = pa.Table.from_pylist(agg.take_all())
+    out = pa.table({
+        "lang": tbl.column("lang"),
+        "n_distinct_tokens": tbl.column("count()").cast(pa.int64()),
+    })
+    return out.take(pc.sort_indices(out, sort_keys=[("lang", "ascending")]))
+
+
+def approx_distinct_tokens_hll(sf_dir: str) -> pa.Table:
+    """HyperLogLog (p=12) distinct-token estimate per language — the
+    sketch path that replaces the exact vocabulary groupby at 10^12
+    tokens. Approximate by nature (rows-only for the driver); pytest
+    bounds the error vs the exact count (functions/sketches.py)."""
+    return _sk.grouped_hll_distinct(_documents(sf_dir), "lang", "text")
+
+
+TOPK_PER_LANG = 3
+
+
+def _lang_topk(tbl: pa.Table, k: int) -> pa.Table:
+    """First k rows per lang after a (lang asc, n_chars desc, doc_id
+    asc) sort — vectorized group-wise top-k with rank."""
+    import numpy as np
+
+    idx = pc.sort_indices(tbl, sort_keys=[
+        ("lang", "ascending"), ("n_chars", "descending"),
+        ("doc_id", "ascending")])
+    t2 = tbl.take(idx)
+    langs = np.asarray(t2.column("lang").to_pylist(), dtype=object)
+    first = np.ones(len(langs), dtype=bool)
+    first[1:] = langs[1:] != langs[:-1]
+    # rank within group = index - index_of_group_start
+    starts = np.maximum.accumulate(
+        np.where(first, np.arange(len(langs)), 0))
+    rank = np.arange(len(langs)) - starts + 1
+    out = t2.append_column("rank", pa.array(rank, pa.int64()))
+    return out.filter(pa.array(rank <= k))
+
+
+def top3_docs_per_lang(sf_dir: str) -> pa.Table:
+    """Group-wise top-k (k=3 longest docs per language) with a map-side
+    combiner: each batch emits at most k rows per lang, so only
+    |langs| x k x n_blocks tiny rows leave the workers."""
+    def partial(batch: pa.Table) -> pa.Table:
+        return _lang_topk(batch.select(["lang", "doc_id", "n_chars"]),
+                          TOPK_PER_LANG).drop_columns(["rank"])
+
+    parts = list(_documents(sf_dir).map_batches(
+        partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None))
+    if not parts:
+        return pa.schema([("lang", pa.string()), ("doc_id", pa.int64()),
+                          ("n_chars", pa.int64()),
+                          ("rank", pa.int64())]).empty_table()
+    return _lang_topk(pa.concat_tables(parts), TOPK_PER_LANG).select(
+        ["lang", "doc_id", "n_chars", "rank"])
+
+
+def label_stats(sf_dir: str) -> pa.Table:
+    """Relational aggregate OVER the vector column: per-label vector
+    counts and the exact integer-micro sum of the first embedding
+    dimension (list_element + groupby; no driver materialization)."""
+
+    def proj(batch: pa.Table) -> pa.Table:
+        e0 = pc.list_element(batch.column("embedding"), 0)
+        return pa.table({
+            "label": batch.column("label"),
+            "e0_micros": pc.round(pc.multiply(
+                e0.cast(pa.float64()), 1_000_000.0)).cast(pa.int64()),
+        })
+
+    agg = _embeddings(sf_dir).map_batches(
+        proj, batch_format="pyarrow").groupby("label").aggregate(
+        ray.data.aggregate.Count(),
+        ray.data.aggregate.Sum("e0_micros"))
+    tbl = pa.Table.from_pylist(agg.take_all())
+    out = pa.table({
+        "label": tbl.column("label").cast(pa.int32()),
+        "n_vecs": tbl.column("count()").cast(pa.int64()),
+        "sum_e0_micros": tbl.column("sum(e0_micros)").cast(pa.int64()),
+    })
+    return out.take(pc.sort_indices(out, sort_keys=[("label", "ascending")]))
 
 
 def audio_features(sf_dir: str) -> "ray.data.Dataset":

@@ -1,0 +1,159 @@
+"""Temporal operators the Dataset API lacks as primitives, composed
+from groupby + vectorized per-group assembly (the pattern SURVEY.md
+§2 prescribes for custom operators: map_batches + groupby + numpy).
+
+* **as-of join** (``asof_last_event``): for each left-type event, the
+  most recent right-type event by the same user at or before its
+  timestamp. Partitioning assumption: one user's events fit in one
+  group (same as sessionization); only ``(user_id, ts, event_id,
+  side)`` rows shuffle — never payloads. At 100 TB pre-bucket by
+  (user, day) and stitch day boundaries by also probing the previous
+  bucket's tail.
+* **sliding window** (``sliding_hourly``): hourly pre-aggregation
+  (the big, distributed reduction) followed by a RANGE-window sum over
+  the bounded ``|types| x |hours|`` hourly series — the series is
+  orders of magnitude smaller than the event stream, so the window
+  pass is a vectorized searchsorted over cumulative sums.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..functions.dedup import collect_columns_agg
+
+
+def asof_last_event(events: "ray.data.Dataset", *,
+                    left_type: str, right_type: str,
+                    ) -> "ray.data.Dataset":
+    """Left as-of join within an event stream: each ``left_type`` event
+    gets the latest ``right_type`` event with ``ts <= left.ts`` from
+    the same user (ties broken toward the larger event_id), or nulls.
+
+    Shape: ONE grouped collect of ``(ts, event_id, side)`` triples per
+    user, then a vectorized searchsorted per user — no per-row Python
+    in the match step and no driver materialization (output stays a
+    Dataset)."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        types = batch.column("event_type")
+        keep = pc.or_(pc.equal(types, left_type),
+                      pc.equal(types, right_type))
+        t = batch.filter(keep)
+        side = pc.equal(t.column("event_type"), right_type)
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "ts_us": t.column("ts").cast(pa.int64()),
+            "event_id": t.column("event_id"),
+            "is_right": side,
+        })
+
+    grouped = events.map_batches(
+        project, batch_format="pyarrow").groupby("user_id").aggregate(
+        collect_columns_agg(["ts_us", "event_id", "is_right"], "rows"))
+
+    def match(batch: pa.Table) -> pa.Table:
+        out_eid: list[int] = []
+        out_uid: list[int] = []
+        out_ts: list[int] = []
+        out_rid: list[int | None] = []
+        out_rts: list[int | None] = []
+        for uid, rows in zip(batch.column("user_id").to_pylist(),
+                             batch.column("rows").to_pylist()):
+            arr = np.asarray([r[:2] for r in rows], dtype=np.int64)
+            right = np.asarray([bool(r[2]) for r in rows])
+            lts, lid = arr[~right, 0], arr[~right, 1]
+            rts, rid = arr[right, 0], arr[right, 1]
+            # sort rights by (ts, id): searchsorted(..., 'right')-1 then
+            # lands on the max-id row among the max-ts <= left.ts rows
+            order = np.lexsort((rid, rts))
+            rts, rid = rts[order], rid[order]
+            pos = np.searchsorted(rts, lts, side="right") - 1
+            for i in range(len(lts)):
+                out_eid.append(int(lid[i]))
+                out_uid.append(int(uid))
+                out_ts.append(int(lts[i]))
+                if pos[i] >= 0:
+                    out_rid.append(int(rid[pos[i]]))
+                    out_rts.append(int(rts[pos[i]]))
+                else:
+                    out_rid.append(None)
+                    out_rts.append(None)
+        return pa.table({
+            "event_id": pa.array(out_eid, pa.int64()),
+            "user_id": pa.array(out_uid, pa.int64()),
+            "ts": pa.array(out_ts, pa.int64()).cast(pa.timestamp("us")),
+            "prior_event_id": pa.array(out_rid, pa.int64()),
+            "prior_ts": pa.array(out_rts, pa.int64()).cast(
+                pa.timestamp("us")),
+        })
+
+    return grouped.map_batches(match, batch_format="pyarrow")
+
+
+def sliding_hourly(events: "ray.data.Dataset", *, window_hours: int = 3,
+                   ) -> pa.Table:
+    """Sliding ``window_hours``-hour totals per event type, evaluated at
+    each populated hour (RANGE window semantics: gaps in the hourly
+    series contribute nothing, matching SQL ``RANGE BETWEEN h-1 HOURS
+    PRECEDING AND CURRENT ROW``).
+
+    The distributed work is the hourly pre-aggregate (integer-micro
+    sums, map-side combined by the groupby); the window pass runs over
+    the bounded hourly series via two searchsorteds on cumulative
+    sums."""
+
+    def hour_micros(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "hour_us": pc.floor_temporal(
+                batch.column("ts"), unit="hour").cast(pa.int64()),
+            "value_micros": pc.round(pc.multiply(
+                batch.column("value").cast(pa.float64()),
+                1_000_000.0)).cast(pa.int64()),
+        })
+
+    hourly = events.map_batches(
+        hour_micros, batch_format="pyarrow").groupby(
+        ["event_type", "hour_us"]).aggregate(
+        ray.data.aggregate.Count(),
+        ray.data.aggregate.Sum("value_micros"))
+    tbl = pa.concat_tables(list(hourly.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+
+    HOUR_US = 3_600_000_000
+    span = (window_hours - 1) * HOUR_US
+    types = np.asarray(tbl.column("event_type").to_pylist(), dtype=object)
+    hours = np.asarray(tbl.column("hour_us").to_pylist(), dtype=np.int64)
+    ns = np.asarray(tbl.column("count()").to_pylist(), dtype=np.int64)
+    sums = np.asarray(tbl.column("sum(value_micros)").to_pylist(),
+                      dtype=np.int64)
+
+    out_t: list[str] = []
+    out_h: list[int] = []
+    out_n: list[int] = []
+    out_s: list[int] = []
+    for t in sorted(set(types)):
+        m = types == t
+        order = np.argsort(hours[m], kind="stable")
+        h, n, s = hours[m][order], ns[m][order], sums[m][order]
+        cn = np.concatenate(([0], np.cumsum(n)))
+        cs = np.concatenate(([0], np.cumsum(s)))
+        lo = np.searchsorted(h, h - span, side="left")
+        hi = np.arange(1, len(h) + 1)
+        out_t.extend([t] * len(h))
+        out_h.extend(h.tolist())
+        out_n.extend((cn[hi] - cn[lo]).tolist())
+        out_s.extend((cs[hi] - cs[lo]).tolist())
+    return pa.table({
+        "event_type": pa.array(out_t, pa.string()),
+        "window_start": pa.array(out_h, pa.int64()).cast(
+            pa.timestamp("us")),
+        "n_events_3h": pa.array(out_n, pa.int64()),
+        "sum_value_micros_3h": pa.array(out_s, pa.int64()),
+    })

@@ -1,0 +1,180 @@
+"""Temporal operators (as-of join, sliding windows) and sketch
+operators (histogram quantiles, HyperLogLog) — semantic checks against
+hand-computed and DuckDB-computed expectations."""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+
+from tempeh_parser_ray.functions import sketches
+from tempeh_parser_ray.pipelines import windows
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _collect(ds) -> pa.Table:
+    return pa.concat_tables(
+        list(ds.iter_batches(batch_format="pyarrow", batch_size=None)))
+
+
+def _events_tbl(rows) -> pa.Table:
+    """rows: (event_id, user_id, ts_us, event_type, value)"""
+    return pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.int64()).cast(
+            pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+    })
+
+
+def test_asof_matches_latest_prior_with_tie_break(ray_session):
+    ray = ray_session
+    US = 1_000_000
+    rows = [
+        # user 1: clicks at t=10 (ids 100,101 tie on ts) and t=50;
+        # purchases at t=5 (no prior), t=10 (ties), t=60
+        (100, 1, 10 * US, "click", 0.0),
+        (101, 1, 10 * US, "click", 0.0),
+        (102, 1, 50 * US, "click", 0.0),
+        (200, 1, 5 * US, "purchase", 1.0),
+        (201, 1, 10 * US, "purchase", 1.0),
+        (202, 1, 60 * US, "purchase", 1.0),
+        # user 2: purchase with no clicks at all
+        (300, 2, 30 * US, "purchase", 1.0),
+        # noise types are ignored
+        (400, 1, 55 * US, "view", 0.0),
+    ]
+    out = _collect(windows.asof_last_event(
+        ray.data.from_arrow(_events_tbl(rows)),
+        left_type="purchase", right_type="click"))
+    by_id = {r["event_id"]: r for r in out.to_pylist()}
+    assert set(by_id) == {200, 201, 202, 300}
+    assert by_id[200]["prior_event_id"] is None
+    # tie at ts=10: larger event_id (101) wins
+    assert by_id[201]["prior_event_id"] == 101
+    assert by_id[202]["prior_event_id"] == 102
+    assert by_id[300]["prior_event_id"] is None
+
+
+def test_sliding_hourly_range_semantics_with_gaps(ray_session):
+    ray = ray_session
+    H = 3_600_000_000
+    # type 'a': hours 0,1,2,5 (gap at 3-4); one event per hour, value=1.0
+    rows = [(i, 1, h * H, "a", 1.0) for i, h in enumerate([0, 1, 2, 5])]
+    out = windows.sliding_hourly(
+        ray.data.from_arrow(_events_tbl(rows)), window_hours=3)
+    got = {int(r["window_start"].timestamp() // 3600): r["n_events_3h"]
+           for r in out.to_pylist()}
+    # RANGE window: hour 5 only sees hours 3-5 -> itself
+    assert got == {0: 1, 1: 2, 2: 3, 5: 1}
+
+
+def test_sliding_hourly_matches_duckdb_window(ray_session):
+    import duckdb
+    ray = ray_session
+    ev_path = str(Path(SF_DIR) / "events.parquet")
+    mine = windows.sliding_hourly(
+        ray.data.read_parquet(ev_path), window_hours=3).to_pandas()
+    ora = duckdb.sql(f"""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   COUNT(*) AS n,
+                   SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS s
+            FROM read_parquet('{ev_path}') GROUP BY 1, 2)
+        SELECT event_type, window_start,
+               CAST(SUM(n) OVER w AS BIGINT) AS n_events_3h,
+               CAST(SUM(s) OVER w AS BIGINT) AS sum_value_micros_3h
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY window_start
+                     RANGE BETWEEN INTERVAL 2 HOURS PRECEDING
+                           AND CURRENT ROW)
+        ORDER BY event_type, window_start
+    """).df()
+    mine = mine.sort_values(["event_type", "window_start"]).reset_index(
+        drop=True)
+    ora = ora.sort_values(["event_type", "window_start"]).reset_index(
+        drop=True)
+    assert (mine["n_events_3h"] == ora["n_events_3h"]).all()
+    assert (mine["sum_value_micros_3h"]
+            == ora["sum_value_micros_3h"]).all()
+
+
+def test_grouped_quantiles_match_brute_force(ray_session):
+    ray = ray_session
+    rng = np.random.RandomState(7)
+    groups = rng.choice(["x", "y"], size=500).tolist()
+    vals = rng.randint(0, 100, size=500).tolist()
+    ds = ray.data.from_arrow(pa.table({
+        "g": pa.array(groups, pa.string()),
+        "v": pa.array(vals, pa.int64())}))
+    out = sketches.grouped_quantiles(ds, "g", "v", [0.5, 0.9],
+                                     ["p50", "p90"])
+    got = {r["g"]: (r["p50"], r["p90"]) for r in out.to_pylist()}
+    for g in ("x", "y"):
+        s = sorted(v for gg, v in zip(groups, vals) if gg == g)
+        expect = tuple(s[max(math.ceil(q * len(s)) - 1, 0)]
+                       for q in (0.5, 0.9))
+        assert got[g] == expect
+
+
+def test_hll_within_error_bound_of_exact(ray_session):
+    ray = ray_session
+    docs = str(Path(SF_DIR) / "documents.parquet")
+    ds = ray.data.read_parquet(docs)
+    est = sketches.grouped_hll_distinct(ds, "lang", "text")
+    import duckdb
+    exact = duckdb.sql(f"""
+        SELECT lang, COUNT(DISTINCT token) AS n FROM (
+            SELECT lang, unnest(string_split_regex(trim(text), '\\s+'))
+                   AS token
+            FROM read_parquet('{docs}') WHERE trim(text) <> '')
+        GROUP BY lang
+    """).df().set_index("lang")["n"].to_dict()
+    for r in est.to_pylist():
+        e, x = r["n_distinct_est"], exact[r["lang"]]
+        assert abs(e - x) / x < 0.05, (r["lang"], e, x)
+
+
+def test_hll_merge_is_order_independent():
+    a = sketches._hll_registers({"a", "b", "c"})
+    b = sketches._hll_registers({"c", "d"})
+    merged = np.maximum(a, b)
+    direct = sketches._hll_registers({"a", "b", "c", "d"})
+    assert np.array_equal(merged, direct)
+
+
+def test_anti_join_excludes_matched_keys(ray_session):
+    ray = ray_session
+    from tempeh_parser_ray.pipelines import queries as q
+    out = _collect(q.customers_no_urgent_orders(SF_DIR))
+    import duckdb
+    expect = duckdb.sql(f"""
+        SELECT c_custkey FROM read_parquet('{SF_DIR}/customer.parquet')
+        WHERE c_custkey NOT IN (
+            SELECT o_custkey FROM read_parquet('{SF_DIR}/orders.parquet')
+            WHERE o_orderpriority = '1-URGENT')
+    """).df()["c_custkey"].tolist()
+    assert sorted(out.column("c_custkey").to_pylist()) == sorted(expect)
+    assert len(expect) > 0  # the workload is non-degenerate
+
+
+def test_topk_per_lang_combiner_equals_global_sort(ray_session):
+    from tempeh_parser_ray.pipelines import queries as q
+    out = q.top3_docs_per_lang(SF_DIR)
+    import duckdb
+    ora = duckdb.sql(f"""
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY n_chars DESC, doc_id) AS rank
+        FROM read_parquet('{SF_DIR}/documents.parquet')
+        QUALIFY rank <= 3 ORDER BY lang, rank
+    """).df()
+    mine = out.to_pandas().sort_values(["lang", "rank"]).reset_index(
+        drop=True)
+    assert mine["doc_id"].tolist() == ora["doc_id"].tolist()
