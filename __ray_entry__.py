@@ -83,6 +83,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_tokens_per_lang": _q.distinct_tokens_per_lang,
         "top3_docs_per_lang": _q.top3_docs_per_lang,
         "label_stats": _q.label_stats,
+        # alternate source formats (sources/jsonl_corpus.py)
+        "extract_text_jsonl": _q.extract_text_jsonl,
+        "token_count_csv": _q.token_count_csv,
     }
 
 
@@ -153,7 +156,7 @@ _JACCARD_PAIRS_SQL = r"""
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "extract_text": f"""
             SELECT doc_id,
                    {_EXTRACTED} AS extracted_text,
@@ -556,3 +559,7 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings GROUP BY label ORDER BY label
         """,
     }
+    # alternate-source queries share the base oracles (same output contract)
+    d["extract_text_jsonl"] = d["extract_text"]
+    d["token_count_csv"] = d["token_count"]
+    return d

@@ -55,6 +55,7 @@ QUERY_NAMES = [
     "doc_length_percentiles", "approx_distinct_tokens_hll",
     "customers_no_urgent_orders", "bigram_counts",
     "distinct_tokens_per_lang", "top3_docs_per_lang", "label_stats",
+    "extract_text_jsonl", "token_count_csv",
 ]
 
 

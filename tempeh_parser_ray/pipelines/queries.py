@@ -977,6 +977,37 @@ def label_stats(sf_dir: str) -> pa.Table:
     return out.take(pc.sort_indices(out, sort_keys=[("label", "ascending")]))
 
 
+def extract_text_jsonl(sf_dir: str) -> "ray.data.Dataset":
+    """The flagship extraction fed from a JSONL corpus
+    (``ray.data.read_json`` over string-typed html) — same fused
+    actor-pool stage, same byte-identical oracle as ``extract_text``;
+    proves source-format independence of the engine."""
+    from ..sources.jsonl_corpus import jsonl_corpus_dir
+
+    corpus = ray.data.read_json(str(jsonl_corpus_dir(sf_dir)))
+    ex = _ep.extract_dataset(corpus, spans=False,
+                             concurrency=_q_pool(),
+                             passthrough=("doc_id",))
+    return ex.map_batches(
+        lambda b: b.select(["doc_id", "extracted_text", "n_chars_extracted",
+                            "n_nodes", "n_links", "error"]),
+        batch_format="pyarrow")
+
+
+def token_count_csv(sf_dir: str) -> "ray.data.Dataset":
+    """Token counting fed from a CSV materialization of the documents
+    table (``write_csv`` -> ``read_csv`` round-trip, including quoted
+    newlines) — same oracle as ``token_count``."""
+    from pyarrow import csv as pa_csv
+
+    from ..sources.jsonl_corpus import csv_documents_dir
+
+    ds = ray.data.read_csv(
+        str(csv_documents_dir(sf_dir)),
+        parse_options=pa_csv.ParseOptions(newlines_in_values=True))
+    return ds.map_batches(_ts.token_count_batch, batch_format="pyarrow")
+
+
 def audio_features(sf_dir: str) -> "ray.data.Dataset":
     """Audio-feature stub plumbing (windowed energies) over the media
     table; counts are SQL-checkable, energies pytest-checked."""

@@ -46,3 +46,42 @@ def test_read_corpus_accepts_file_list(ray_session, tmp_path):
     _write(tmp_path, "a.parquet", 5, 5)
     ds = src.read_corpus_parquet([str(tmp_path / "a.parquet")])
     assert ds.count() == 5
+
+
+def test_jsonl_and_csv_sources_match_parquet_path(ray_session, tmp_path):
+    """Alternate source formats produce identical results to the
+    parquet-fed pipelines (including CSV round-trip of embedded
+    newlines and quotes through write_csv -> read_csv)."""
+    import pyarrow as pa
+    from pyarrow import csv as pa_csv
+    import ray
+    from tempeh_parser_ray.pipelines import queries as q
+    from tempeh_parser_ray.functions import textstats
+
+    sf = "/root/testdata/sf0.001"
+
+    def collect(ds):
+        return pa.concat_tables(list(ds.iter_batches(
+            batch_format="pyarrow", batch_size=None)))
+
+    jl = collect(q.extract_text_jsonl(sf))
+    pqt = collect(q.extract_text(sf))
+    a = {r["doc_id"]: r["extracted_text"] for r in jl.to_pylist()}
+    b = {r["doc_id"]: r["extracted_text"] for r in pqt.to_pylist()}
+    assert a == b
+
+    # hostile CSV round-trip: newlines, quotes, commas inside text
+    tricky = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(['a "quoted" word', "line\nbreak, comma",
+                          ""], pa.string()),
+    })
+    out = tmp_path / "csv"
+    ray.data.from_arrow(tricky).write_csv(str(out))
+    back = collect(ray.data.read_csv(
+        str(out),
+        parse_options=pa_csv.ParseOptions(newlines_in_values=True))
+        .map_batches(textstats.token_count_batch,
+                     batch_format="pyarrow"))
+    got = {r["doc_id"]: r["n_tokens"] for r in back.to_pylist()}
+    assert got == {1: 3, 2: 3, 3: 0}
