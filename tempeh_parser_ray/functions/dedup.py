@@ -44,31 +44,55 @@ def _exact_fp_batch(batch: pa.Table, *, key: str) -> pa.Table:
 
 def exact_dedup(ds: "ray.data.Dataset", key: str = "text",
                 id_col: str = "doc_id",
-                num_partitions: int = 16) -> "ray.data.Dataset":
+                num_partitions: int = 16,
+                broadcast_limit: int = 5_000_000) -> "ray.data.Dataset":
     """Keep the smallest ``id_col`` row per exact ``key`` value.
 
-    Two scale-safe exchanges, zero per-group Python UDF calls
-    (SURVEY.md par.2.7):
+    One pure-aggregate exchange plus a size-adaptive winner pass, zero
+    per-group Python UDF calls (SURVEY.md par.2.7):
 
     1. ``groupby(_fp).aggregate(Min(id))`` — a PURE aggregate (per-block
        combine, tiny per-group state), shuffling only pre-combined
        partials.
-    2. a ``left_semi`` hash join of the corpus against the winner
-       ``(_fp, id)`` set — distributed, so the winner set (which is
-       O(distinct docs)) never lands on the driver.
+    2. winner-row recovery. Min-ids are globally unique (one winner per
+       distinct fp), so when the winner set is small enough
+       (< ``broadcast_limit`` ids, 8 bytes each) it is broadcast ONCE
+       via ``ray.put`` and the corpus is filtered with a vectorized
+       sorted-array ``searchsorted`` — no second shuffle at all.
+       Above the limit, a distributed ``left_semi`` hash join keeps the
+       winner set off the driver (the 10^12-doc path).
     """
     ds = ds.map_batches(_exact_fp_batch, batch_format="pyarrow",
                         fn_kwargs={"key": key})
     winners = ds.groupby("_fp").aggregate(
-        ray.data.aggregate.Min(id_col))
+        ray.data.aggregate.Min(id_col)).materialize()
 
-    def as_keys(batch: pa.Table) -> pa.Table:
-        return pa.table({"_fp": batch.column("_fp"),
-                         id_col: batch.column(f"min({id_col})")})
+    if winners.count() <= broadcast_limit:
+        parts = [b.column(f"min({id_col})").to_numpy(zero_copy_only=False)
+                 for b in winners.iter_batches(batch_format="pyarrow",
+                                               batch_size=None)]
+        win_ids = np.sort(np.concatenate(parts)) if parts else \
+            np.zeros(0, np.int64)
+        ids_ref = ray.put(win_ids)
 
-    winner_keys = winners.map_batches(as_keys, batch_format="pyarrow")
-    out = ds.join(winner_keys, join_type="left_semi",
-                  num_partitions=num_partitions, on=("_fp", id_col))
+        def keep_winners(batch: pa.Table) -> pa.Table:
+            wanted = ray.get(ids_ref)
+            if len(wanted) == 0:
+                return batch.slice(0, 0)
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(wanted, ids)
+            pos[pos >= len(wanted)] = 0
+            return batch.filter(pa.array(wanted[pos] == ids))
+
+        out = ds.map_batches(keep_winners, batch_format="pyarrow")
+    else:
+        def as_keys(batch: pa.Table) -> pa.Table:
+            return pa.table({"_fp": batch.column("_fp"),
+                             id_col: batch.column(f"min({id_col})")})
+
+        winner_keys = winners.map_batches(as_keys, batch_format="pyarrow")
+        out = ds.join(winner_keys, join_type="left_semi",
+                      num_partitions=num_partitions, on=("_fp", id_col))
     return out.drop_columns(["_fp"])
 
 
@@ -341,6 +365,7 @@ def verify_pairs_jaccard(pairs: "ray.data.Dataset",
                          docs: "ray.data.Dataset",
                          *, threshold: float = 0.8, shingle_k: int = 5,
                          text_col: str = "text", id_col: str = "doc_id",
+                         concurrency: int = 4,
                          ) -> "ray.data.Dataset":
     """Exact n-gram-Jaccard verification of candidate pairs via a
     distributed semi-join — NO full-corpus driver collection:
@@ -419,8 +444,10 @@ def verify_pairs_jaccard(pairs: "ray.data.Dataset",
             })
             return out.filter(pa.array([s >= threshold for s in sims]))
 
+    # fixed pool: the autoscaler adds ~1 actor/1.3 s and the pair side
+    # is small — a small fixed pool starts immediately
     return pairs.map_batches(Verify, batch_format="pyarrow",
-                             concurrency=(1, 8))
+                             concurrency=concurrency)
 
 
 # --- SimHash ------------------------------------------------------------
