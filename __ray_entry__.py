@@ -86,6 +86,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # alternate source formats (sources/jsonl_corpus.py)
         "extract_text_jsonl": _q.extract_text_jsonl,
         "token_count_csv": _q.token_count_csv,
+        # composite curation pipelines
+        "dedup_minhash_keep": _q.dedup_minhash_keep,
+        "corpus_filter_funnel": _q.corpus_filter_funnel,
     }
 
 
@@ -562,4 +565,97 @@ def oracle_sql() -> dict[str, str]:
     # alternate-source queries share the base oracles (same output contract)
     d["extract_text_jsonl"] = d["extract_text"]
     d["token_count_csv"] = d["token_count"]
+    # end-to-end near-dup removal: connected components over the exact
+    # >=0.8 Jaccard pair graph (recursive min-label closure), keep each
+    # component's min id
+    d["dedup_minhash_keep"] = r"""
+        WITH RECURSIVE corpus AS (
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+            UNION ALL
+            SELECT doc_id + 100000 AS doc_id, text || ' extra' AS text,
+                   lang, source, n_chars + 6 AS n_chars
+            FROM documents WHERE doc_id % 10 = 0
+        ),
+        norm AS (
+            SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t
+            FROM corpus
+        ),
+        sh AS (
+            SELECT doc_id,
+                   CASE WHEN length(t) = 0 THEN CAST([] AS VARCHAR[])
+                        WHEN length(t) < 5 THEN [t]
+                        ELSE list_distinct([substring(t, CAST(x AS INT), 5)
+                                            for x in range(1, length(t) - 3)])
+                   END AS s
+            FROM norm
+        ),
+        cand AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE least(len(a.s), len(b.s))
+                  >= 0.8 * greatest(len(a.s), len(b.s))
+        ),
+        pairs AS (
+            SELECT id_a, id_b FROM cand
+            WHERE CASE WHEN len(sa) + len(sb) = 0 THEN 1.0
+                       ELSE CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+                            / (len(sa) + len(sb)
+                               - len(list_intersect(sa, sb)))
+                  END >= 0.8
+        ),
+        edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs
+        ),
+        reach(id, r) AS (
+            SELECT doc_id, doc_id FROM corpus
+            UNION
+            SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id
+        ),
+        comp AS (SELECT id, MIN(r) AS root FROM reach GROUP BY id)
+        SELECT c.doc_id, c.lang, c.source, CAST(c.n_chars AS BIGINT) AS n_chars
+        FROM corpus c JOIN comp ON comp.id = c.doc_id
+        WHERE comp.root = c.doc_id
+        ORDER BY c.doc_id
+    """
+    # curation funnel: cumulative survivor counts per filter stage
+    _funnel_base = rf"""
+        WITH t AS (
+            SELECT md5(text) AS fp,
+                   CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                        ELSE {_TOKENS} END AS tk,
+                   CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                        ELSE string_split_regex(trim(lower(text)), '\s+')
+                   END AS lt,
+                   regexp_matches(text,
+                     '[\x{{3040}}-\x{{30ff}}\x{{4e00}}-\x{{9fff}}]') AS cjk
+            FROM documents),
+        feats AS (
+            SELECT fp, len(tk) AS nt,
+                   CASE WHEN len(tk) = 0 THEN 0.0
+                        ELSE CAST({_stop_count(_EN_STOP, 'tk')} AS DOUBLE)
+                             / len(tk) END AS sr,
+                   CASE WHEN cjk THEN TRUE
+                        ELSE greatest({_stop_count(_DE_STOP, 'lt')},
+                                      {_stop_count(_EN_STOP, 'lt')},
+                                      {_stop_count(_ES_STOP, 'lt')},
+                                      {_stop_count(_FR_STOP, 'lt')}) > 0
+                   END AS known
+            FROM t)
+    """
+    d["corpus_filter_funnel"] = _funnel_base + """
+        SELECT '0_input' AS stage, COUNT(*) AS n_docs FROM feats
+        UNION ALL
+        SELECT '1_min_tokens', COUNT(*) FROM feats WHERE nt >= 24
+        UNION ALL
+        SELECT '2_stopwords', COUNT(*) FROM feats
+        WHERE nt >= 24 AND sr >= 0.02
+        UNION ALL
+        SELECT '3_lang_known', COUNT(*) FROM feats
+        WHERE nt >= 24 AND sr >= 0.02 AND known
+        UNION ALL
+        SELECT '4_exact_dedup', COUNT(DISTINCT fp) FROM feats
+        WHERE nt >= 24 AND sr >= 0.02 AND known
+        ORDER BY stage
+    """
     return d

@@ -450,6 +450,58 @@ def verify_pairs_jaccard(pairs: "ray.data.Dataset",
                              concurrency=concurrency)
 
 
+def keep_canonical(docs: "ray.data.Dataset", pairs: "ray.data.Dataset",
+                   *, id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Near-duplicate REMOVAL: collapse the verified pair graph into
+    connected components and keep only each component's min-id row.
+
+    The pair list is the SMALL side by contract (near-dup edges, not
+    the corpus): ids are gathered to the driver, components resolved
+    with a min-root union-find, and only the DROP-id set (bounded by
+    the duplicate count) is broadcast for a vectorized filter — corpus
+    rows never leave the workers. At 10^9+ edges, replace the driver
+    union-find with iterative min-label propagation (repeat: join
+    labels over edges + grouped min until fixpoint)."""
+    edge_parts = [(b.column("id_a").to_pylist(),
+                   b.column("id_b").to_pylist())
+                  for b in pairs.iter_batches(batch_format="pyarrow",
+                                              batch_size=None)]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for aa, bb in edge_parts:
+        for a, b in zip(aa, bb):
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra == rb:
+                continue
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+
+    drop = np.sort(np.fromiter(
+        (x for x in parent if find(x) != x), dtype=np.int64))
+    drop_ref = ray.put(drop)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        dropped = ray.get(drop_ref)
+        if len(dropped) == 0:
+            return batch
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(dropped, ids)
+        pos[pos >= len(dropped)] = 0
+        return batch.filter(pa.array(dropped[pos] != ids))
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
 # --- SimHash ------------------------------------------------------------
 
 

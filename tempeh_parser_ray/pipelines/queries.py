@@ -39,6 +39,15 @@ def _q_pool() -> int:
     return max(2, min(8, n // 4))
 
 
+def _join_parts() -> int:
+    """Hash-join partition count sized to the cluster: each partition
+    costs an aggregator-actor spin-up (~0.2 s measured), so small
+    sessions want few; a real cluster wants ~cpus/8 so the build side
+    fans out."""
+    n = int(ray.cluster_resources().get("CPU", 8))
+    return max(2, min(64, n // 8))
+
+
 def _documents(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(str(Path(sf_dir) / "documents.parquet"))
 
@@ -750,7 +759,8 @@ def orders_mktsegment(sf_dir: str) -> pa.Table:
     cust = ray.data.read_parquet(
         str(Path(sf_dir) / "customer.parquet"),
         columns=["c_custkey", "c_mktsegment"])
-    joined = orders.join(cust, join_type="inner", num_partitions=16,
+    joined = orders.join(cust, join_type="inner",
+                         num_partitions=_join_parts(),
                          on=("o_custkey",), right_on=("c_custkey",))
 
     def proj(batch: pa.Table) -> pa.Table:
@@ -844,7 +854,8 @@ def customers_no_urgent_orders(sf_dir: str) -> "ray.data.Dataset":
         expr="o_orderpriority == '1-URGENT'").select_columns(
         ["o_custkey"]).groupby("o_custkey").count().drop_columns(
         ["count()"])
-    return cust.join(okeys, join_type="left_anti", num_partitions=8,
+    return cust.join(okeys, join_type="left_anti",
+                     num_partitions=_join_parts(),
                      on=("c_custkey",), right_on=("o_custkey",))
 
 
@@ -979,6 +990,80 @@ def label_stats(sf_dir: str) -> pa.Table:
         "sum_e0_micros": tbl.column("sum(e0_micros)").cast(pa.int64()),
     })
     return out.take(pc.sort_indices(out, sort_keys=[("label", "ascending")]))
+
+
+def dedup_minhash_keep(sf_dir: str) -> pa.Table:
+    """END-TO-END near-dup removal: MinHash+LSH candidates -> exact
+    Jaccard verify (>=0.8) -> connected components -> keep each
+    component's min-id row. The output is the deduplicated corpus
+    membership (what a training-data pipeline actually ships)."""
+    corpus = _mutated_corpus(sf_dir)
+    cands = _dedup.minhash_lsh_candidates(
+        corpus, num_perm=64, bands=16, shingle_k=5,
+        concurrency=_q_pool())
+    verified = _dedup.verify_pairs_jaccard(cands, corpus, threshold=0.8)
+    kept = _dedup.keep_canonical(corpus, verified, id_col="doc_id")
+    tbl = pa.concat_tables(list(kept.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    tbl = tbl.select(["doc_id", "lang", "source", "n_chars"])
+    return tbl.take(pc.sort_indices(
+        tbl, sort_keys=[("doc_id", "ascending")]))
+
+
+FUNNEL_MIN_TOKENS = 24
+FUNNEL_MIN_STOPWORD_RATIO = 0.02
+
+
+def corpus_filter_funnel(sf_dir: str) -> pa.Table:
+    """Training-data curation funnel: cumulative per-stage survivor
+    counts for token-length, stopword-density and language filters,
+    then exact dedup of the survivors. Counting stages run in ONE
+    distributed pass emitting per-batch partial counts; the dedup
+    stage is a distinct-fp groupby over the survivor subset."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = _ts.quality_batch(batch)
+        lp = _ts.lang_id_batch(batch)
+        nt = q.column("n_tokens").to_numpy(zero_copy_only=False)
+        sr = q.column("stopword_ratio").to_numpy(zero_copy_only=False)
+        known = pa.compute.not_equal(
+            lp.column("lang_pred"), "und").to_numpy(zero_copy_only=False)
+        s1 = nt >= FUNNEL_MIN_TOKENS
+        s2 = s1 & (sr >= FUNNEL_MIN_STOPWORD_RATIO)
+        s3 = s2 & known
+        return pa.table({
+            "n0": pa.array([batch.num_rows], pa.int64()),
+            "n1": pa.array([int(s1.sum())], pa.int64()),
+            "n2": pa.array([int(s2.sum())], pa.int64()),
+            "n3": pa.array([int(s3.sum())], pa.int64()),
+        })
+
+    docs = _documents(sf_dir)
+    sums = docs.map_batches(partial, batch_format="pyarrow").sum(
+        ["n0", "n1", "n2", "n3"])
+
+    def survivor_fps(batch: pa.Table) -> pa.Table:
+        q = _ts.quality_batch(batch)
+        lp = _ts.lang_id_batch(batch)
+        nt = q.column("n_tokens").to_numpy(zero_copy_only=False)
+        sr = q.column("stopword_ratio").to_numpy(zero_copy_only=False)
+        known = pa.compute.not_equal(
+            lp.column("lang_pred"), "und").to_numpy(zero_copy_only=False)
+        mask = (nt >= FUNNEL_MIN_TOKENS) \
+            & (sr >= FUNNEL_MIN_STOPWORD_RATIO) & known
+        sub = batch.filter(pa.array(mask))
+        return _ts.fingerprint_batch(sub).select(["fp_md5"])
+
+    n4 = docs.map_batches(
+        survivor_fps, batch_format="pyarrow").groupby(
+        "fp_md5").count().count()
+    return pa.table({
+        "stage": pa.array(["0_input", "1_min_tokens", "2_stopwords",
+                           "3_lang_known", "4_exact_dedup"], pa.string()),
+        "n_docs": pa.array([int(sums["sum(n0)"]), int(sums["sum(n1)"]),
+                            int(sums["sum(n2)"]), int(sums["sum(n3)"]),
+                            int(n4)], pa.int64()),
+    })
 
 
 def extract_text_jsonl(sf_dir: str) -> "ray.data.Dataset":

@@ -178,3 +178,21 @@ def test_topk_per_lang_combiner_equals_global_sort(ray_session):
     mine = out.to_pandas().sort_values(["lang", "rank"]).reset_index(
         drop=True)
     assert mine["doc_id"].tolist() == ora["doc_id"].tolist()
+
+
+def test_keep_canonical_collapses_chain_components(ray_session):
+    """A chain a-b, b-c must collapse into ONE component keeping only
+    the min id (transitivity, not just pairwise drop)."""
+    import pyarrow as pa
+    import ray
+    from tempeh_parser_ray.functions import dedup
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 10], pa.int64()),
+        "text": pa.array(list("abcdez"), pa.string())}))
+    pairs = ray.data.from_arrow(pa.table({
+        "id_a": pa.array([2, 3, 5], pa.int64()),
+        "id_b": pa.array([3, 1, 4], pa.int64())}))
+    kept = _collect(dedup.keep_canonical(docs, pairs))
+    # components: {1,2,3} -> keep 1; {4,5} -> keep 4; {10} singleton
+    assert sorted(kept.column("doc_id").to_pylist()) == [1, 4, 10]
