@@ -89,6 +89,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # composite curation pipelines
         "dedup_minhash_keep": _q.dedup_minhash_keep,
         "corpus_filter_funnel": _q.corpus_filter_funnel,
+        # span-emitting extraction (integrity contract)
+        "extract_spans": _q.extract_spans,
+        # poison-document error contract (P5 / L2 semantics)
+        "extract_error_contract": _q.extract_error_contract,
     }
 
 
@@ -565,6 +569,27 @@ def oracle_sql() -> dict[str, str]:
     # alternate-source queries share the base oracles (same output contract)
     d["extract_text_jsonl"] = d["extract_text"]
     d["token_count_csv"] = d["token_count"]
+    d["extract_error_contract"] = """
+        SELECT 'ff_insert' AS corruption, COUNT(*) AS n_docs,
+               COUNT(*) AS n_errors, CAST(0 AS BIGINT) AS n_docs_with_text
+        FROM documents WHERE doc_id % 3 = 1
+        UNION ALL
+        SELECT 'nul_insert', COUNT(*), CAST(0 AS BIGINT),
+               CAST(0 AS BIGINT)
+        FROM documents WHERE doc_id % 3 = 2
+        UNION ALL
+        SELECT 'ok', COUNT(*), CAST(0 AS BIGINT), COUNT(*)
+        FROM documents WHERE doc_id % 3 = 0
+        ORDER BY corruption
+    """
+    d["extract_spans"] = f"""
+        SELECT doc_id,
+               CAST(CASE WHEN text = '' THEN 6 ELSE 7 END AS BIGINT)
+                   AS n_spans,
+               TRUE AS spans_contiguous,
+               CAST(length({_EXTRACTED}) AS BIGINT) AS total_span_chars
+        FROM documents
+    """
     # end-to-end near-dup removal: connected components over the exact
     # >=0.8 Jaccard pair graph (recursive min-label closure), keep each
     # component's min id

@@ -56,7 +56,8 @@ QUERY_NAMES = [
     "customers_no_urgent_orders", "bigram_counts",
     "distinct_tokens_per_lang", "top3_docs_per_lang", "label_stats",
     "extract_text_jsonl", "token_count_csv",
-    "dedup_minhash_keep", "corpus_filter_funnel",
+    "dedup_minhash_keep", "corpus_filter_funnel", "extract_spans",
+    "extract_error_contract",
 ]
 
 

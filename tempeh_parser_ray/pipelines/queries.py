@@ -992,6 +992,98 @@ def label_stats(sf_dir: str) -> pa.Table:
     return out.take(pc.sort_indices(out, sort_keys=[("label", "ascending")]))
 
 
+def extract_spans(sf_dir: str) -> "ray.data.Dataset":
+    """Span-emitting extraction: per-doc span count, contiguity check
+    (every span starts where the previous ended, first at 0) and total
+    covered chars — the span integrity contract is SQL-checkable
+    because the synthetic template yields a fixed piece structure
+    (7 text nodes, 6 when the body text is empty — the parser drops
+    empty text tokens, reference src/parseTemplate.js:50-52)."""
+    ex = _ep.extract_dataset(_corpus(sf_dir), spans=True,
+                             concurrency=_q_pool(),
+                             passthrough=("doc_id",))
+
+    def span_stats(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        contiguous: list[bool] = []
+        totals: list[int] = []
+        for row in spans.to_pylist():
+            ok = (not row or row[0]["start"] == 0) and all(
+                row[i]["end"] == row[i + 1]["start"]
+                for i in range(len(row) - 1))
+            contiguous.append(ok)
+            totals.append(row[-1]["end"] if row else 0)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_spans": pc.list_value_length(spans).cast(pa.int64()),
+            "spans_contiguous": pa.array(contiguous, pa.bool_()),
+            "total_span_chars": pa.array(totals, pa.int64()),
+        })
+
+    return ex.map_batches(span_stats, batch_format="pyarrow")
+
+
+CORRUPTIONS = ("ok", "ff_insert", "nul_insert")
+
+
+def extract_error_contract(sf_dir: str) -> pa.Table:
+    """Poison-document contract: the corpus cycled through deterministic
+    corruption classes (doc_id%3: intact / invalid UTF-8 lead byte
+    spliced at offset 10 / NUL spliced at offset 10). Invalid bytes must
+    produce a per-row error (never abort the job, SURVEY.md P5); NUL is
+    EOF (L2), truncating cleanly with no error. Per-class error/output
+    counts are the closed-form contract."""
+
+    def corrupt(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        out = []
+        cls = []
+        for d, h in zip(ids, htmls):
+            c = CORRUPTIONS[d % 3]
+            cls.append(c)
+            if c == "ff_insert":
+                h = h[:10] + b"\xff" + h[10:]
+            elif c == "nul_insert":
+                h = h[:10] + b"\x00" + h[10:]
+            out.append(h)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "url": batch.column("url"),
+            "html": pa.array(out, pa.binary()),
+            "corruption": pa.array(cls, pa.string()),
+        })
+
+    ex = _ep.extract_dataset(
+        _corpus(sf_dir).map_batches(corrupt, batch_format="pyarrow"),
+        spans=False, concurrency=_q_pool(),
+        passthrough=("doc_id", "corruption"))
+
+    def flags(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "corruption": batch.column("corruption"),
+            "is_err": pc.invert(pc.equal(
+                batch.column("error"), "")).cast(pa.int64()),
+            "has_text": pc.invert(pc.equal(
+                batch.column("extracted_text"), "")).cast(pa.int64()),
+        })
+
+    agg = ex.map_batches(flags, batch_format="pyarrow").groupby(
+        "corruption").aggregate(
+        ray.data.aggregate.Count(),
+        ray.data.aggregate.Sum("is_err"),
+        ray.data.aggregate.Sum("has_text"))
+    tbl = pa.Table.from_pylist(agg.take_all())
+    out = pa.table({
+        "corruption": tbl.column("corruption"),
+        "n_docs": tbl.column("count()").cast(pa.int64()),
+        "n_errors": tbl.column("sum(is_err)").cast(pa.int64()),
+        "n_docs_with_text": tbl.column("sum(has_text)").cast(pa.int64()),
+    })
+    return out.take(pc.sort_indices(
+        out, sort_keys=[("corruption", "ascending")]))
+
+
 def dedup_minhash_keep(sf_dir: str) -> pa.Table:
     """END-TO-END near-dup removal: MinHash+LSH candidates -> exact
     Jaccard verify (>=0.8) -> connected components -> keep each
