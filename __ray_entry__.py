@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_spans": _q.extract_spans,
         # poison-document error contract (P5 / L2 semantics)
         "extract_error_contract": _q.extract_error_contract,
+        # broadcast vocabulary scoring
+        "doc_freq_score": _q.doc_freq_score,
     }
 
 
@@ -581,6 +583,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'ok', COUNT(*), CAST(0 AS BIGINT), COUNT(*)
         FROM documents WHERE doc_id % 3 = 0
         ORDER BY corruption
+    """
+    d["doc_freq_score"] = r"""
+        WITH tf AS (
+            SELECT token, COUNT(*) AS n FROM (
+                SELECT unnest(string_split_regex(trim(text), '\s+'))
+                       AS token
+                FROM documents WHERE trim(text) <> '')
+            GROUP BY token),
+        doc_toks AS (
+            SELECT doc_id,
+                   unnest(CASE WHEN trim(text) = ''
+                               THEN CAST([] AS VARCHAR[])
+                               ELSE string_split_regex(trim(text), '\s+')
+                          END) AS token
+            FROM documents)
+        SELECT d.doc_id,
+               CAST(COALESCE(SUM(tf.n), 0) AS BIGINT) AS freq_score
+        FROM documents d
+        LEFT JOIN doc_toks dt ON dt.doc_id = d.doc_id
+        LEFT JOIN tf ON tf.token = dt.token
+        GROUP BY d.doc_id
     """
     d["extract_spans"] = f"""
         SELECT doc_id,

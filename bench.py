@@ -57,7 +57,7 @@ QUERY_NAMES = [
     "distinct_tokens_per_lang", "top3_docs_per_lang", "label_stats",
     "extract_text_jsonl", "token_count_csv",
     "dedup_minhash_keep", "corpus_filter_funnel", "extract_spans",
-    "extract_error_contract",
+    "extract_error_contract", "doc_freq_score",
 ]
 
 

@@ -1023,6 +1023,44 @@ def extract_spans(sf_dir: str) -> "ray.data.Dataset":
     return ex.map_batches(span_stats, batch_format="pyarrow")
 
 
+def doc_freq_score(sf_dir: str) -> "ray.data.Dataset":
+    """Corpus-frequency quality score (CCNet-style common-vs-rare
+    signal, exact-integer variant): for each document, the sum of the
+    GLOBAL occurrence counts of its tokens. Two stages: a distributed
+    term-frequency aggregate builds the vocabulary model, which is
+    broadcast ONCE via ``ray.put`` and applied per batch — the broadcast
+    model-scoring pattern (at web scale the vocab is pruned to top-K;
+    here it is complete and exact, so the SQL join oracle matches
+    bit-for-bit)."""
+
+    def explode_all(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch.column("text").to_pylist():
+            toks.extend((t or "").split())
+        return pa.table({"token": pa.array(toks, pa.string())})
+
+    docs = _documents(sf_dir)
+    tf = docs.map_batches(
+        explode_all, batch_format="pyarrow").groupby("token").count()
+    vocab: dict[str, int] = {}
+    for b in tf.iter_batches(batch_format="pyarrow", batch_size=None):
+        vocab.update(zip(b.column("token").to_pylist(),
+                         (int(x) for x in b.column("count()").to_pylist())))
+    vocab_ref = ray.put(vocab)
+
+    def score(batch: pa.Table) -> pa.Table:
+        v = ray.get(vocab_ref)
+        sums = []
+        for t in batch.column("text").to_pylist():
+            sums.append(sum(v.get(x, 0) for x in (t or "").split()))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "freq_score": pa.array(sums, pa.int64()),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
 CORRUPTIONS = ("ok", "ff_insert", "nul_insert")
 
 
