@@ -81,13 +81,14 @@ def grouped_quantiles(ds: "ray.data.Dataset", group_col: str,
     hist = grouped_value_counts(ds, group_col, value_col)
     tbl = pa.concat_tables(list(hist.iter_batches(
         batch_format="pyarrow", batch_size=None)))
-    groups = tbl.column(group_col).to_pylist()
+    groups = np.asarray(tbl.column(group_col).to_pylist(), dtype=object)
     vals = np.asarray(tbl.column(value_col).to_pylist(), dtype=np.int64)
     cnts = np.asarray(tbl.column("sum(n)").to_pylist(), dtype=np.int64)
+    uniq, inv = np.unique(groups, return_inverse=True)
     out_g: list = []
     out_q: list[list[int]] = [[] for _ in qs]
-    for g in sorted(set(groups)):
-        mask = np.asarray([x == g for x in groups])
+    for gi, g in enumerate(uniq):
+        mask = inv == gi
         qvals = quantile_disc_from_hist(vals[mask], cnts[mask], qs)
         out_g.append(g)
         for i, v in enumerate(qvals):
