@@ -1023,42 +1023,100 @@ def extract_spans(sf_dir: str) -> "ray.data.Dataset":
     return ex.map_batches(span_stats, batch_format="pyarrow")
 
 
+VOCAB_BROADCAST_LIMIT = 2_000_000
+
+
 def doc_freq_score(sf_dir: str) -> "ray.data.Dataset":
     """Corpus-frequency quality score (CCNet-style common-vs-rare
     signal, exact-integer variant): for each document, the sum of the
-    GLOBAL occurrence counts of its tokens. Two stages: a distributed
-    term-frequency aggregate builds the vocabulary model, which is
-    broadcast ONCE via ``ray.put`` and applied per batch — the broadcast
-    model-scoring pattern (at web scale the vocab is pruned to top-K;
-    here it is complete and exact, so the SQL join oracle matches
-    bit-for-bit)."""
-
-    def explode_all(batch: pa.Table) -> pa.Table:
-        toks: list[str] = []
-        for t in batch.column("text").to_pylist():
-            toks.extend((t or "").split())
-        return pa.table({"token": pa.array(toks, pa.string())})
-
+    GLOBAL occurrence counts of its tokens. The distributed
+    term-frequency aggregate builds the vocabulary model; model
+    application is size-adaptive — a ``ray.put`` broadcast + per-batch
+    dict lookups below ``VOCAB_BROADCAST_LIMIT`` distinct tokens, a
+    distributed (doc_id, token) x tf shuffle join + per-doc sum above
+    it (web-scale vocabularies do not fit a driver dict). Both paths
+    are exact-integer, so the SQL join oracle matches bit-for-bit."""
     docs = _documents(sf_dir)
     tf = docs.map_batches(
-        explode_all, batch_format="pyarrow").groupby("token").count()
-    vocab: dict[str, int] = {}
-    for b in tf.iter_batches(batch_format="pyarrow", batch_size=None):
-        vocab.update(zip(b.column("token").to_pylist(),
-                         (int(x) for x in b.column("count()").to_pylist())))
-    vocab_ref = ray.put(vocab)
+        _explode_tokens, batch_format="pyarrow").groupby(
+        "token").count().materialize()
 
-    def score(batch: pa.Table) -> pa.Table:
-        v = ray.get(vocab_ref)
-        sums = []
-        for t in batch.column("text").to_pylist():
-            sums.append(sum(v.get(x, 0) for x in (t or "").split()))
+    if tf.count() <= VOCAB_BROADCAST_LIMIT:
+        vocab: dict[str, int] = {}
+        for b in tf.iter_batches(batch_format="pyarrow", batch_size=None):
+            vocab.update(zip(
+                b.column("token").to_pylist(),
+                (int(x) for x in b.column("count()").to_pylist())))
+        vocab_ref = ray.put(vocab)
+
+        def score(batch: pa.Table) -> pa.Table:
+            v = ray.get(vocab_ref)
+            sums = []
+            for t in batch.column("text").to_pylist():
+                sums.append(sum(v.get(x, 0) for x in (t or "").split()))
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "freq_score": pa.array(sums, pa.int64()),
+            })
+
+        return docs.map_batches(score, batch_format="pyarrow")
+    return _doc_freq_score_join(docs, tf)
+
+
+def _explode_tokens(batch: pa.Table) -> pa.Table:
+    toks: list[str] = []
+    for t in batch.column("text").to_pylist():
+        toks.extend((t or "").split())
+    return pa.table({"token": pa.array(toks, pa.string())})
+
+
+def _doc_freq_score_join(docs: "ray.data.Dataset",
+                         tf: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Fully distributed scoring path: explode (doc_id, token)
+    occurrence rows, shuffle-join them against the tf table, sum per
+    doc, and recover zero-token docs with a left_outer id join."""
+
+    def explode_ids(batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        toks: list[str] = []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            for tok in (t or "").split():
+                ids.append(d)
+                toks.append(tok)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "token": pa.array(toks, pa.string())})
+
+    tf_n = tf.map_batches(
+        lambda b: pa.table({"token": b.column("token"),
+                            "n": b.column("count()").cast(pa.int64())}),
+        batch_format="pyarrow")
+    # every doc token appears in tf by construction -> inner join is lossless
+    joined = docs.map_batches(explode_ids, batch_format="pyarrow").join(
+        tf_n, join_type="inner", num_partitions=_join_parts(),
+        on=("token",))
+    sums = joined.groupby("doc_id").aggregate(
+        ray.data.aggregate.Sum("n"))
+    scored = sums.map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_id"),
+                            "freq_score": b.column("sum(n)").cast(
+                                pa.int64())}),
+        batch_format="pyarrow")
+    # docs with zero tokens have no occurrence rows: left join + fill 0
+    base = docs.map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+    out = base.join(scored, join_type="left_outer",
+                    num_partitions=_join_parts(), on=("doc_id",))
+
+    def fill(batch: pa.Table) -> pa.Table:
+        fs = batch.column("freq_score")
         return pa.table({
             "doc_id": batch.column("doc_id"),
-            "freq_score": pa.array(sums, pa.int64()),
+            "freq_score": pc.coalesce(fs, pa.scalar(0, pa.int64())).cast(
+                pa.int64()),
         })
 
-    return docs.map_batches(score, batch_format="pyarrow")
+    return out.map_batches(fill, batch_format="pyarrow")
 
 
 CORRUPTIONS = ("ok", "ff_insert", "nul_insert")

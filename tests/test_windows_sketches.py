@@ -196,3 +196,22 @@ def test_keep_canonical_collapses_chain_components(ray_session):
     kept = _collect(dedup.keep_canonical(docs, pairs))
     # components: {1,2,3} -> keep 1; {4,5} -> keep 4; {10} singleton
     assert sorted(kept.column("doc_id").to_pylist()) == [1, 4, 10]
+
+
+def test_doc_freq_score_join_path_equals_broadcast(ray_session):
+    """The at-scale shuffle-join scoring path must equal the broadcast
+    fast path exactly (both integer-exact)."""
+    import pyarrow as pa
+    from tempeh_parser_ray.pipelines import queries as q
+
+    docs = q._documents(SF_DIR)
+    tf = docs.map_batches(
+        q._explode_tokens, batch_format="pyarrow").groupby(
+        "token").count().materialize()
+    jp = _collect(q._doc_freq_score_join(docs, tf))
+    bp = _collect(q.doc_freq_score(SF_DIR))
+    a = dict(zip(jp.column("doc_id").to_pylist(),
+                 jp.column("freq_score").to_pylist()))
+    b = dict(zip(bp.column("doc_id").to_pylist(),
+                 bp.column("freq_score").to_pylist()))
+    assert a == b and len(a) == 500
