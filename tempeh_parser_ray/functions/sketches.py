@@ -174,8 +174,10 @@ def grouped_hll_distinct(ds: "ray.data.Dataset", group_col: str,
                         batch.column(text_col).to_pylist()):
             per_group.setdefault(g, set()).update((t or "").split())
         groups = sorted(per_group)
+        # explicit type: an empty batch must not emit a null-typed
+        # group column (blocks would fail schema unification)
         return pa.table({
-            group_col: pa.array(groups),
+            group_col: pa.array(groups, batch.column(group_col).type),
             "regs": pa.array([_hll_registers(per_group[g]).tobytes()
                               for g in groups], pa.binary()),
         })
