@@ -79,8 +79,13 @@ def grouped_quantiles(ds: "ray.data.Dataset", group_col: str,
     reads the per-group distinct-value histogram (bounded by the value
     domain, NOT the row count)."""
     hist = grouped_value_counts(ds, group_col, value_col)
-    tbl = pa.concat_tables(list(hist.iter_batches(
-        batch_format="pyarrow", batch_size=None)))
+    parts = list(hist.iter_batches(batch_format="pyarrow",
+                                   batch_size=None))
+    if not parts:
+        return pa.table(
+            {group_col: pa.array([], pa.string()),
+             **{n: pa.array([], pa.int64()) for n in q_names}})
+    tbl = pa.concat_tables(parts)
     groups = np.asarray(tbl.column(group_col).to_pylist(), dtype=object)
     vals = np.asarray(tbl.column(value_col).to_pylist(), dtype=np.int64)
     cnts = np.asarray(tbl.column("sum(n)").to_pylist(), dtype=np.int64)
@@ -184,8 +189,12 @@ def grouped_hll_distinct(ds: "ray.data.Dataset", group_col: str,
 
     merged = ds.map_batches(partial, batch_format="pyarrow").groupby(
         group_col).aggregate(hll_merge_agg("regs", "regs"))
-    tbl = pa.concat_tables(list(merged.iter_batches(
-        batch_format="pyarrow", batch_size=None)))
+    parts = list(merged.iter_batches(batch_format="pyarrow",
+                                     batch_size=None))
+    if not parts:
+        return pa.table({group_col: pa.array([], pa.string()),
+                         "n_distinct_est": pa.array([], pa.int64())})
+    tbl = pa.concat_tables(parts)
     ests = [int(round(hll_estimate(np.frombuffer(b, dtype=np.uint8))))
             for b in tbl.column("regs").to_pylist()]
     out = pa.table({

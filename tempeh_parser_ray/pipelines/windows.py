@@ -123,8 +123,15 @@ def sliding_hourly(events: "ray.data.Dataset", *, window_hours: int = 3,
         ["event_type", "hour_us"]).aggregate(
         ray.data.aggregate.Count(),
         ray.data.aggregate.Sum("value_micros"))
-    tbl = pa.concat_tables(list(hourly.iter_batches(
-        batch_format="pyarrow", batch_size=None)))
+    parts = list(hourly.iter_batches(batch_format="pyarrow",
+                                     batch_size=None))
+    if not parts:
+        return pa.table({
+            "event_type": pa.array([], pa.string()),
+            "window_start": pa.array([], pa.timestamp("us")),
+            "n_events_3h": pa.array([], pa.int64()),
+            "sum_value_micros_3h": pa.array([], pa.int64())})
+    tbl = pa.concat_tables(parts)
 
     HOUR_US = 3_600_000_000
     span = (window_hours - 1) * HOUR_US

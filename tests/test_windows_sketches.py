@@ -17,8 +17,10 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def _collect(ds) -> pa.Table:
-    return pa.concat_tables(
-        list(ds.iter_batches(batch_format="pyarrow", batch_size=None)))
+    parts = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not parts:
+        return pa.schema([]).empty_table()
+    return pa.concat_tables(parts)
 
 
 def _events_tbl(rows) -> pa.Table:
@@ -215,3 +217,26 @@ def test_doc_freq_score_join_path_equals_broadcast(ray_session):
     b = dict(zip(bp.column("doc_id").to_pylist(),
                  bp.column("freq_score").to_pylist()))
     assert a == b and len(a) == 500
+
+
+def test_empty_input_robustness(ray_session):
+    """Empty datasets flow through the temporal and sketch operators
+    without crashing (zero-batch iterators, schema-stable outputs)."""
+    import pyarrow as pa
+    import ray
+    from tempeh_parser_ray.functions import sketches
+    from tempeh_parser_ray.pipelines import windows
+
+    empty_ev = ray.data.from_arrow(_events_tbl([]))
+    assert _collect(windows.asof_last_event(
+        empty_ev, left_type="purchase", right_type="click")).num_rows == 0
+    assert windows.sliding_hourly(empty_ev).num_rows == 0
+
+    empty_docs = ray.data.from_arrow(pa.table({
+        "g": pa.array([], pa.string()),
+        "v": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string())}))
+    assert sketches.grouped_quantiles(
+        empty_docs, "g", "v", [0.5], ["p50"]).num_rows == 0
+    assert sketches.grouped_hll_distinct(
+        empty_docs, "g", "text").num_rows == 0
