@@ -54,13 +54,14 @@ def exact_dedup(ds: "ray.data.Dataset", key: str = "text",
     1. ``groupby(_fp).aggregate(Min(id))`` — a PURE aggregate (per-block
        combine, tiny per-group state), shuffling only pre-combined
        partials.
-    2. winner-row recovery. Min-ids are globally unique (one winner per
-       distinct fp), so when the winner set is small enough
-       (< ``broadcast_limit`` ids, 8 bytes each) it is broadcast ONCE
-       via ``ray.put`` and the corpus is filtered with a vectorized
-       sorted-array ``searchsorted`` — no second shuffle at all.
-       Above the limit, a distributed ``left_semi`` hash join keeps the
-       winner set off the driver (the 10^12-doc path).
+    2. winner-row recovery. When the winner set is small enough
+       (< ``broadcast_limit`` entries) the ``fp -> winner id`` map is
+       broadcast ONCE via ``ray.put`` and the corpus is filtered with
+       per-row map lookups — no second shuffle at all, and the pair
+       condition matches the join path exactly even if ``id_col``
+       values repeat. Above the limit, a distributed ``left_semi``
+       hash join keeps the winner set off the driver (the 10^12-doc
+       path).
     """
     ds = ds.map_batches(_exact_fp_batch, batch_format="pyarrow",
                         fn_kwargs={"key": key})
@@ -68,21 +69,24 @@ def exact_dedup(ds: "ray.data.Dataset", key: str = "text",
         ray.data.aggregate.Min(id_col)).materialize()
 
     if winners.count() <= broadcast_limit:
-        parts = [b.column(f"min({id_col})").to_numpy(zero_copy_only=False)
-                 for b in winners.iter_batches(batch_format="pyarrow",
-                                               batch_size=None)]
-        win_ids = np.sort(np.concatenate(parts)) if parts else \
-            np.zeros(0, np.int64)
-        ids_ref = ray.put(win_ids)
+        win_map: dict[str, int] = {}
+        for b in winners.iter_batches(batch_format="pyarrow",
+                                      batch_size=None):
+            win_map.update(zip(
+                b.column("_fp").to_pylist(),
+                (int(x) for x in
+                 b.column(f"min({id_col})").to_pylist())))
+        map_ref = ray.put(win_map)
 
         def keep_winners(batch: pa.Table) -> pa.Table:
-            wanted = ray.get(ids_ref)
-            if len(wanted) == 0:
-                return batch.slice(0, 0)
-            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(wanted, ids)
-            pos[pos >= len(wanted)] = 0
-            return batch.filter(pa.array(wanted[pos] == ids))
+            # the (fp -> winner id) map keeps the pair condition the
+            # join path enforces — id-only membership would over-keep
+            # when id_col values repeat across distinct keys
+            wm = ray.get(map_ref)
+            fps = batch.column("_fp").to_pylist()
+            ids = batch.column(id_col).to_pylist()
+            return batch.filter(pa.array(
+                [wm.get(f) == i for f, i in zip(fps, ids)]))
 
         out = ds.map_batches(keep_winners, batch_format="pyarrow")
     else:

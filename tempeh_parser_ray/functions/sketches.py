@@ -33,6 +33,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from .textstats import tokenize
+
 
 # --- exact grouped quantiles via value-count histograms -----------------
 
@@ -177,7 +179,7 @@ def grouped_hll_distinct(ds: "ray.data.Dataset", group_col: str,
         per_group: dict = {}
         for g, t in zip(batch.column(group_col).to_pylist(),
                         batch.column(text_col).to_pylist()):
-            per_group.setdefault(g, set()).update((t or "").split())
+            per_group.setdefault(g, set()).update(tokenize(t))
         groups = sorted(per_group)
         # explicit type: an empty batch must not emit a null-typed
         # group column (blocks would fail schema unification)

@@ -39,6 +39,15 @@ def _tokens(text: str) -> list[str]:
     return _WS_SPLIT.split(t)
 
 
+def tokenize(text: str | None) -> list[str]:
+    """THE whitespace-token contract for corpus-level token operators
+    (term/doc frequency, vocabulary, bigrams, HLL) — identical to the
+    SQL oracles' ``string_split_regex(trim(text), '\\s+')`` and to
+    ``_tokens`` (``str.split()`` splits on maximal whitespace runs and
+    drops edge empties). One definition, every operator."""
+    return (text or "").split()
+
+
 def token_count_batch(batch: pa.Table) -> pa.Table:
     """(doc_id, text) -> (doc_id, n_tokens)."""
     texts = batch.column("text").to_pylist()

@@ -732,7 +732,7 @@ def term_doc_freq(sf_dir: str) -> pa.Table:
     def explode(batch: pa.Table) -> pa.Table:
         out: list[str] = []
         for t in batch.column("text").to_pylist():
-            out.extend(set((t or "").split()))
+            out.extend(set(_ts.tokenize(t)))
         return pa.table({"token": pa.array(out, pa.string())})
 
     agg = _documents(sf_dir).map_batches(
@@ -868,7 +868,7 @@ def bigram_counts(sf_dir: str) -> pa.Table:
     def partial(batch: pa.Table) -> pa.Table:
         c: Counter = Counter()
         for t in batch.column("text").to_pylist():
-            toks = (t or "").split()
+            toks = _ts.tokenize(t)
             c.update(map(" ".join, zip(toks, toks[1:])))
         return pa.table({
             "bigram": pa.array(list(c.keys()), pa.string()),
@@ -898,7 +898,7 @@ def distinct_tokens_per_lang(sf_dir: str) -> pa.Table:
         toks: list[str] = []
         for lang, t in zip(batch.column("lang").to_pylist(),
                            batch.column("text").to_pylist()):
-            for tok in set((t or "").split()):
+            for tok in set(_ts.tokenize(t)):
                 langs.append(lang)
                 toks.append(tok)
         return pa.table({"lang": pa.array(langs, pa.string()),
@@ -1053,7 +1053,7 @@ def doc_freq_score(sf_dir: str) -> "ray.data.Dataset":
             v = ray.get(vocab_ref)
             sums = []
             for t in batch.column("text").to_pylist():
-                sums.append(sum(v.get(x, 0) for x in (t or "").split()))
+                sums.append(sum(v.get(x, 0) for x in _ts.tokenize(t)))
             return pa.table({
                 "doc_id": batch.column("doc_id"),
                 "freq_score": pa.array(sums, pa.int64()),
@@ -1066,7 +1066,7 @@ def doc_freq_score(sf_dir: str) -> "ray.data.Dataset":
 def _explode_tokens(batch: pa.Table) -> pa.Table:
     toks: list[str] = []
     for t in batch.column("text").to_pylist():
-        toks.extend((t or "").split())
+        toks.extend(_ts.tokenize(t))
     return pa.table({"token": pa.array(toks, pa.string())})
 
 
@@ -1081,7 +1081,7 @@ def _doc_freq_score_join(docs: "ray.data.Dataset",
         toks: list[str] = []
         for d, t in zip(batch.column("doc_id").to_pylist(),
                         batch.column("text").to_pylist()):
-            for tok in (t or "").split():
+            for tok in _ts.tokenize(t):
                 ids.append(d)
                 toks.append(tok)
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
@@ -1205,51 +1205,42 @@ FUNNEL_MIN_STOPWORD_RATIO = 0.02
 def corpus_filter_funnel(sf_dir: str) -> pa.Table:
     """Training-data curation funnel: cumulative per-stage survivor
     counts for token-length, stopword-density and language filters,
-    then exact dedup of the survivors. Counting stages run in ONE
-    distributed pass emitting per-batch partial counts; the dedup
-    stage is a distinct-fp groupby over the survivor subset."""
+    then exact dedup of the survivors. The text analysis
+    (tokenize/score/lang-vote/fingerprint) runs in ONE distributed
+    pass emitting a tiny (fp, flags) row per doc, which is materialized
+    and consumed twice: pure-aggregate sums for the stage counts, and a
+    distinct-fp groupby over the survivor subset for the dedup stage."""
 
-    def partial(batch: pa.Table) -> pa.Table:
+    def flags(batch: pa.Table) -> pa.Table:
+        import numpy as np
         q = _ts.quality_batch(batch)
         lp = _ts.lang_id_batch(batch)
+        fp = _ts.fingerprint_batch(batch)
         nt = q.column("n_tokens").to_numpy(zero_copy_only=False)
         sr = q.column("stopword_ratio").to_numpy(zero_copy_only=False)
-        known = pa.compute.not_equal(
+        known = pc.not_equal(
             lp.column("lang_pred"), "und").to_numpy(zero_copy_only=False)
         s1 = nt >= FUNNEL_MIN_TOKENS
         s2 = s1 & (sr >= FUNNEL_MIN_STOPWORD_RATIO)
         s3 = s2 & known
         return pa.table({
-            "n0": pa.array([batch.num_rows], pa.int64()),
-            "n1": pa.array([int(s1.sum())], pa.int64()),
-            "n2": pa.array([int(s2.sum())], pa.int64()),
-            "n3": pa.array([int(s3.sum())], pa.int64()),
+            "fp_md5": fp.column("fp_md5"),
+            "s1": pa.array(s1.astype(np.int64), pa.int64()),
+            "s2": pa.array(s2.astype(np.int64), pa.int64()),
+            "s3": pa.array(s3.astype(np.int64), pa.int64()),
         })
 
-    docs = _documents(sf_dir)
-    sums = docs.map_batches(partial, batch_format="pyarrow").sum(
-        ["n0", "n1", "n2", "n3"])
-
-    def survivor_fps(batch: pa.Table) -> pa.Table:
-        q = _ts.quality_batch(batch)
-        lp = _ts.lang_id_batch(batch)
-        nt = q.column("n_tokens").to_numpy(zero_copy_only=False)
-        sr = q.column("stopword_ratio").to_numpy(zero_copy_only=False)
-        known = pa.compute.not_equal(
-            lp.column("lang_pred"), "und").to_numpy(zero_copy_only=False)
-        mask = (nt >= FUNNEL_MIN_TOKENS) \
-            & (sr >= FUNNEL_MIN_STOPWORD_RATIO) & known
-        sub = batch.filter(pa.array(mask))
-        return _ts.fingerprint_batch(sub).select(["fp_md5"])
-
-    n4 = docs.map_batches(
-        survivor_fps, batch_format="pyarrow").groupby(
+    per_doc = _documents(sf_dir).map_batches(
+        flags, batch_format="pyarrow").materialize()
+    n0 = per_doc.count()
+    sums = per_doc.sum(["s1", "s2", "s3"])
+    n4 = per_doc.filter(expr="s3 == 1").groupby(
         "fp_md5").count().count()
     return pa.table({
         "stage": pa.array(["0_input", "1_min_tokens", "2_stopwords",
                            "3_lang_known", "4_exact_dedup"], pa.string()),
-        "n_docs": pa.array([int(sums["sum(n0)"]), int(sums["sum(n1)"]),
-                            int(sums["sum(n2)"]), int(sums["sum(n3)"]),
+        "n_docs": pa.array([int(n0), int(sums["sum(s1)"]),
+                            int(sums["sum(s2)"]), int(sums["sum(s3)"]),
                             int(n4)], pa.int64()),
     })
 

@@ -58,11 +58,12 @@ def asof_last_event(events: "ray.data.Dataset", *,
         collect_columns_agg(["ts_us", "event_id", "is_right"], "rows"))
 
     def match(batch: pa.Table) -> pa.Table:
-        out_eid: list[int] = []
-        out_uid: list[int] = []
-        out_ts: list[int] = []
-        out_rid: list[int | None] = []
-        out_rts: list[int | None] = []
+        eids: list[np.ndarray] = []
+        uids: list[np.ndarray] = []
+        tss: list[np.ndarray] = []
+        rids: list[np.ndarray] = []
+        rtss: list[np.ndarray] = []
+        valids: list[np.ndarray] = []
         for uid, rows in zip(batch.column("user_id").to_pylist(),
                              batch.column("rows").to_pylist()):
             arr = np.asarray([r[:2] for r in rows], dtype=np.int64)
@@ -74,23 +75,29 @@ def asof_last_event(events: "ray.data.Dataset", *,
             order = np.lexsort((rid, rts))
             rts, rid = rts[order], rid[order]
             pos = np.searchsorted(rts, lts, side="right") - 1
-            for i in range(len(lts)):
-                out_eid.append(int(lid[i]))
-                out_uid.append(int(uid))
-                out_ts.append(int(lts[i]))
-                if pos[i] >= 0:
-                    out_rid.append(int(rid[pos[i]]))
-                    out_rts.append(int(rts[pos[i]]))
-                else:
-                    out_rid.append(None)
-                    out_rts.append(None)
+            valid = pos >= 0
+            safe = np.where(valid, pos, 0)
+            eids.append(lid)
+            uids.append(np.full(len(lid), uid, dtype=np.int64))
+            tss.append(lts)
+            rids.append(np.where(valid, rid[safe] if len(rid) else 0, 0))
+            rtss.append(np.where(valid, rts[safe] if len(rts) else 0, 0))
+            valids.append(valid)
+        if not eids:
+            z = np.zeros(0, np.int64)
+            eids = uids = tss = rids = rtss = [z]
+            valids = [np.zeros(0, bool)]
+        valid_all = np.concatenate(valids)
         return pa.table({
-            "event_id": pa.array(out_eid, pa.int64()),
-            "user_id": pa.array(out_uid, pa.int64()),
-            "ts": pa.array(out_ts, pa.int64()).cast(pa.timestamp("us")),
-            "prior_event_id": pa.array(out_rid, pa.int64()),
-            "prior_ts": pa.array(out_rts, pa.int64()).cast(
+            "event_id": pa.array(np.concatenate(eids), pa.int64()),
+            "user_id": pa.array(np.concatenate(uids), pa.int64()),
+            "ts": pa.array(np.concatenate(tss), pa.int64()).cast(
                 pa.timestamp("us")),
+            "prior_event_id": pa.array(
+                np.concatenate(rids), pa.int64(), mask=~valid_all),
+            "prior_ts": pa.array(
+                np.concatenate(rtss), pa.int64(),
+                mask=~valid_all).cast(pa.timestamp("us")),
         })
 
     return grouped.map_batches(match, batch_format="pyarrow")

@@ -13,6 +13,8 @@ SQL oracle byte-identically.
 
 from __future__ import annotations
 
+import hashlib
+import shutil
 from pathlib import Path
 
 import pyarrow as pa
@@ -23,14 +25,35 @@ import ray.data
 _ROOT = Path("/tmp/tempeh_sources")
 
 
+def _cache_key(sf_dir: str) -> str:
+    """Cache key covering the full source path AND its mtime/size —
+    same-basename different-path corpora (or an in-place regeneration)
+    must not serve each other's cache."""
+    p = Path(sf_dir) / "documents.parquet"
+    st = p.stat()
+    h = hashlib.md5(
+        f"{p.resolve()}:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()
+    return f"{Path(sf_dir).name}_{h[:10]}"
+
+
 def _materialize(out: Path, build) -> Path:
-    # the marker lives BESIDE the data dir: format readers enumerate
-    # every file inside it
+    """Idempotent, crash-safe: build into a temp sibling and atomically
+    rename. An interrupted build leaves only the temp dir (re-built and
+    replaced next call); the marker-free final dir is never partial.
+    The marker lives BESIDE the data dir — format readers enumerate
+    every file inside it."""
     marker = out.parent / (out.name + "._DONE")
-    if not marker.exists():
-        out.mkdir(parents=True, exist_ok=True)
-        build(out)
-        marker.touch()
+    if marker.exists():
+        return out
+    tmp = out.parent / (out.name + ".tmp")
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    if out.exists():
+        shutil.rmtree(out)
+    tmp.mkdir(parents=True, exist_ok=True)
+    build(tmp)
+    tmp.rename(out)
+    marker.touch()
     return out
 
 
@@ -56,7 +79,7 @@ def jsonl_corpus_dir(sf_dir: str) -> Path:
 
         docs.map_batches(rows, batch_format="pyarrow").write_json(str(out))
 
-    return _materialize(_ROOT / Path(sf_dir).name / "jsonl", build)
+    return _materialize(_ROOT / _cache_key(sf_dir) / "jsonl", build)
 
 
 def csv_documents_dir(sf_dir: str) -> Path:
@@ -69,4 +92,4 @@ def csv_documents_dir(sf_dir: str) -> Path:
             columns=["doc_id", "text"])
          .write_csv(str(out)))
 
-    return _materialize(_ROOT / Path(sf_dir).name / "csv", build)
+    return _materialize(_ROOT / _cache_key(sf_dir) / "csv", build)

@@ -71,8 +71,11 @@ def test_sliding_hourly_range_semantics_with_gaps(ray_session):
     rows = [(i, 1, h * H, "a", 1.0) for i, h in enumerate([0, 1, 2, 5])]
     out = windows.sliding_hourly(
         ray.data.from_arrow(_events_tbl(rows)), window_hours=3)
-    got = {int(r["window_start"].timestamp() // 3600): r["n_events_3h"]
-           for r in out.to_pylist()}
+    epoch = __import__("datetime").datetime(1970, 1, 1)
+    # tz-safe: subtract the naive epoch instead of .timestamp(), which
+    # would interpret the naive datetime in the machine's local zone
+    got = {int((r["window_start"] - epoch).total_seconds() // 3600):
+           r["n_events_3h"] for r in out.to_pylist()}
     # RANGE window: hour 5 only sees hours 3-5 -> itself
     assert got == {0: 1, 1: 2, 2: 3, 5: 1}
 
@@ -240,3 +243,26 @@ def test_empty_input_robustness(ray_session):
         empty_docs, "g", "v", [0.5], ["p50"]).num_rows == 0
     assert sketches.grouped_hll_distinct(
         empty_docs, "g", "text").num_rows == 0
+
+
+def test_exact_dedup_paths_agree_on_duplicate_ids(ray_session):
+    """With non-unique id values the broadcast fast path must enforce
+    the same (fp, id) pair condition as the left_semi join path."""
+    import pyarrow as pa
+    import ray
+    from tempeh_parser_ray.functions import dedup
+
+    base = pa.table({
+        "doc_id": pa.array([5, 5, 7], pa.int64()),
+        "text": pa.array(["a", "b", "b"], pa.string()),
+    })
+
+    def rows(ds):
+        out = _collect(ds)
+        return sorted(zip(out.column("doc_id").to_pylist(),
+                          out.column("text").to_pylist()))
+
+    bc = rows(dedup.exact_dedup(ray.data.from_arrow(base)))
+    jn = rows(dedup.exact_dedup(ray.data.from_arrow(base),
+                                broadcast_limit=0))
+    assert bc == jn == [(5, "a"), (5, "b")]
