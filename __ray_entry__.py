@@ -95,6 +95,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_error_contract": _q.extract_error_contract,
         # broadcast vocabulary scoring
         "doc_freq_score": _q.doc_freq_score,
+        # semi-structured + normalization
+        "events_json_props": _q.events_json_props,
+        "normalize_text": _q.normalize_text,
     }
 
 
@@ -584,6 +587,19 @@ def oracle_sql() -> dict[str, str]:
         FROM documents WHERE doc_id % 3 = 0
         ORDER BY corruption
     """
+    d["events_json_props"] = """
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(props::JSON->>'k' AS BIGINT)) AS BIGINT)
+                   AS sum_k
+        FROM events GROUP BY event_type ORDER BY event_type
+    """
+    d["normalize_text"] = (
+        "SELECT doc_id, "
+        "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) "
+        "AS norm_text, "
+        "CAST(length(trim(regexp_replace(lower(text), '\\s+', ' ', "
+        "'g'))) AS BIGINT) AS n_chars_norm FROM documents"
+    )
     d["doc_freq_score"] = r"""
         WITH tf AS (
             SELECT token, COUNT(*) AS n FROM (

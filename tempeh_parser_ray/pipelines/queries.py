@@ -1023,6 +1023,52 @@ def extract_spans(sf_dir: str) -> "ray.data.Dataset":
     return ex.map_batches(span_stats, batch_format="pyarrow")
 
 
+def events_json_props(sf_dir: str) -> pa.Table:
+    """Semi-structured extraction: parse the JSON ``props`` column
+    ({"k": N}) with a vectorized RE2 kernel (``pc.extract_regex`` —
+    zero Python per row) and roll the extracted ints up per event
+    type."""
+
+    def extract(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch.column("props"),
+                             r'"k":\s*(?P<k>-?\d+)')
+        k = pc.struct_field(m, "k").cast(pa.int64())
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "k": k,
+        })
+
+    agg = _events(sf_dir).map_batches(
+        extract, batch_format="pyarrow").groupby("event_type").aggregate(
+        ray.data.aggregate.Count(),
+        ray.data.aggregate.Sum("k"))
+    tbl = pa.Table.from_pylist(agg.take_all())
+    out = pa.table({
+        "event_type": tbl.column("event_type"),
+        "n_events": tbl.column("count()").cast(pa.int64()),
+        "sum_k": tbl.column("sum(k)").cast(pa.int64()),
+    })
+    return out.take(pc.sort_indices(
+        out, sort_keys=[("event_type", "ascending")]))
+
+
+def normalize_text(sf_dir: str) -> "ray.data.Dataset":
+    """Text normalization entirely in Arrow compute kernels (lowercase,
+    whitespace collapse, edge trim) — no Python string touches a row."""
+
+    def norm(batch: pa.Table) -> pa.Table:
+        x = pc.utf8_lower(batch.column("text"))
+        x = pc.replace_substring_regex(x, r"\s+", " ")
+        x = pc.utf8_trim(x, " ")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "norm_text": x,
+            "n_chars_norm": pc.utf8_length(x).cast(pa.int64()),
+        })
+
+    return _documents(sf_dir).map_batches(norm, batch_format="pyarrow")
+
+
 VOCAB_BROADCAST_LIMIT = 2_000_000
 
 
