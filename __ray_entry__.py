@@ -98,6 +98,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # semi-structured + normalization
         "events_json_props": _q.events_json_props,
         "normalize_text": _q.normalize_text,
+        # skew-safe (salted) sessionization, same contract as user_sessions
+        "user_sessions_salted": _q.user_sessions_salted,
     }
 
 
@@ -574,6 +576,7 @@ def oracle_sql() -> dict[str, str]:
     # alternate-source queries share the base oracles (same output contract)
     d["extract_text_jsonl"] = d["extract_text"]
     d["token_count_csv"] = d["token_count"]
+    d["user_sessions_salted"] = d["user_sessions"]
     d["extract_error_contract"] = """
         SELECT 'ff_insert' AS corruption, COUNT(*) AS n_docs,
                COUNT(*) AS n_errors, CAST(0 AS BIGINT) AS n_docs_with_text

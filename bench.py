@@ -58,7 +58,7 @@ QUERY_NAMES = [
     "extract_text_jsonl", "token_count_csv",
     "dedup_minhash_keep", "corpus_filter_funnel", "extract_spans",
     "extract_error_contract", "doc_freq_score",
-    "events_json_props", "normalize_text",
+    "events_json_props", "normalize_text", "user_sessions_salted",
 ]
 
 

@@ -695,6 +695,15 @@ def user_sessions(sf_dir: str) -> "ray.data.Dataset":
         ["user_id", "session_idx"])
 
 
+def user_sessions_salted(sf_dir: str) -> "ray.data.Dataset":
+    """Sessionization with hot-key salting: per-(user, day) local
+    sessionize + boundary stitch (pipelines/windows.py) — per-group
+    state bounded by a user's events per DAY, the skew-safe variant of
+    ``user_sessions`` for power users; identical output contract and
+    oracle."""
+    return _win.sessionize_salted(_events(sf_dir), gap_us=SESSION_GAP_US)
+
+
 def knn_cosine_ivf(sf_dir: str) -> pa.Table:
     """IVF (coarse k-means quantizer) approximate kNN — the inverted-
     list scale path alongside the LSH variant."""

@@ -103,6 +103,109 @@ def asof_last_event(events: "ray.data.Dataset", *,
     return grouped.map_batches(match, batch_format="pyarrow")
 
 
+DAY_US = 86_400_000_000
+
+
+def sessionize_salted(events: "ray.data.Dataset", *,
+                      gap_us: int, salt_unit_us: int = DAY_US,
+                      ) -> "ray.data.Dataset":
+    """Sessionization with HOT-KEY SALTING (FP-Hadoop-style skew
+    mitigation): stage 1 groups by ``(user, time-bucket)`` and
+    sessionizes each bucket locally, so per-group state is bounded by
+    one user's events per bucket, not their full history; stage 2
+    groups the per-bucket SESSION SUMMARIES (count, start, end — orders
+    of magnitude fewer rows than events) by user and stitches sessions
+    across bucket boundaries where the gap <= ``gap_us``.
+
+    Exact: within-bucket splits are correct by construction, and a
+    cross-boundary merge can only occur between time-adjacent sessions,
+    which the stitch pass checks with real timestamps (bucket width
+    must exceed ``gap_us``; default 1 day vs 30 min)."""
+    assert salt_unit_us > gap_us
+    from ..functions.dedup import collect_columns_agg
+
+    def ts_salt(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64())
+        # integer divide (ts are post-epoch, so trunc == floor)
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "salt": pc.divide(ts, salt_unit_us).cast(pa.int64()),
+            "ts_us": ts,
+        })
+
+    buckets = events.map_batches(
+        ts_salt, batch_format="pyarrow").groupby(
+        ["user_id", "salt"]).aggregate(
+        collect_columns_agg(["ts_us"], "ts_list"))
+
+    def bucket_sessions(batch: pa.Table) -> pa.Table:
+        out_u: list[int] = []
+        out_n: list[int] = []
+        out_s: list[int] = []
+        out_e: list[int] = []
+        for uid, ts_list in zip(batch.column("user_id").to_pylist(),
+                                batch.column("ts_list").to_pylist()):
+            ts = np.sort(np.asarray(ts_list, dtype=np.int64))
+            brk = np.nonzero(np.diff(ts) > gap_us)[0] + 1
+            starts = np.concatenate(([0], brk))
+            ends = np.concatenate((brk, [len(ts)]))
+            out_u.extend([uid] * len(starts))
+            out_n.extend((ends - starts).tolist())
+            out_s.extend(ts[starts].tolist())
+            out_e.extend(ts[ends - 1].tolist())
+        return pa.table({
+            "user_id": pa.array(out_u, pa.int64()),
+            "n": pa.array(out_n, pa.int64()),
+            "start_us": pa.array(out_s, pa.int64()),
+            "end_us": pa.array(out_e, pa.int64()),
+        })
+
+    partial = buckets.map_batches(bucket_sessions, batch_format="pyarrow")
+    merged = partial.groupby("user_id").aggregate(
+        collect_columns_agg(["n", "start_us", "end_us"], "sess"))
+
+    def stitch(batch: pa.Table) -> pa.Table:
+        out_u: list[int] = []
+        out_i: list[int] = []
+        out_n: list[int] = []
+        out_s: list[int] = []
+        out_e: list[int] = []
+        for uid, sess in zip(batch.column("user_id").to_pylist(),
+                             batch.column("sess").to_pylist()):
+            arr = np.asarray(sess, dtype=np.int64)
+            arr = arr[np.argsort(arr[:, 1], kind="stable")]
+            n, s, e = arr[:, 0], arr[:, 1], arr[:, 2]
+            # merge where the inter-session gap <= gap_us (only possible
+            # at bucket boundaries)
+            new = np.ones(len(s), dtype=bool)
+            new[1:] = (s[1:] - e[:-1]) > gap_us
+            grp = np.cumsum(new) - 1
+            k = int(grp[-1]) + 1 if len(grp) else 0
+            mn = np.zeros(k, np.int64)
+            ms = np.full(k, np.iinfo(np.int64).max)
+            me = np.zeros(k, np.int64)
+            np.add.at(mn, grp, n)
+            np.minimum.at(ms, grp, s)
+            np.maximum.at(me, grp, e)
+            out_u.extend([uid] * k)
+            out_i.extend(range(k))
+            out_n.extend(mn.tolist())
+            out_s.extend(ms.tolist())
+            out_e.extend(me.tolist())
+        return pa.table({
+            "user_id": pa.array(out_u, pa.int64()),
+            "session_idx": pa.array(out_i, pa.int64()),
+            "n_events": pa.array(out_n, pa.int64()),
+            "start_ts": pa.array(out_s, pa.int64()).cast(
+                pa.timestamp("us")),
+            "end_ts": pa.array(out_e, pa.int64()).cast(
+                pa.timestamp("us")),
+        })
+
+    return merged.map_batches(stitch, batch_format="pyarrow").sort(
+        ["user_id", "session_idx"])
+
+
 def sliding_hourly(events: "ray.data.Dataset", *, window_hours: int = 3,
                    ) -> pa.Table:
     """Sliding ``window_hours``-hour totals per event type, evaluated at

@@ -266,3 +266,38 @@ def test_exact_dedup_paths_agree_on_duplicate_ids(ray_session):
     jn = rows(dedup.exact_dedup(ray.data.from_arrow(base),
                                 broadcast_limit=0))
     assert bc == jn == [(5, "a"), (5, "b")]
+
+
+def test_salted_sessionization_stitches_bucket_boundaries(ray_session):
+    """Events straddling a day boundary within the gap must merge into
+    one session; a >gap day-boundary crossing must not. Also a session
+    chained across 3 buckets."""
+    import pyarrow as pa
+    import ray
+    from tempeh_parser_ray.pipelines import windows
+
+    DAY = windows.DAY_US
+    MIN = 60_000_000
+    rows = [
+        # user 1: 23:50, 00:10 next day (20 min gap -> ONE session)
+        (1, 1, DAY - 10 * MIN, "e", 0.0),
+        (2, 1, DAY + 10 * MIN, "e", 0.0),
+        # user 2: 23:00, next day 01:00 (2h gap -> TWO sessions)
+        (3, 2, DAY - 60 * MIN, "e", 0.0),
+        (4, 2, DAY + 60 * MIN, "e", 0.0),
+        # user 3: chain across 3 buckets: 23:55 d0, 00:05 d1, then a
+        # run of 20-min-spaced events up to 23:55 d1, 00:05 d2
+        (5, 3, DAY - 5 * MIN, "e", 0.0),
+        (6, 3, DAY + 5 * MIN, "e", 0.0),
+        (7, 3, 2 * DAY - 5 * MIN, "e", 0.0),
+        (8, 3, 2 * DAY + 5 * MIN, "e", 0.0),
+    ]
+    out = _collect(windows.sessionize_salted(
+        ray.data.from_arrow(_events_tbl(rows)), gap_us=30 * MIN))
+    per_user = {}
+    for r in out.to_pylist():
+        per_user.setdefault(r["user_id"], []).append(r["n_events"])
+    assert per_user[1] == [2]
+    assert per_user[2] == [1, 1]
+    # user 3: (5,6) merge, (7,8) merge, but 6->7 gap is ~24h -> 2 sessions
+    assert per_user[3] == [2, 2]
