@@ -100,6 +100,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": _q.normalize_text,
         # skew-safe (salted) sessionization, same contract as user_sessions
         "user_sessions_salted": _q.user_sessions_salted,
+        # sketch-prefiltered exact heavy hitters
+        "heavy_hitters": _q.heavy_hitters,
     }
 
 
@@ -603,6 +605,15 @@ def oracle_sql() -> dict[str, str]:
         "CAST(length(trim(regexp_replace(lower(text), '\\s+', ' ', "
         "'g'))) AS BIGINT) AS n_chars_norm FROM documents"
     )
+    d["heavy_hitters"] = r"""
+        WITH toks AS (
+            SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+            FROM documents WHERE trim(text) <> ''),
+        tot AS (SELECT COUNT(*) AS c FROM toks)
+        SELECT token, COUNT(*) AS n FROM toks GROUP BY token
+        HAVING COUNT(*) >= GREATEST((SELECT c FROM tot) // 200, 1)
+        ORDER BY n DESC, token ASC
+    """
     d["doc_freq_score"] = r"""
         WITH tf AS (
             SELECT token, COUNT(*) AS n FROM (

@@ -106,6 +106,139 @@ def grouped_quantiles(ds: "ray.data.Dataset", group_col: str,
     return pa.table(cols)
 
 
+# --- Count-Min sketch ---------------------------------------------------
+
+CMS_D = 4       # hash rows
+CMS_W = 4096    # counters per row; eps ~ e/W
+
+
+def _cms_hash_tokens(tokens: list[str]) -> np.ndarray:
+    """(len(tokens), CMS_D) column indices from md5 (stable, seedless):
+    one digest yields all four 16-bit-sliced row positions."""
+    idx = np.empty((len(tokens), CMS_D), dtype=np.int64)
+    for i, t in enumerate(tokens):
+        digest = hashlib.md5(t.encode("utf-8")).digest()
+        for d in range(CMS_D):
+            idx[i, d] = int.from_bytes(
+                digest[4 * d:4 * d + 4], "little") % CMS_W
+    return idx
+
+
+def cms_from_counts(counts: dict[str, int]) -> np.ndarray:
+    """CMS_D x CMS_W uint64 sketch of a token->count map."""
+    sketch = np.zeros((CMS_D, CMS_W), dtype=np.uint64)
+    if not counts:
+        return sketch
+    toks = list(counts)
+    idx = _cms_hash_tokens(toks)
+    vals = np.asarray([counts[t] for t in toks], dtype=np.uint64)
+    for d in range(CMS_D):
+        np.add.at(sketch[d], idx[:, d], vals)
+    return sketch
+
+
+def cms_estimate(sketch: np.ndarray, tokens: list[str]) -> np.ndarray:
+    """Point estimates (upper bounds with the usual CMS guarantee)."""
+    if not tokens:
+        return np.zeros(0, dtype=np.uint64)
+    idx = _cms_hash_tokens(tokens)
+    ests = np.stack([sketch[d][idx[:, d]] for d in range(CMS_D)])
+    return ests.min(axis=0)
+
+
+def cms_sum_agg(col: str = "cms", name: str = "cms"):
+    """Grouped/global aggregate: elementwise sum of sketch rows."""
+    from ray.data.block import BlockAccessor
+
+    def acc_block(acc, block):
+        t = BlockAccessor.for_block(block).to_arrow()
+        for buf in t.column(col).to_pylist():
+            s = np.frombuffer(buf, dtype=np.uint64).reshape(CMS_D, CMS_W)
+            acc = s.copy() if acc is None else acc + s
+        return acc
+
+    def merge(a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return a + b
+
+    return ray.data.aggregate.AggregateFn(
+        init=lambda k: None,
+        accumulate_block=acc_block,
+        merge=merge,
+        finalize=lambda a: (a if a is not None else np.zeros(
+            (CMS_D, CMS_W), np.uint64)).tobytes(),
+        name=name)
+
+
+def heavy_hitter_tokens(ds: "ray.data.Dataset", text_col: str,
+                        divisor: int = 200) -> pa.Table:
+    """EXACT heavy hitters (tokens with total count >= total_tokens //
+    divisor) found with a Count-Min prefilter:
+
+    1. one pass builds per-batch CMS partials + token totals; sketches
+       merge by elementwise sum (a pure aggregate, 128 KiB rows);
+    2. a second pass re-scans tokens and keeps only those whose CMS
+       upper bound clears the threshold — a SUPERSET of the true heavy
+       hitters (CMS never underestimates), so the exact groupby that
+       follows runs over the tiny candidate set, never the vocabulary;
+    3. exact counts filter to the final answer.
+
+    The sketch bounds stage-3's input regardless of vocabulary size —
+    the pattern that replaces a full token groupby at 10^12 tokens."""
+    from collections import Counter
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            c.update(tokenize(t))
+        return pa.table({
+            "cms": pa.array([cms_from_counts(dict(c)).tobytes()],
+                            pa.binary()),
+            "n_tokens": pa.array([sum(c.values())], pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    total = int(parts.sum("n_tokens") or 0)
+    agg = parts.aggregate(cms_sum_agg("cms", "cms"))
+    sketch = np.frombuffer(agg["cms"], dtype=np.uint64).reshape(
+        CMS_D, CMS_W)
+    threshold = max(total // divisor, 1)
+    sk_ref = ray.put(sketch)
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        sk = ray.get(sk_ref)
+        c: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            c.update(tokenize(t))
+        toks = list(c)
+        keep = cms_estimate(sk, toks) >= np.uint64(threshold)
+        toks = [t for t, k in zip(toks, keep) if k]
+        return pa.table({
+            "token": pa.array(toks, pa.string()),
+            "n": pa.array([c[t] for t in toks], pa.int64()),
+        })
+
+    exact = ds.map_batches(
+        candidates, batch_format="pyarrow").groupby("token").aggregate(
+        ray.data.aggregate.Sum("n"))
+    parts2 = list(exact.iter_batches(batch_format="pyarrow",
+                                     batch_size=None))
+    if not parts2:
+        return pa.table({"token": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    tbl = pa.concat_tables(parts2)
+    tbl = pa.table({
+        "token": tbl.column("token"),
+        "n": tbl.column("sum(n)").cast(pa.int64()),
+    })
+    tbl = tbl.filter(pa.compute.greater_equal(tbl.column("n"), threshold))
+    return tbl.take(pa.compute.sort_indices(
+        tbl, sort_keys=[("n", "descending"), ("token", "ascending")]))
+
+
 # --- HyperLogLog --------------------------------------------------------
 
 HLL_P = 12  # 4096 registers; relative error ~1.04/sqrt(4096) = 1.6%

@@ -695,6 +695,15 @@ def user_sessions(sf_dir: str) -> "ray.data.Dataset":
         ["user_id", "session_idx"])
 
 
+def heavy_hitters(sf_dir: str) -> pa.Table:
+    """Exact heavy-hitter tokens (count >= total_tokens // 200) via a
+    Count-Min-sketch prefilter + exact verify of the candidate superset
+    (functions/sketches.py) — the sketch bounds the exact aggregate's
+    input regardless of vocabulary size."""
+    return _sk.heavy_hitter_tokens(_documents(sf_dir), "text",
+                                   divisor=200)
+
+
 def user_sessions_salted(sf_dir: str) -> "ray.data.Dataset":
     """Sessionization with hot-key salting: per-(user, day) local
     sessionize + boundary stitch (pipelines/windows.py) — per-group

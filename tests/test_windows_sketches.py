@@ -301,3 +301,39 @@ def test_salted_sessionization_stitches_bucket_boundaries(ray_session):
     assert per_user[2] == [1, 1]
     # user 3: (5,6) merge, (7,8) merge, but 6->7 gap is ~24h -> 2 sessions
     assert per_user[3] == [2, 2]
+
+
+def test_cms_never_underestimates():
+    """The Count-Min guarantee the heavy-hitter prefilter relies on:
+    estimates are always >= true counts (merge preserves it)."""
+    import numpy as np
+    rng = np.random.RandomState(3)
+    counts_a = {f"t{i}": int(rng.randint(1, 50)) for i in range(300)}
+    counts_b = {f"t{i}": int(rng.randint(1, 50)) for i in range(150, 450)}
+    sk = (sketches.cms_from_counts(counts_a)
+          + sketches.cms_from_counts(counts_b))
+    truth = {t: counts_a.get(t, 0) + counts_b.get(t, 0)
+             for t in set(counts_a) | set(counts_b)}
+    toks = list(truth)
+    est = sketches.cms_estimate(sk, toks)
+    assert all(int(e) >= truth[t] for e, t in zip(est, toks))
+
+
+def test_heavy_hitters_match_exact(ray_session):
+    import duckdb
+    import ray
+    from tempeh_parser_ray.functions import sketches as sk
+    docs = str(Path(SF_DIR) / "documents.parquet")
+    got = sk.heavy_hitter_tokens(
+        ray.data.read_parquet(docs), "text", divisor=100)
+    ora = duckdb.sql(f"""
+        WITH toks AS (
+            SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+            FROM read_parquet('{docs}') WHERE trim(text) <> ''),
+        tot AS (SELECT COUNT(*) AS c FROM toks)
+        SELECT token, COUNT(*) AS n FROM toks GROUP BY token
+        HAVING COUNT(*) >= GREATEST((SELECT c FROM tot) // 100, 1)
+        ORDER BY n DESC, token ASC
+    """).df()
+    assert got.column("token").to_pylist() == ora["token"].tolist()
+    assert got.column("n").to_pylist() == ora["n"].tolist()
