@@ -245,12 +245,14 @@ def _mutated_corpus(sf_dir: str) -> "ray.data.Dataset":
 
     clones = docs.map_batches(mutate, batch_format="pyarrow")
     # the raw read yields only a handful of blocks; re-split so the
-    # downstream shingle/minhash actor pools see enough tasks to scale.
+    # downstream shingle/minhash actor pools see enough tasks to scale
+    # (16 = 2 waves over the <=8-actor pool; 32 doubled the bucket
+    # shuffle's task count for no occupancy gain, measured).
     # Materialized ONCE because the dedup pipelines consume it twice
     # (candidate generation + the verify semi-join fetch) — without it
     # the whole build re-executes per consumer. At 100 TB the
     # equivalent is persisting the mutated corpus to parquet.
-    return docs.union(clones).repartition(32).materialize()
+    return docs.union(clones).repartition(16).materialize()
 
 
 def dedup_minhash(sf_dir: str) -> pa.Table:
