@@ -59,7 +59,8 @@ QUERY_NAMES = [
     "dedup_minhash_keep", "corpus_filter_funnel", "extract_spans",
     "extract_error_contract", "doc_freq_score",
     "events_json_props", "normalize_text", "user_sessions_salted",
-    "heavy_hitters",
+    "heavy_hitters", "doc_fingerprint_shingle", "ngram_jaccard_pairs",
+    "parse_fixture_corpus",
 ]
 
 
