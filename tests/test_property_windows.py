@@ -1,0 +1,156 @@
+"""Property-based (hypothesis) checks: the distributed temporal/sketch
+operators must equal brute-force single-machine models on arbitrary
+small inputs. Few examples, session-scoped Ray — each example runs
+real Dataset pipelines."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tempeh_parser_ray.functions import dedup, sketches
+from tempeh_parser_ray.pipelines import windows
+
+_SET = settings(max_examples=12, deadline=None,
+                suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+def _collect(ds) -> pa.Table:
+    parts = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not parts:
+        return pa.schema([]).empty_table()
+    return pa.concat_tables(parts)
+
+
+MIN = 60_000_000
+
+events_strategy = st.lists(
+    st.tuples(st.integers(0, 3),                 # user
+              st.integers(0, 5000)),             # minutes since epoch
+    min_size=1, max_size=60)
+
+
+@given(events_strategy)
+@_SET
+def test_salted_sessionization_equals_global_gap_split(ray_session, evs):
+    ray = ray_session
+    gap = 30 * MIN
+    tbl = pa.table({
+        "user_id": pa.array([u for u, _ in evs], pa.int64()),
+        "ts": pa.array([m * MIN for _, m in evs], pa.int64()).cast(
+            pa.timestamp("us")),
+    })
+    got = _collect(windows.sessionize_salted(
+        ray.data.from_arrow(tbl), gap_us=gap)).to_pylist()
+
+    # brute force: global sort per user, split at gap
+    expect = []
+    for u in sorted({u for u, _ in evs}):
+        ts = sorted(m * MIN for uu, m in evs if uu == u)
+        sessions = [[ts[0], ts[0], 1]]
+        for t in ts[1:]:
+            if t - sessions[-1][1] > gap:
+                sessions.append([t, t, 1])
+            else:
+                sessions[-1][1] = t
+                sessions[-1][2] += 1
+        for i, (s, e, n) in enumerate(sessions):
+            expect.append((u, i, n, s, e))
+    import datetime
+    epoch = datetime.datetime(1970, 1, 1)
+
+    def us(v):  # tz-safe naive-datetime -> epoch micros
+        return int((v - epoch).total_seconds() * 1e6) \
+            if isinstance(v, datetime.datetime) else int(v)
+
+    got_t = [(r["user_id"], r["session_idx"], r["n_events"],
+              us(r["start_ts"]), us(r["end_ts"])) for r in got]
+    assert sorted(got_t) == sorted(expect)
+
+
+asof_strategy = st.lists(
+    st.tuples(st.integers(0, 2),                 # user
+              st.integers(0, 200),               # ts units
+              st.booleans()),                    # is purchase (else click)
+    min_size=1, max_size=40)
+
+
+@given(asof_strategy)
+@_SET
+def test_asof_equals_bruteforce(ray_session, evs):
+    ray = ray_session
+    rows = [(i, u, t * MIN, "purchase" if p else "click", 0.0)
+            for i, (u, t, p) in enumerate(evs)]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.int64()).cast(
+            pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+    })
+    got = {r["event_id"]: r["prior_event_id"]
+           for r in _collect(windows.asof_last_event(
+               ray.data.from_arrow(tbl), left_type="purchase",
+               right_type="click")).to_pylist()}
+
+    purchases = [r for r in rows if r[3] == "purchase"]
+    clicks = [r for r in rows if r[3] == "click"]
+    assert set(got) == {p[0] for p in purchases}
+    for pid, pu, pts, _, _ in purchases:
+        cands = [(c[2], c[0]) for c in clicks
+                 if c[1] == pu and c[2] <= pts]
+        expect = max(cands)[1] if cands else None
+        assert got[pid] == expect, (pid, got[pid], expect)
+
+
+pairs_strategy = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)),
+    min_size=0, max_size=25)
+
+
+@given(pairs_strategy)
+@_SET
+def test_keep_canonical_equals_bruteforce_components(ray_session, edges):
+    ray = ray_session
+    edges = [(a, b) for a, b in edges if a != b]
+    nodes = list(range(16))
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(nodes, pa.int64()),
+        "text": pa.array([str(n) for n in nodes], pa.string())}))
+    pairs = ray.data.from_arrow(pa.table({
+        "id_a": pa.array([a for a, _ in edges], pa.int64()),
+        "id_b": pa.array([b for _, b in edges], pa.int64())}))
+    kept = sorted(_collect(dedup.keep_canonical(docs, pairs))
+                  .column("doc_id").to_pylist()) if edges else nodes
+
+    # brute force: connected components via repeated expansion
+    comp = {n: {n} for n in nodes}
+    changed = True
+    while changed:
+        changed = False
+        for a, b in edges:
+            merged = comp[a] | comp[b]
+            for m in merged:
+                if comp[m] != merged:
+                    comp[m] = merged
+                    changed = True
+    expect = sorted({min(comp[n]) for n in nodes})
+    assert kept == expect
+
+
+counts_strategy = st.dictionaries(
+    st.text(alphabet="abcdefgh", min_size=1, max_size=4),
+    st.integers(1, 100), min_size=0, max_size=40)
+
+
+@given(counts_strategy)
+@_SET
+def test_cms_upper_bound_property(counts):
+    sk = sketches.cms_from_counts(counts)
+    toks = list(counts)
+    est = sketches.cms_estimate(sk, toks)
+    for t, e in zip(toks, est):
+        assert int(e) >= counts[t]
