@@ -330,15 +330,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
             FROM documents
         """,
-        # closed form of the real PNG-header decode: the synthesized
-        # 33-byte PNG payloads carry dims as functions of doc_id
+        # closed form of the real container-header decode: payloads
+        # cycle PNG/GIF/JPEG/BMP by doc_id%4 with dims/channels as
+        # functions of doc_id
         "image_header_dims": """
             SELECT doc_id AS media_id,
                    CAST(1 + doc_id % 640 AS INTEGER) AS width,
                    CAST(1 + (doc_id * 7) % 480 AS INTEGER) AS height,
-                   CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3
-                        ELSE 4 END AS INTEGER) AS channels,
-                   CAST(33 AS BIGINT) AS n_bytes
+                   CAST(CASE WHEN doc_id % 4 = 0 THEN
+                             CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3
+                                  ELSE 4 END
+                        ELSE 3 END AS INTEGER) AS channels,
+                   CAST(CASE doc_id % 4 WHEN 0 THEN 33 WHEN 1 THEN 13
+                        WHEN 2 THEN 12 ELSE 26 END AS BIGINT) AS n_bytes
             FROM documents
         """,
         "frame_offsets": """

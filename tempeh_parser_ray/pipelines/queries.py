@@ -376,34 +376,51 @@ def multimodal_features(sf_dir: str) -> "ray.data.Dataset":
         batch_format="pyarrow")
 
 
-def _png_blob_batch(batch: pa.Table) -> pa.Table:
-    """Deterministic minimal PNG payload per doc (8-byte signature +
-    IHDR chunk, 33 bytes total): dims/color-type are closed functions of
-    doc_id, so the REAL header-decode path is SQL-checkable."""
+def _image_blob_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic minimal image payload per doc cycling ALL FOUR
+    container formats the header parser supports (doc_id%4: PNG / GIF /
+    JPEG / BMP): dims and channels are closed functions of doc_id, so
+    the REAL header-decode path is SQL-checkable per format."""
     import struct
 
     ids = batch.column("doc_id").to_pylist()
     blobs = []
+    types = []
     for d in ids:
         w = 1 + d % 640
         h = 1 + (d * 7) % 480
-        ct = (0, 2, 6)[d % 3]
-        ihdr = struct.pack(">II5B", w, h, 8, ct, 0, 0, 0)
-        blobs.append(b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13)
-                     + b"IHDR" + ihdr + b"\x00\x00\x00\x00")
+        fmt = d % 4
+        if fmt == 0:  # PNG: signature + IHDR chunk (33 bytes)
+            ct = (0, 2, 6)[d % 3]
+            ihdr = struct.pack(">II5B", w, h, 8, ct, 0, 0, 0)
+            blobs.append(b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13)
+                         + b"IHDR" + ihdr + b"\x00\x00\x00\x00")
+            types.append("image/png")
+        elif fmt == 1:  # GIF89a logical screen descriptor (13 bytes)
+            blobs.append(b"GIF89a" + struct.pack("<HH3B", w, h, 0, 0, 0))
+            types.append("image/gif")
+        elif fmt == 2:  # JPEG: SOI + SOF0 with 3 components (12 bytes)
+            blobs.append(b"\xff\xd8\xff\xc0" + struct.pack(
+                ">HBHHB", 8, 8, h, w, 3))
+            types.append("image/jpeg")
+        else:  # BMP: BITMAPINFOHEADER prefix (26 bytes)
+            blobs.append(b"BM" + b"\x00" * 16
+                         + struct.pack("<ii", w, h))
+            types.append("image/bmp")
     return pa.table({
         "media_id": pa.array(ids, pa.int64()),
         "media": pa.array(blobs, pa.binary()),
-        "media_type": pa.array(["image/png"] * len(ids), pa.string()),
+        "media_type": pa.array(types, pa.string()),
     })
 
 
 def image_header_dims(sf_dir: str) -> "ray.data.Dataset":
-    """REAL (dependency-free) image decode over PNG payloads: the
-    container-header parser extracts true width/height/channels — not
-    the byte-length stub (functions/multimodal.py:parse_image_header)."""
+    """REAL (dependency-free) image decode over PNG/GIF/JPEG/BMP
+    payloads: the container-header parser extracts true
+    width/height/channels per format — not the byte-length stub
+    (functions/multimodal.py:parse_image_header)."""
     ds = _documents(sf_dir).map_batches(
-        _png_blob_batch, batch_format="pyarrow").map_batches(
+        _image_blob_batch, batch_format="pyarrow").map_batches(
         _mm.DecodeImageBatch, batch_format="pyarrow",
         concurrency=_q_pool(),
         fn_constructor_kwargs=dict(strict=False))
