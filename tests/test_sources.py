@@ -85,3 +85,29 @@ def test_jsonl_and_csv_sources_match_parquet_path(ray_session, tmp_path):
                      batch_format="pyarrow"))
     got = {r["doc_id"]: r["n_tokens"] for r in back.to_pylist()}
     assert got == {1: 3, 2: 3, 3: 0}
+
+
+def test_source_cache_rebuild_after_interrupted_build(ray_session, tmp_path):
+    """An interrupted materialization (data present, no marker) must be
+    rebuilt from scratch, not appended to (review finding: duplicate
+    rows survived forever)."""
+    from tempeh_parser_ray.sources import jsonl_corpus as jc
+
+    calls = []
+
+    def build(out):
+        calls.append(out)
+        (out / "data.txt").write_text("v%d" % len(calls))
+
+    out = tmp_path / "cache" / "fmt"
+    # simulate a crashed build: leftover final dir + temp dir, no marker
+    (out / "stale").mkdir(parents=True)
+    (out.parent / "fmt.tmp" / "junk").mkdir(parents=True)
+    got = jc._materialize(out, build)
+    assert got == out
+    assert (out / "data.txt").read_text() == "v1"
+    assert not (out / "stale").exists()          # stale dir replaced
+    assert not (out.parent / "fmt.tmp").exists()  # temp cleaned
+    # second call: marker present -> no rebuild
+    jc._materialize(out, build)
+    assert len(calls) == 1
