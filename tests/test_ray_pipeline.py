@@ -326,3 +326,32 @@ def test_shard_writer_retry_is_idempotent(tmp_path):
     total = sum(pq.read_table(f).num_rows for f in files1)
     assert total == 3
     assert "shard" not in pq.read_table(files1[0]).column_names
+
+
+def test_streaming_split_ingest_covers_all_docs(ray_session):
+    """Training-ingest surface: the extraction output feeds N parallel
+    consumers via streaming_split; together they must see every doc
+    exactly once (equal-split disabled, order-free)."""
+    import threading
+
+    import pyarrow as pa
+    import ray
+
+    from tempeh_parser_ray.pipelines import queries as q
+
+    ds = q.extract_text("/root/testdata/sf0.001")
+    it_a, it_b = ds.streaming_split(2, equal=False)
+    seen: list[set] = [set(), set()]
+
+    def consume(it, acc: set) -> None:
+        for batch in it.iter_batches(batch_format="pyarrow"):
+            acc.update(batch.column("doc_id").to_pylist())
+
+    threads = [threading.Thread(target=consume, args=(it, s))
+               for it, s in zip((it_a, it_b), seen)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not (seen[0] & seen[1])
+    assert len(seen[0] | seen[1]) == 500
