@@ -48,8 +48,12 @@ def _join_parts() -> int:
     return max(2, min(64, n // 8))
 
 
-def _documents(sf_dir: str) -> "ray.data.Dataset":
-    return ray.data.read_parquet(str(Path(sf_dir) / "documents.parquet"))
+def _documents(sf_dir: str, columns: list[str] | None = None
+               ) -> "ray.data.Dataset":
+    """documents table; pass ``columns`` so only the needed columns
+    leave storage (column pruning pushes down to the parquet read)."""
+    return ray.data.read_parquet(
+        str(Path(sf_dir) / "documents.parquet"), columns=columns)
 
 
 def _embeddings(sf_dir: str) -> "ray.data.Dataset":
@@ -60,8 +64,11 @@ def _embeddings(sf_dir: str) -> "ray.data.Dataset":
         str(Path(sf_dir) / "embeddings.parquet")).repartition(16)
 
 
-def _events(sf_dir: str) -> "ray.data.Dataset":
-    return ray.data.read_parquet(str(Path(sf_dir) / "events.parquet"))
+def _events(sf_dir: str, columns: list[str] | None = None
+            ) -> "ray.data.Dataset":
+    """events table with column pruning pushed to the parquet read."""
+    return ray.data.read_parquet(
+        str(Path(sf_dir) / "events.parquet"), columns=columns)
 
 
 def _corpus(sf_dir: str) -> "ray.data.Dataset":
@@ -137,34 +144,34 @@ def parse_fixture_corpus(sf_dir: str) -> "ray.data.Dataset":
 
 
 def token_count(sf_dir: str) -> "ray.data.Dataset":
-    return _documents(sf_dir).map_batches(
+    return _documents(sf_dir, ["doc_id", "text"]).map_batches(
         _ts.token_count_batch, batch_format="pyarrow")
 
 
 def quality_score(sf_dir: str) -> "ray.data.Dataset":
-    return _documents(sf_dir).map_batches(
+    return _documents(sf_dir, ["doc_id", "text"]).map_batches(
         _ts.quality_batch, batch_format="pyarrow")
 
 
 def doc_fingerprint(sf_dir: str) -> "ray.data.Dataset":
-    return _documents(sf_dir).map_batches(
+    return _documents(sf_dir, ["doc_id", "text"]).map_batches(
         _ts.fingerprint_batch, batch_format="pyarrow").map_batches(
         lambda b: b.select(["doc_id", "fp_md5"]), batch_format="pyarrow")
 
 
 def doc_fingerprint_shingle(sf_dir: str) -> "ray.data.Dataset":
     """Rolling-shingle winnowing fingerprint (not SQL-expressible)."""
-    return _documents(sf_dir).map_batches(
+    return _documents(sf_dir, ["doc_id", "text"]).map_batches(
         _ts.fingerprint_batch, batch_format="pyarrow")
 
 
 def lang_id(sf_dir: str) -> "ray.data.Dataset":
-    return _documents(sf_dir).map_batches(
+    return _documents(sf_dir, ["doc_id", "text"]).map_batches(
         _ts.lang_id_batch, batch_format="pyarrow")
 
 
 def lang_stats(sf_dir: str) -> pa.Table:
-    agg = _documents(sf_dir).groupby("lang").aggregate(
+    agg = _documents(sf_dir, ["lang", "n_chars"]).groupby("lang").aggregate(
         ray.data.aggregate.Count(),
         ray.data.aggregate.Sum("n_chars"),
         ray.data.aggregate.Mean("n_chars"),
@@ -179,7 +186,7 @@ def lang_stats(sf_dir: str) -> pa.Table:
 
 
 def top_sources(sf_dir: str) -> pa.Table:
-    agg = _documents(sf_dir).groupby("source").aggregate(
+    agg = _documents(sf_dir, ["source"]).groupby("source").aggregate(
         ray.data.aggregate.Count())
     tbl = pa.Table.from_pylist(agg.take_all())
     tbl = pa.table({
@@ -203,7 +210,7 @@ def events_by_type(sf_dir: str) -> pa.Table:
             "value_micros": micros.cast(pa.int64()),
         })
 
-    agg = _events(sf_dir).map_batches(
+    agg = _events(sf_dir, ["event_type", "value"]).map_batches(
         to_micros, batch_format="pyarrow").groupby("event_type").aggregate(
         ray.data.aggregate.Count(),
         ray.data.aggregate.Sum("value_micros"),
@@ -362,7 +369,8 @@ def _media_table(sf_dir: str) -> "ray.data.Dataset":
                                    pa.string()),
         })
 
-    return _documents(sf_dir).map_batches(to_media, batch_format="pyarrow")
+    return _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        to_media, batch_format="pyarrow")
 
 
 def multimodal_features(sf_dir: str) -> "ray.data.Dataset":
@@ -419,7 +427,7 @@ def image_header_dims(sf_dir: str) -> "ray.data.Dataset":
     payloads: the container-header parser extracts true
     width/height/channels per format — not the byte-length stub
     (functions/multimodal.py:parse_image_header)."""
-    ds = _documents(sf_dir).map_batches(
+    ds = _documents(sf_dir, ["doc_id"]).map_batches(
         _image_blob_batch, batch_format="pyarrow").map_batches(
         _mm.DecodeImageBatch, batch_format="pyarrow",
         concurrency=_q_pool(),
@@ -560,7 +568,8 @@ def events_windowed(sf_dir: str) -> pa.Table:
             "value_micros": _micros(batch.column("value")),
         })
 
-    agg = _events(sf_dir).map_batches(win, batch_format="pyarrow").groupby(
+    agg = _events(sf_dir, ["event_type", "ts", "value"]).map_batches(
+        win, batch_format="pyarrow").groupby(
         ["event_type", "window_start"]).aggregate(
         ray.data.aggregate.Count(),
         ray.data.aggregate.Sum("value_micros"),
@@ -618,7 +627,7 @@ def extract_multi_encoding(sf_dir: str) -> "ray.data.Dataset":
 
 def token_count_bpe(sf_dir: str) -> "ray.data.Dataset":
     """BPE-ish pretokenizer counts (letter/digit/symbol runs)."""
-    return _documents(sf_dir).map_batches(
+    return _documents(sf_dir, ["doc_id", "text"]).map_batches(
         _ts.token_count_regex_batch, batch_format="pyarrow")
 
 
@@ -681,7 +690,7 @@ def user_sessions(sf_dir: str) -> "ray.data.Dataset":
             "ts_us": batch.column("ts").cast(pa.int64()),
         })
 
-    users = _events(sf_dir).map_batches(
+    users = _events(sf_dir, ["user_id", "ts"]).map_batches(
         ts_rows, batch_format="pyarrow").groupby("user_id").aggregate(
         _dedup.collect_columns_agg(["ts_us"], "ts_list"))
 
@@ -719,7 +728,7 @@ def heavy_hitters(sf_dir: str) -> pa.Table:
     Count-Min-sketch prefilter + exact verify of the candidate superset
     (functions/sketches.py) — the sketch bounds the exact aggregate's
     input regardless of vocabulary size."""
-    return _sk.heavy_hitter_tokens(_documents(sf_dir), "text",
+    return _sk.heavy_hitter_tokens(_documents(sf_dir, ["text"]), "text",
                                    divisor=200)
 
 
@@ -729,7 +738,8 @@ def user_sessions_salted(sf_dir: str) -> "ray.data.Dataset":
     state bounded by a user's events per DAY, the skew-safe variant of
     ``user_sessions`` for power users; identical output contract and
     oracle."""
-    return _win.sessionize_salted(_events(sf_dir), gap_us=SESSION_GAP_US)
+    return _win.sessionize_salted(_events(sf_dir, ["user_id", "ts"]),
+                                  gap_us=SESSION_GAP_US)
 
 
 def knn_cosine_ivf(sf_dir: str) -> pa.Table:
@@ -772,7 +782,7 @@ def term_doc_freq(sf_dir: str) -> pa.Table:
             out.extend(set(_ts.tokenize(t)))
         return pa.table({"token": pa.array(out, pa.string())})
 
-    agg = _documents(sf_dir).map_batches(
+    agg = _documents(sf_dir, ["text"]).map_batches(
         explode, batch_format="pyarrow").groupby("token").aggregate(
         ray.data.aggregate.Count())
     tbl = pa.Table.from_pylist(agg.take_all())
@@ -842,7 +852,7 @@ def top_doc_per_lang(sf_dir: str) -> pa.Table:
     def partial(batch: pa.Table) -> pa.Table:
         return _lang_winners(batch.select(["lang", "doc_id", "n_chars"]))
 
-    parts = list(_documents(sf_dir).map_batches(
+    parts = list(_documents(sf_dir, ["lang", "doc_id", "n_chars"]).map_batches(
         partial, batch_format="pyarrow").iter_batches(
         batch_format="pyarrow", batch_size=None))
     if not parts:
@@ -857,14 +867,16 @@ def events_asof_join(sf_dir: str) -> "ray.data.Dataset":
     recent click at-or-before it (nulls when none) — the custom
     temporal-join operator from the builder brief, expressed as one
     grouped collect + vectorized searchsorted (pipelines/windows.py)."""
-    return _win.asof_last_event(_events(sf_dir), left_type="purchase",
-                                right_type="click")
+    return _win.asof_last_event(
+        _events(sf_dir, ["event_id", "user_id", "ts", "event_type"]),
+        left_type="purchase", right_type="click")
 
 
 def events_sliding_3h(sf_dir: str) -> pa.Table:
     """Sliding 3-hour windowed totals per event type (RANGE window over
     the hourly pre-aggregate)."""
-    return _win.sliding_hourly(_events(sf_dir), window_hours=3)
+    return _win.sliding_hourly(
+        _events(sf_dir, ["event_type", "ts", "value"]), window_hours=3)
 
 
 def doc_length_percentiles(sf_dir: str) -> pa.Table:
@@ -872,7 +884,8 @@ def doc_length_percentiles(sf_dir: str) -> pa.Table:
     value-count histogram (only pre-combined (lang, n_chars, count)
     rows shuffle; the quantile extraction reads the bounded per-group
     histogram, matching DuckDB quantile_disc)."""
-    return _sk.grouped_quantiles(_documents(sf_dir), "lang", "n_chars",
+    return _sk.grouped_quantiles(
+        _documents(sf_dir, ["lang", "n_chars"]), "lang", "n_chars",
                                  [0.5, 0.9, 0.99], ["p50", "p90", "p99"])
 
 
@@ -912,7 +925,7 @@ def bigram_counts(sf_dir: str) -> pa.Table:
             "n": pa.array(list(c.values()), pa.int64()),
         })
 
-    agg = _documents(sf_dir).map_batches(
+    agg = _documents(sf_dir, ["text"]).map_batches(
         partial, batch_format="pyarrow").groupby("bigram").aggregate(
         ray.data.aggregate.Sum("n"))
     tbl = pa.Table.from_pylist(agg.take_all())
@@ -941,7 +954,7 @@ def distinct_tokens_per_lang(sf_dir: str) -> pa.Table:
         return pa.table({"lang": pa.array(langs, pa.string()),
                          "token": pa.array(toks, pa.string())})
 
-    pairs = _documents(sf_dir).map_batches(
+    pairs = _documents(sf_dir, ["lang", "text"]).map_batches(
         explode, batch_format="pyarrow").groupby(
         ["lang", "token"]).count().drop_columns(["count()"])
     agg = pairs.groupby("lang").count()
@@ -958,7 +971,8 @@ def approx_distinct_tokens_hll(sf_dir: str) -> pa.Table:
     sketch path that replaces the exact vocabulary groupby at 10^12
     tokens. Approximate by nature (rows-only for the driver); pytest
     bounds the error vs the exact count (functions/sketches.py)."""
-    return _sk.grouped_hll_distinct(_documents(sf_dir), "lang", "text")
+    return _sk.grouped_hll_distinct(
+        _documents(sf_dir, ["lang", "text"]), "lang", "text")
 
 
 TOPK_PER_LANG = 3
@@ -1075,7 +1089,7 @@ def events_json_props(sf_dir: str) -> pa.Table:
             "k": k,
         })
 
-    agg = _events(sf_dir).map_batches(
+    agg = _events(sf_dir, ["event_type", "props"]).map_batches(
         extract, batch_format="pyarrow").groupby("event_type").aggregate(
         ray.data.aggregate.Count(),
         ray.data.aggregate.Sum("k"))
@@ -1103,7 +1117,8 @@ def normalize_text(sf_dir: str) -> "ray.data.Dataset":
             "n_chars_norm": pc.utf8_length(x).cast(pa.int64()),
         })
 
-    return _documents(sf_dir).map_batches(norm, batch_format="pyarrow")
+    return _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        norm, batch_format="pyarrow")
 
 
 VOCAB_BROADCAST_LIMIT = 2_000_000
@@ -1119,7 +1134,7 @@ def doc_freq_score(sf_dir: str) -> "ray.data.Dataset":
     distributed (doc_id, token) x tf shuffle join + per-doc sum above
     it (web-scale vocabularies do not fit a driver dict). Both paths
     are exact-integer, so the SQL join oracle matches bit-for-bit."""
-    docs = _documents(sf_dir)
+    docs = _documents(sf_dir, ["doc_id", "text"])
     tf = docs.map_batches(
         _explode_tokens, batch_format="pyarrow").groupby(
         "token").count().materialize()
@@ -1313,7 +1328,7 @@ def corpus_filter_funnel(sf_dir: str) -> pa.Table:
             "s3": pa.array(s3.astype(np.int64), pa.int64()),
         })
 
-    per_doc = _documents(sf_dir).map_batches(
+    per_doc = _documents(sf_dir, ["doc_id", "text"]).map_batches(
         flags, batch_format="pyarrow").materialize()
     n0 = per_doc.count()
     sums = per_doc.sum(["s1", "s2", "s3"])
