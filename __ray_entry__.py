@@ -102,6 +102,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions_salted": _q.user_sessions_salted,
         # sketch-prefiltered exact heavy hitters
         "heavy_hitters": _q.heavy_hitters,
+        # search + multi-level aggregation
+        "keyword_search": _q.keyword_search,
+        "orders_rollup": _q.orders_rollup,
     }
 
 
@@ -617,6 +620,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT token, COUNT(*) AS n FROM toks GROUP BY token
         HAVING COUNT(*) >= GREATEST((SELECT c FROM tot) // 200, 1)
         ORDER BY n DESC, token ASC
+    """
+    d["keyword_search"] = r"""
+        WITH scored AS (
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(trim(text), '\s+'),
+                       x -> list_contains(['the','data','with','time'], x)))
+                       AS score
+            FROM documents WHERE trim(text) <> '')
+        SELECT doc_id, CAST(score AS BIGINT) AS score FROM scored
+        WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT 20
+    """
+    d["orders_rollup"] = """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 1000000) AS BIGINT))
+                    AS BIGINT) AS total_micros
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        ORDER BY status, priority
     """
     d["doc_freq_score"] = r"""
         WITH tf AS (

@@ -60,7 +60,7 @@ QUERY_NAMES = [
     "extract_error_contract", "doc_freq_score",
     "events_json_props", "normalize_text", "user_sessions_salted",
     "heavy_hitters", "doc_fingerprint_shingle", "ngram_jaccard_pairs",
-    "parse_fixture_corpus",
+    "parse_fixture_corpus", "keyword_search", "orders_rollup",
 ]
 
 

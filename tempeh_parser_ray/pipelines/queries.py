@@ -1074,6 +1074,99 @@ def extract_spans(sf_dir: str) -> "ray.data.Dataset":
     return ex.map_batches(span_stats, batch_format="pyarrow")
 
 
+SEARCH_TOKENS = ("the", "data", "with", "time")
+SEARCH_TOP_K = 20
+
+
+def keyword_search(sf_dir: str) -> pa.Table:
+    """Keyword search: rank documents by query-token occurrence count
+    (tf scoring). The query-token set lives in the task closure (tiny
+    broadcast); each batch emits only its local top-k partial, so only
+    |blocks| x k rows ever reach the final exact top-k."""
+    qset = frozenset(SEARCH_TOKENS)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        scores = [sum(1 for tok in _ts.tokenize(t) if tok in qset)
+                  for t in batch.column("text").to_pylist()]
+        t = pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "score": pa.array(scores, pa.int64()),
+        })
+        t = t.filter(pc.greater(t.column("score"), 0))
+        idx = pc.sort_indices(t, sort_keys=[("score", "descending"),
+                                            ("doc_id", "ascending")])
+        return t.take(idx[:SEARCH_TOP_K])
+
+    parts = list(_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None))
+    if not parts:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.int64())})
+    t = pa.concat_tables(parts)
+    idx = pc.sort_indices(t, sort_keys=[("score", "descending"),
+                                        ("doc_id", "ascending")])
+    return t.take(idx[:SEARCH_TOP_K])
+
+
+def orders_rollup(sf_dir: str) -> pa.Table:
+    """ROLLUP aggregate ((status, priority) -> status -> grand total)
+    with ONE shuffle: only the leaf groupby exchanges data; the two
+    coarser levels are derived from the tiny leaf table (|status| x
+    |priority| rows) with local Arrow re-aggregation."""
+    orders = ray.data.read_parquet(
+        str(Path(sf_dir) / "orders.parquet"),
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "status": batch.column("o_orderstatus"),
+            "priority": batch.column("o_orderpriority"),
+            "price_micros": _micros(batch.column("o_totalprice")),
+        })
+
+    agg = orders.map_batches(proj, batch_format="pyarrow").groupby(
+        ["status", "priority"]).aggregate(
+        ray.data.aggregate.Count(),
+        ray.data.aggregate.Sum("price_micros"))
+    leaf = pa.Table.from_pylist(agg.take_all())
+    leaf = pa.table({
+        "status": leaf.column("status"),
+        "priority": leaf.column("priority"),
+        "n_orders": leaf.column("count()").cast(pa.int64()),
+        "total_micros": leaf.column("sum(price_micros)").cast(pa.int64()),
+    })
+
+    def rollup(tbl: pa.Table, keys: list[str]) -> pa.Table:
+        if keys:
+            g = pa.TableGroupBy(tbl.select(
+                keys + ["n_orders", "total_micros"]), keys).aggregate(
+                [("n_orders", "sum"), ("total_micros", "sum")])
+            out = {k: g.column(k) for k in keys}
+        else:
+            g = pa.table({
+                "n_orders_sum": [pc.sum(tbl.column("n_orders"))],
+                "total_micros_sum": [pc.sum(tbl.column("total_micros"))]})
+            out = {}
+        n = g.num_rows
+        for k in ("status", "priority"):
+            if k not in keys:
+                out[k] = pa.array(["ALL"] * n, pa.string())
+        out["n_orders"] = g.column("n_orders_sum").cast(pa.int64())
+        out["total_micros"] = g.column("total_micros_sum").cast(pa.int64())
+        return pa.table({c: out[c] for c in
+                         ("status", "priority", "n_orders", "total_micros")})
+
+    full = pa.concat_tables([
+        leaf.select(["status", "priority", "n_orders", "total_micros"]),
+        rollup(leaf, ["status"]),
+        rollup(leaf, []),
+    ])
+    return full.take(pc.sort_indices(full, sort_keys=[
+        ("status", "ascending"), ("priority", "ascending")]))
+
+
 def events_json_props(sf_dir: str) -> pa.Table:
     """Semi-structured extraction: parse the JSON ``props`` column
     ({"k": N}) with a vectorized RE2 kernel (``pc.extract_regex`` —
