@@ -105,6 +105,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # search + multi-level aggregation
         "keyword_search": _q.keyword_search,
         "orders_rollup": _q.orders_rollup,
+        # multi-way dimension join (supplier -> nation -> region)
+        "revenue_by_region": _q.revenue_by_region,
     }
 
 
@@ -620,6 +622,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT token, COUNT(*) AS n FROM toks GROUP BY token
         HAVING COUNT(*) >= GREATEST((SELECT c FROM tot) // 200, 1)
         ORDER BY n DESC, token ASC
+    """
+    d["revenue_by_region"] = """
+        SELECT r.r_name AS region,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                   * 1000000) AS BIGINT)) AS BIGINT)
+                   AS revenue_micros
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name ORDER BY region
     """
     d["keyword_search"] = r"""
         WITH scored AS (

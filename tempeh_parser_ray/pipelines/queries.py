@@ -1074,6 +1074,64 @@ def extract_spans(sf_dir: str) -> "ray.data.Dataset":
     return ex.map_batches(span_stats, batch_format="pyarrow")
 
 
+def revenue_by_region(sf_dir: str) -> pa.Table:
+    """TPC-H-Q5-style multi-way dimension join: lineitem revenue rolled
+    up to the supplier's region through supplier -> nation -> region.
+    All three dimension tables are small sides, composed into ONE
+    suppkey -> region-name dict broadcast via ``ray.put``; the fact
+    scan joins by dict lookup inside map_batches (no shuffle join) and
+    only the pre-combined per-region partials exchange."""
+    import pyarrow.parquet as pq
+
+    supp = pq.read_table(str(Path(sf_dir) / "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(str(Path(sf_dir) / "nation.parquet"),
+                        columns=["n_nationkey", "n_regionkey"])
+    reg = pq.read_table(str(Path(sf_dir) / "region.parquet"),
+                        columns=["r_regionkey", "r_name"])
+    n2r = dict(zip(nat.column("n_nationkey").to_pylist(),
+                   nat.column("n_regionkey").to_pylist()))
+    r2name = dict(zip(reg.column("r_regionkey").to_pylist(),
+                      reg.column("r_name").to_pylist()))
+    supp_region = {s: r2name[n2r[n]]
+                   for s, n in zip(supp.column("s_suppkey").to_pylist(),
+                                   supp.column("s_nationkey").to_pylist())}
+    lookup_ref = ray.put(supp_region)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        s2r = ray.get(lookup_ref)
+        disc = pc.multiply(
+            batch.column("l_extendedprice").cast(pa.float64()),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        t = pa.table({
+            "region": pa.array(
+                [s2r[s] for s in batch.column("l_suppkey").to_pylist()],
+                pa.string()),
+            "revenue_micros": pc.round(pc.multiply(
+                disc, 1_000_000.0)).cast(pa.int64()),
+        })
+        # map-side combine: <=|regions| rows leave each block
+        return pa.TableGroupBy(t, ["region"]).aggregate(
+            [("revenue_micros", "sum"), ([], "count_all")]).rename_columns(
+            ["region", "revenue_micros", "n_items"])
+
+    agg = ray.data.read_parquet(
+        str(Path(sf_dir) / "lineitem.parquet"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount"]).map_batches(
+        attach, batch_format="pyarrow").groupby("region").aggregate(
+        ray.data.aggregate.Sum("n_items"),
+        ray.data.aggregate.Sum("revenue_micros"))
+    tbl = pa.Table.from_pylist(agg.take_all())
+    out = pa.table({
+        "region": tbl.column("region"),
+        "n_items": tbl.column("sum(n_items)").cast(pa.int64()),
+        "revenue_micros": tbl.column("sum(revenue_micros)").cast(
+            pa.int64()),
+    })
+    return out.take(pc.sort_indices(
+        out, sort_keys=[("region", "ascending")]))
+
+
 SEARCH_TOKENS = ("the", "data", "with", "time")
 SEARCH_TOP_K = 20
 
