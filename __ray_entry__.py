@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": _q.orders_rollup,
         # multi-way dimension join (supplier -> nation -> region)
         "revenue_by_region": _q.revenue_by_region,
+        "parts_by_brand": _q.parts_by_brand,
     }
 
 
@@ -634,6 +635,14 @@ def oracle_sql() -> dict[str, str]:
         JOIN nation n ON s.s_nationkey = n.n_nationkey
         JOIN region r ON n.n_regionkey = r.r_regionkey
         GROUP BY r.r_name ORDER BY region
+    """
+    d["parts_by_brand"] = """
+        SELECT p_brand AS brand, COUNT(*) AS n_parts,
+               CAST(SUM(CAST(ROUND(p_retailprice * 1000000) AS BIGINT))
+                    AS BIGINT) AS sum_price_micros,
+               CAST(MIN(p_size) AS BIGINT) AS min_size,
+               CAST(MAX(p_size) AS BIGINT) AS max_size
+        FROM part GROUP BY p_brand ORDER BY brand
     """
     d["keyword_search"] = r"""
         WITH scored AS (

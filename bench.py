@@ -61,7 +61,7 @@ QUERY_NAMES = [
     "events_json_props", "normalize_text", "user_sessions_salted",
     "heavy_hitters", "doc_fingerprint_shingle", "ngram_jaccard_pairs",
     "parse_fixture_corpus", "keyword_search", "orders_rollup",
-    "revenue_by_region",
+    "revenue_by_region", "parts_by_brand",
 ]
 
 

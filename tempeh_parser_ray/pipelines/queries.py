@@ -1132,6 +1132,40 @@ def revenue_by_region(sf_dir: str) -> pa.Table:
         out, sort_keys=[("region", "ascending")]))
 
 
+def parts_by_brand(sf_dir: str) -> pa.Table:
+    """Per-brand part counts, exact integer-micro retail-price sums and
+    size extrema (completes table coverage: every driver table feeds at
+    least one catalog query)."""
+    ds = ray.data.read_parquet(
+        str(Path(sf_dir) / "part.parquet"),
+        columns=["p_brand", "p_retailprice", "p_size"])
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "brand": batch.column("p_brand"),
+            "price_micros": _micros(batch.column("p_retailprice")),
+            "p_size": batch.column("p_size").cast(pa.int64()),
+        })
+
+    agg = ds.map_batches(proj, batch_format="pyarrow").groupby(
+        "brand").aggregate(
+        ray.data.aggregate.Count(),
+        ray.data.aggregate.Sum("price_micros"),
+        ray.data.aggregate.Min("p_size"),
+        ray.data.aggregate.Max("p_size"))
+    tbl = pa.Table.from_pylist(agg.take_all())
+    out = pa.table({
+        "brand": tbl.column("brand"),
+        "n_parts": tbl.column("count()").cast(pa.int64()),
+        "sum_price_micros": tbl.column("sum(price_micros)").cast(
+            pa.int64()),
+        "min_size": tbl.column("min(p_size)").cast(pa.int64()),
+        "max_size": tbl.column("max(p_size)").cast(pa.int64()),
+    })
+    return out.take(pc.sort_indices(
+        out, sort_keys=[("brand", "ascending")]))
+
+
 SEARCH_TOKENS = ("the", "data", "with", "time")
 SEARCH_TOP_K = 20
 
