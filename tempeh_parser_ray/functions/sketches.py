@@ -114,7 +114,7 @@ CMS_W = 4096    # counters per row; eps ~ e/W
 
 def _cms_hash_tokens(tokens: list[str]) -> np.ndarray:
     """(len(tokens), CMS_D) column indices from md5 (stable, seedless):
-    one digest yields all four 16-bit-sliced row positions."""
+    one digest yields all four rows' positions from 32-bit slices."""
     idx = np.empty((len(tokens), CMS_D), dtype=np.int64)
     for i, t in enumerate(tokens):
         digest = hashlib.md5(t.encode("utf-8")).digest()
@@ -202,9 +202,9 @@ def heavy_hitter_tokens(ds: "ray.data.Dataset", text_col: str,
 
     parts = ds.map_batches(partial, batch_format="pyarrow").materialize()
     total = int(parts.sum("n_tokens") or 0)
-    agg = parts.aggregate(cms_sum_agg("cms", "cms"))
-    sketch = np.frombuffer(agg["cms"], dtype=np.uint64).reshape(
-        CMS_D, CMS_W)
+    agg = parts.aggregate(cms_sum_agg("cms", "cms")) or {}
+    raw = agg.get("cms") or np.zeros((CMS_D, CMS_W), np.uint64).tobytes()
+    sketch = np.frombuffer(raw, dtype=np.uint64).reshape(CMS_D, CMS_W)
     threshold = max(total // divisor, 1)
     sk_ref = ray.put(sketch)
 

@@ -122,7 +122,6 @@ def sessionize_salted(events: "ray.data.Dataset", *,
     which the stitch pass checks with real timestamps (bucket width
     must exceed ``gap_us``; default 1 day vs 30 min)."""
     assert salt_unit_us > gap_us
-    from ..functions.dedup import collect_columns_agg
 
     def ts_salt(batch: pa.Table) -> pa.Table:
         ts = batch.column("ts").cast(pa.int64())

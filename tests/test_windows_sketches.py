@@ -285,8 +285,9 @@ def test_salted_sessionization_stitches_bucket_boundaries(ray_session):
         # user 2: 23:00, next day 01:00 (2h gap -> TWO sessions)
         (3, 2, DAY - 60 * MIN, "e", 0.0),
         (4, 2, DAY + 60 * MIN, "e", 0.0),
-        # user 3: chain across 3 buckets: 23:55 d0, 00:05 d1, then a
-        # run of 20-min-spaced events up to 23:55 d1, 00:05 d2
+        # user 3: two boundary-straddling pairs a day apart — each
+        # pair merges across its boundary, the ~24h gap between them
+        # does not
         (5, 3, DAY - 5 * MIN, "e", 0.0),
         (6, 3, DAY + 5 * MIN, "e", 0.0),
         (7, 3, 2 * DAY - 5 * MIN, "e", 0.0),
