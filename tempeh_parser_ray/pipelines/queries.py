@@ -650,8 +650,9 @@ def _mutated_embeddings(sf_dir: str) -> "ray.data.Dataset":
 
 
 def dedup_embedding(sf_dir: str) -> pa.Table:
-    """Embedding-cosine near-duplicate pairs (broadcast all-pairs
-    baseline; LSH-bucketed at scale — see functions/similarity.py)."""
+    """Embedding-cosine near-duplicate pairs: sign-LSH bucketed
+    candidates + semi-join vector fetch + vectorized verify — no
+    full-table materialization (functions/similarity.py)."""
     return _sim.embedding_near_dup_pairs(_mutated_embeddings(sf_dir),
                                          threshold=0.8)
 
