@@ -262,6 +262,29 @@ def _mutated_corpus(sf_dir: str) -> "ray.data.Dataset":
     return docs.union(clones).repartition(16).materialize()
 
 
+def _minhash_verified_pairs(sf_dir: str, threshold: float,
+                            cols: tuple[str, ...] = ("id_a", "id_b",
+                                                     "jaccard"),
+                            ) -> pa.Table:
+    """Shared pipeline for the MinHash family: mutated corpus ->
+    LSH candidates -> exact-Jaccard verify at ``threshold``, returned
+    as an (id_a, id_b)-sorted table."""
+    corpus = _mutated_corpus(sf_dir)
+    cands = _dedup.minhash_lsh_candidates(
+        corpus, num_perm=64, bands=16, shingle_k=5,
+        concurrency=_q_pool())
+    verified = _dedup.verify_pairs_jaccard(cands, corpus,
+                                           threshold=threshold)
+    tbl = pa.Table.from_pylist(verified.take_all())
+    if tbl.num_rows == 0:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    tbl = tbl.select(list(cols))
+    return tbl.take(pc.sort_indices(
+        tbl, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")]))
+
+
 def dedup_minhash(sf_dir: str) -> pa.Table:
     """MinHash+LSH near-dup candidates, exact-Jaccard-verified >=0.8,
     over the mutated corpus (each clone should pair with its source).
@@ -271,19 +294,7 @@ def dedup_minhash(sf_dir: str) -> pa.Table:
     DuckDB all-pairs oracle hash-matches as long as LSH recall is 1.0 at
     the 0.8 threshold (it is on this workload: banding P(candidate) ≈
     0.9998 at j=0.8 and every verified pair sits far above it)."""
-    corpus = _mutated_corpus(sf_dir)
-    cands = _dedup.minhash_lsh_candidates(
-        corpus, num_perm=64, bands=16, shingle_k=5,
-        concurrency=_q_pool())
-    verified = _dedup.verify_pairs_jaccard(cands, corpus, threshold=0.8)
-    tbl = pa.Table.from_pylist(verified.take_all())
-    if tbl.num_rows == 0:
-        return pa.table({"id_a": pa.array([], pa.int64()),
-                         "id_b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    tbl = tbl.select(["id_a", "id_b", "jaccard"])
-    return tbl.take(pc.sort_indices(
-        tbl, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")]))
+    return _minhash_verified_pairs(sf_dir, threshold=0.8)
 
 
 def dedup_simhash(sf_dir: str) -> pa.Table:
@@ -309,20 +320,8 @@ def ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
     threshold is verified locally to be an LSH candidate), so the output
     set has a closed SQL form: ALL pairs with shingle-Jaccard >= T.
     Jaccard values are unrounded — bit-identical to the SQL division."""
-    corpus = _mutated_corpus(sf_dir)
-    cands = _dedup.minhash_lsh_candidates(
-        corpus, num_perm=64, bands=16, shingle_k=5,
-        concurrency=_q_pool())
-    verified = _dedup.verify_pairs_jaccard(
-        cands, corpus, threshold=NGRAM_JACCARD_THRESHOLD)
-    tbl = pa.Table.from_pylist(verified.take_all())
-    if tbl.num_rows == 0:
-        return pa.table({"id_a": pa.array([], pa.int64()),
-                         "id_b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    tbl = tbl.select(["id_a", "id_b", "jaccard"])
-    return tbl.take(pc.sort_indices(
-        tbl, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")]))
+    return _minhash_verified_pairs(sf_dir,
+                                   threshold=NGRAM_JACCARD_THRESHOLD)
 
 
 # --- similarity search --------------------------------------------------
@@ -1475,6 +1474,9 @@ def dedup_minhash_keep(sf_dir: str) -> pa.Table:
         concurrency=_q_pool())
     verified = _dedup.verify_pairs_jaccard(cands, corpus, threshold=0.8)
     kept = _dedup.keep_canonical(corpus, verified, id_col="doc_id")
+    # (keep_canonical consumes the verified Dataset directly, so this
+    # query keeps its own pipeline rather than _minhash_verified_pairs'
+    # driver-side table)
     tbl = pa.concat_tables(list(kept.iter_batches(
         batch_format="pyarrow", batch_size=None)))
     tbl = tbl.select(["doc_id", "lang", "source", "n_chars"])
