@@ -11,7 +11,10 @@ SF_DIR = "/root/testdata/sf0.001"
 
 _SQL_SAMPLE = ["extract_text", "token_count", "lang_stats",
                "events_by_type", "dedup_exact", "knn_cosine",
-               "multimodal_features"]
+               "multimodal_features", "events_asof_join",
+               "events_sliding_3h", "doc_length_percentiles",
+               "heavy_hitters", "orders_rollup", "revenue_by_region",
+               "keyword_search", "extract_error_contract"]
 
 
 def _to_pandas(res) -> pd.DataFrame:
@@ -51,7 +54,8 @@ def test_oracles_match_sample(ray_session):
     import __ray_entry__ as e
 
     con = duckdb.connect()
-    for t in ["documents", "embeddings", "events"]:
+    for t in ["documents", "embeddings", "events", "orders", "customer",
+              "lineitem", "supplier", "nation", "region", "part"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{SF_DIR}/{t}.parquet')")
     qs, oracles = e.queries(), e.oracle_sql()
