@@ -233,3 +233,41 @@ def test_decode_image_batch_uses_header_dims():
         == (17, 29, 3)
     # non-image payload falls back to the documented stub dims
     assert rows[2]["width"] == int(len(b"not an image") ** 0.5)
+
+
+def test_shingle_fingerprint_semantics():
+    """The rolling winnowing fingerprint equals the brute-force min
+    over byte-8-gram polynomial hashes, and appending text can only
+    lower (or keep) the min — every original 8-gram stays a candidate."""
+    def brute(t: str) -> int:
+        data = t.encode("utf-8")
+        m = (1 << 61) - 1
+        if len(data) < 8:
+            h = 0
+            for b in data:
+                h = (h * 257 + b) % m
+            return h
+        hashes = []
+        for i in range(len(data) - 7):
+            h = 0
+            for b in data[i:i + 8]:
+                h = (h * 257 + b) % m
+            hashes.append(h)
+        return min(hashes)
+
+    texts = ["hello world", "abc", "", "the quick brown fox jumps",
+             "aaaaaaaaaaaa", "é世界 unicode bytes here"]
+    batch = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())})
+    fp = textstats.fingerprint_batch(batch)
+    got = fp.column("fp_shingle").to_pylist()
+    assert got == [brute(t) for t in texts]
+
+    # containment invariant: fp(t + suffix) <= fp(t) for long-enough t
+    base = "the quick brown fox jumps"
+    b2 = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                   "text": pa.array([base, base + " over the dog"],
+                                    pa.string())})
+    f2 = textstats.fingerprint_batch(b2).column("fp_shingle").to_pylist()
+    assert f2[1] <= f2[0]
