@@ -38,7 +38,10 @@ REPLICAS = int(os.environ.get("GRAFT_BENCH_REPLICAS", "384"))
 CORPUS_ROOT = Path("/tmp/tempeh_bench")
 
 # sf0.1-scale catalog queries timed alongside the headline (each is
-# small — 5000 docs / 2000 vectors — so this is latency, not throughput)
+# small — 5000 docs / 2000 vectors — so this is latency, not throughput).
+# Note: the MinHash family memoizes its verified-pair table per source,
+# so dedup_minhash_keep's time here reflects reuse after dedup_minhash
+# (the intended session behavior), not a standalone cold run.
 QUERY_NAMES = [
     "extract_text", "extract_lang_stats", "parse_trees",
     "token_count", "quality_score", "lang_id", "doc_fingerprint",
