@@ -644,6 +644,59 @@ def oracle_sql() -> dict[str, str]:
                CAST(MAX(p_size) AS BIGINT) AS max_size
         FROM part GROUP BY p_brand ORDER BY brand
     """
+    # Bit-exact SQL reproduction of the HyperLogLog estimate: register
+    # indices/ranks from md5 (same little-endian uint64), sum(2^-reg)
+    # carried as an exact scaled HUGEINT (order-free), identical
+    # float-literal estimator + half-up rounding on both sides.
+    d["approx_distinct_tokens_hll"] = r"""
+        WITH toks AS (
+            SELECT DISTINCT lang,
+                   unnest(string_split_regex(trim(text), '\s+')) AS tok
+            FROM documents WHERE trim(text) <> ''),
+        h AS (
+            SELECT lang,
+                   CAST((SELECT SUM(CAST(('0x' || substr(md5(tok),
+                                          2*i-1, 2)) AS UBIGINT)
+                                    * CAST(POWER(256, i-1) AS UBIGINT))
+                         FROM range(1, 9) r(i)) AS UBIGINT) AS hv
+            FROM toks),
+        regs AS (
+            SELECT lang, hv >> CAST(52 AS UBIGINT) AS idx,
+                   MAX(CAST(CASE WHEN (hv & ((CAST(1 AS UBIGINT)
+                                 << CAST(52 AS UBIGINT))
+                                 - CAST(1 AS UBIGINT))) = 0 THEN 53
+                            ELSE 52 - length(bin(hv
+                                 & ((CAST(1 AS UBIGINT)
+                                     << CAST(52 AS UBIGINT))
+                                     - CAST(1 AS UBIGINT)))) + 1
+                            END AS BIGINT)) AS rank
+            FROM h GROUP BY lang, idx),
+        stats AS (
+            SELECT lang,
+                   SUM(CAST(POWER(2, 53 - rank) AS HUGEINT))
+                       AS s_present,
+                   COUNT(*) AS n_present
+            FROM regs GROUP BY lang),
+        est AS (
+            SELECT lang,
+                   s_present + CAST(4096 - n_present AS HUGEINT)
+                               * CAST(POWER(2, 53) AS HUGEINT)
+                       AS s_total,
+                   4096 - n_present AS zeros
+            FROM stats),
+        raw AS (
+            SELECT lang, zeros,
+                   0.7213 / (1.0 + 1.079 / 4096.0) * 4096 * 4096
+                       * 9007199254740992.0 / CAST(s_total AS DOUBLE)
+                       AS e
+            FROM est)
+        SELECT lang,
+               CAST(FLOOR(CASE WHEN e <= 2.5 * 4096 AND zeros > 0
+                               THEN 4096 * ln(4096.0 / zeros)
+                               ELSE e END + 0.5) AS BIGINT)
+                   AS n_distinct_est
+        FROM raw ORDER BY lang
+    """
     d["keyword_search"] = r"""
         WITH scored AS (
             SELECT doc_id,

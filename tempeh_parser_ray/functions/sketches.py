@@ -261,13 +261,24 @@ def _hll_registers(tokens: set[str]) -> np.ndarray:
     return regs
 
 
+_HLL_SHIFT = 64 - HLL_P  # max register rank is _HLL_SHIFT + 1
+
+
 def hll_estimate(regs: np.ndarray) -> float:
     """Standard HLL estimator with the small-range linear-counting
-    correction (no large-range correction needed at 64-bit hashes)."""
+    correction (no large-range correction needed at 64-bit hashes).
+
+    ``sum(2^-reg)`` is computed as an EXACT scaled integer
+    (``sum(2^(R-reg)) / 2^R``) so the value is order-independent and
+    bit-reproducible by the SQL oracle — a float accumulation would be
+    summation-order dependent."""
     m = float(_HLL_M)
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    est = alpha * m * m / float(np.sum(np.exp2(-regs.astype(np.float64))))
-    zeros = int(np.count_nonzero(regs == 0))
+    R = _HLL_SHIFT + 1
+    counts = np.bincount(regs.astype(np.int64), minlength=R + 1)
+    s_int = sum(int(c) << (R - r) for r, c in enumerate(counts) if c)
+    est = alpha * m * m * float(1 << R) / float(s_int)
+    zeros = int(counts[0])
     if est <= 2.5 * m and zeros > 0:
         est = m * math.log(m / zeros)
     return est
@@ -330,7 +341,10 @@ def grouped_hll_distinct(ds: "ray.data.Dataset", group_col: str,
         return pa.table({group_col: pa.array([], pa.string()),
                          "n_distinct_est": pa.array([], pa.int64())})
     tbl = pa.concat_tables(parts)
-    ests = [int(round(hll_estimate(np.frombuffer(b, dtype=np.uint8))))
+    # floor(x + 0.5): same half-up rule the SQL oracle's FLOOR uses
+    # (Python round() is banker's, which SQL cannot reproduce)
+    ests = [int(math.floor(hll_estimate(
+        np.frombuffer(b, dtype=np.uint8)) + 0.5))
             for b in tbl.column("regs").to_pylist()]
     out = pa.table({
         group_col: tbl.column(group_col),
