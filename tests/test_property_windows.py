@@ -154,3 +154,50 @@ def test_cms_upper_bound_property(counts):
     est = sketches.cms_estimate(sk, toks)
     for t, e in zip(toks, est):
         assert int(e) >= counts[t]
+
+
+def test_partition_invariance(ray_session):
+    """Representative operators must produce IDENTICAL results whatever
+    the block layout — the property that makes single-node runs
+    transfer to a 256-node cluster."""
+    import pyarrow.parquet as pq
+    ray = ray_session
+    docs_tbl = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    ev_tbl = pq.read_table("/root/testdata/sf0.001/events.parquet")
+
+    def docs(n):
+        return ray.data.from_arrow(docs_tbl).repartition(n)
+
+    def evs(n):
+        return ray.data.from_arrow(ev_tbl).repartition(n)
+
+    # grouped histogram quantiles
+    a = sketches.grouped_quantiles(docs(1), "lang", "n_chars",
+                                   [0.5, 0.99], ["p50", "p99"])
+    b = sketches.grouped_quantiles(docs(16), "lang", "n_chars",
+                                   [0.5, 0.99], ["p50", "p99"])
+    assert a.to_pylist() == b.to_pylist()
+
+    # heavy hitters (CMS prefilter + exact verify)
+    ha = sketches.heavy_hitter_tokens(docs(1), "text", divisor=100)
+    hb = sketches.heavy_hitter_tokens(docs(8), "text", divisor=100)
+    assert ha.to_pylist() == hb.to_pylist()
+
+    # as-of join
+    def asof_pairs(n):
+        t = _collect(windows.asof_last_event(
+            evs(n), left_type="purchase", right_type="click"))
+        return sorted((r["event_id"], r["prior_event_id"])
+                      for r in t.to_pylist())
+    assert asof_pairs(1) == asof_pairs(7)
+
+    # MinHash candidate + verify pipeline
+    def pairs(n):
+        ds = docs(n)
+        cands = dedup.minhash_lsh_candidates(
+            ds, num_perm=64, bands=16, shingle_k=5, concurrency=(1, 2))
+        v = _collect(dedup.verify_pairs_jaccard(cands, ds,
+                                                threshold=0.5))
+        return sorted(zip(v.column("id_a").to_pylist(),
+                          v.column("id_b").to_pylist()))
+    assert pairs(2) == pairs(16)
