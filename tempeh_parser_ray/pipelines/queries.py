@@ -693,52 +693,15 @@ def user_sessions(sf_dir: str) -> "ray.data.Dataset":
     """Sessionization: per-user event streams split at >30-min
     inactivity gaps (classic stateful streaming op).
 
-    Shape: ONE grouped aggregate collects each user's timestamps (only
-    (user_id, ts) pairs shuffle), then session assembly is a vectorized
-    numpy diff per user over whole batches of users — the same
-    collect-then-vectorize pattern as the LSH buckets. The result stays
-    a Dataset end to end — ordering comes from the distributed
-    range-partitioned ``ds.sort``, not a driver-side concat. At scale
-    the partition key is user_id; a time-sharded corpus would
-    pre-bucket by (user, day) and merge boundary sessions."""
-
-    def ts_rows(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "user_id": batch.column("user_id"),
-            "ts_us": batch.column("ts").cast(pa.int64()),
-        })
-
-    users = _events(sf_dir, ["user_id", "ts"]).map_batches(
-        ts_rows, batch_format="pyarrow").groupby("user_id").aggregate(
-        _dedup.collect_columns_agg(["ts_us"], "ts_list"))
-
-    def sessions(batch: pa.Table) -> pa.Table:
-        import numpy as np
-        out_u, out_i, out_n, out_s, out_e = [], [], [], [], []
-        for uid, ts_list in zip(batch.column("user_id").to_pylist(),
-                                batch.column("ts_list").to_pylist()):
-            ts = np.sort(np.asarray(ts_list, dtype=np.int64))
-            # new session where the gap STRICTLY exceeds the threshold
-            brk = np.nonzero(np.diff(ts) > SESSION_GAP_US)[0] + 1
-            starts = np.concatenate(([0], brk))
-            ends = np.concatenate((brk, [len(ts)]))
-            for i, (a, b) in enumerate(zip(starts, ends)):
-                out_u.append(uid)
-                out_i.append(i)
-                out_n.append(int(b - a))
-                out_s.append(int(ts[a]))
-                out_e.append(int(ts[b - 1]))
-        return pa.table({
-            "user_id": pa.array(out_u, pa.int64()),
-            "session_idx": pa.array(out_i, pa.int64()),
-            "n_events": pa.array(out_n, pa.int64()),
-            "start_ts": pa.array(out_s, pa.int64()).cast(pa.timestamp("us")),
-            "end_ts": pa.array(out_e, pa.int64()).cast(pa.timestamp("us")),
-        })
-
-    return users.map_batches(
-        sessions, batch_format="pyarrow").sort(
-        ["user_id", "session_idx"])
+    Delegates to the BOUNDED salted implementation
+    (``pipelines/windows.py``): per-(user, day) local sessionize +
+    boundary stitch, so no aggregate group ever collects a user's full
+    timestamp history (a 10^8-event power user stays within per-day
+    state). Identical output contract and oracle as the former
+    per-user-collect version; ``user_sessions_salted`` is kept as an
+    alias exposing the same path under its catalog name."""
+    return _win.sessionize_salted(_events(sf_dir, ["user_id", "ts"]),
+                                  gap_us=SESSION_GAP_US)
 
 
 def heavy_hitters(sf_dir: str) -> pa.Table:

@@ -4,11 +4,15 @@ from groupby + vectorized per-group assembly (the pattern SURVEY.md
 
 * **as-of join** (``asof_last_event``): for each left-type event, the
   most recent right-type event by the same user at or before its
-  timestamp. Partitioning assumption: one user's events fit in one
-  group (same as sessionization); only ``(user_id, ts, event_id,
-  side)`` rows shuffle — never payloads. At 100 TB pre-bucket by
-  (user, day) and stitch day boundaries by also probing the previous
-  bucket's tail.
+  timestamp. TIME-BUCKETED so no group ever holds a user's full event
+  history: events group by ``(user, bucket)`` (default 1 day), each
+  bucket matches locally, and lefts whose prior lies in an EARLIER
+  bucket read a per-bucket "carry" row — the latest right from any
+  preceding bucket, derived from O(1)-state per-bucket tail aggregates
+  and a per-user pass over the bounded bucket-summary list. Only
+  ``(user_id, bucket, ts, event_id, side)`` rows shuffle — never
+  payloads; per-group state is bounded by one user's events per
+  bucket (the same assumption as ``sessionize_salted``).
 * **sliding window** (``sliding_hourly``): hourly pre-aggregation
   (the big, distributed reduction) followed by a RANGE-window sum over
   the bounded ``|types| x |hours|`` hourly series — the series is
@@ -27,18 +31,76 @@ import ray.data
 
 from ..functions.dedup import collect_columns_agg
 
+DAY_US = 86_400_000_000
+
+
+def _lexmax_pair_agg(ts_col: str, id_col: str, name: str):
+    """Grouped aggregate keeping the lexicographically largest
+    ``(ts, id)`` pair — O(1) state per group (the per-bucket right
+    "tail"). Rows with ``ts < 0`` are sentinels (non-right rows) and
+    never win unless the group has no real rights."""
+    import numpy as np
+
+    from ray.data.block import BlockAccessor
+
+    def acc_block(acc, block):
+        t = BlockAccessor.for_block(block).to_arrow()
+        ts = t.column(ts_col).to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        if len(ts) == 0:
+            return acc
+        i = np.lexsort((ids, ts))[-1]
+        cand = (int(ts[i]), int(ids[i]))
+        return cand if acc is None or cand > acc else acc
+
+    def merge(a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return a if a >= b else b
+
+    return ray.data.aggregate.AggregateFn(
+        init=lambda k: None,
+        accumulate_block=acc_block,
+        merge=merge,
+        finalize=lambda a: list(a) if a is not None else None,
+        name=name)
+
 
 def asof_last_event(events: "ray.data.Dataset", *,
                     left_type: str, right_type: str,
+                    bucket_us: int = DAY_US,
                     ) -> "ray.data.Dataset":
     """Left as-of join within an event stream: each ``left_type`` event
     gets the latest ``right_type`` event with ``ts <= left.ts`` from
     the same user (ties broken toward the larger event_id), or nulls.
 
-    Shape: ONE grouped collect of ``(ts, event_id, side)`` triples per
-    user, then a vectorized searchsorted per user — no per-row Python
-    in the match step and no driver materialization (output stays a
-    Dataset)."""
+    TIME-BUCKETED shape (the 100 TB-safe design this module's docstring
+    specifies — no group ever holds a user's full history):
+
+    1. project to ``(user, bucket, ts, event_id, is_right)`` rows;
+    2. bucket-summary pass: ``groupby(user, bucket)`` with two O(1)
+       pure aggregates — the right "tail" (lexmax ``(ts, id)`` right)
+       and the left count;
+    3. per-user carry pass over the BOUNDED bucket-summary list (one
+       row per populated bucket): for every bucket containing lefts,
+       emit the latest right tail from any STRICTLY EARLIER bucket as
+       a carry pseudo-right assigned to that bucket (this is the
+       "probe the previous bucket's tail" step, generalized through
+       empty buckets);
+    4. match pass: ``groupby(user, bucket)`` over real events UNION
+       carries; within a group the vectorized searchsorted match is
+       exact — a carry's ts is strictly below every in-bucket right's,
+       so it only wins for lefts with no in-bucket prior.
+
+    Per-group state is bounded by one user's events per ``bucket_us``
+    (default 1 day; same partitioning assumption as
+    ``sessionize_salted``). Exactness at boundaries: prior rights in
+    earlier buckets always have strictly smaller ts, so "latest right
+    <= left.ts across all buckets" equals "latest of (in-bucket rights
+    <= left.ts, carry)" — verified by the hypothesis brute-force suite
+    and a dedicated multi-bucket boundary pytest."""
 
     def project(batch: pa.Table) -> pa.Table:
         types = batch.column("event_type")
@@ -46,15 +108,87 @@ def asof_last_event(events: "ray.data.Dataset", *,
                       pc.equal(types, right_type))
         t = batch.filter(keep)
         side = pc.equal(t.column("event_type"), right_type)
+        ts = t.column("ts").cast(pa.int64())
         return pa.table({
             "user_id": t.column("user_id"),
-            "ts_us": t.column("ts").cast(pa.int64()),
+            "bucket": pc.divide(ts, bucket_us).cast(pa.int64()),
+            "ts_us": ts,
             "event_id": t.column("event_id"),
             "is_right": side,
         })
 
-    grouped = events.map_batches(
-        project, batch_format="pyarrow").groupby("user_id").aggregate(
+    proj = events.map_batches(project, batch_format="pyarrow")
+
+    def meta_rows(batch: pa.Table) -> pa.Table:
+        is_r = batch.column("is_right").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts_us").to_numpy(zero_copy_only=False)
+        ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "bucket": batch.column("bucket"),
+            "r_ts": pa.array(np.where(is_r, ts, -1), pa.int64()),
+            "r_id": pa.array(np.where(is_r, ids, -1), pa.int64()),
+            "n_left": pa.array((~is_r).astype(np.int64), pa.int64()),
+        })
+
+    meta = proj.map_batches(
+        meta_rows, batch_format="pyarrow").groupby(
+        ["user_id", "bucket"]).aggregate(
+        _lexmax_pair_agg("r_ts", "r_id", "tail"),
+        ray.data.aggregate.Sum("n_left"))
+
+    def flatten_meta(batch: pa.Table) -> pa.Table:
+        # tail -> two flat int64 columns (-1 sentinel = no rights in
+        # bucket) so the per-user collect rows stay pure-int (native
+        # Arrow list column, no pickled-object fallback)
+        tails = batch.column("tail").to_pylist()
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "bucket": batch.column("bucket"),
+            "tail_ts": pa.array(
+                [t[0] if t else -1 for t in tails], pa.int64()),
+            "tail_id": pa.array(
+                [t[1] if t else -1 for t in tails], pa.int64()),
+            "n_left": batch.column("sum(n_left)").cast(pa.int64()),
+        })
+
+    per_user = meta.map_batches(
+        flatten_meta, batch_format="pyarrow").groupby(
+        "user_id").aggregate(
+        collect_columns_agg(["bucket", "tail_ts", "tail_id", "n_left"],
+                            "meta"))
+
+    def carries(batch: pa.Table) -> pa.Table:
+        out_u: list[int] = []
+        out_b: list[int] = []
+        out_ts: list[int] = []
+        out_id: list[int] = []
+        for uid, rows in zip(batch.column("user_id").to_pylist(),
+                             batch.column("meta").to_pylist()):
+            rows = sorted(rows, key=lambda r: r[0])
+            tail_buckets = [r[0] for r in rows if r[1] >= 0]
+            tails = [(r[1], r[2]) for r in rows if r[1] >= 0]
+            for b, _tts, _tid, n_left in rows:
+                if not n_left:
+                    continue
+                i = np.searchsorted(tail_buckets, b, side="left") - 1
+                if i >= 0:
+                    out_u.append(uid)
+                    out_b.append(b)
+                    out_ts.append(tails[i][0])
+                    out_id.append(tails[i][1])
+        return pa.table({
+            "user_id": pa.array(out_u, pa.int64()),
+            "bucket": pa.array(out_b, pa.int64()),
+            "ts_us": pa.array(out_ts, pa.int64()),
+            "event_id": pa.array(out_id, pa.int64()),
+            "is_right": pa.array([True] * len(out_u), pa.bool_()),
+        })
+
+    carry_ds = per_user.map_batches(carries, batch_format="pyarrow")
+
+    grouped = proj.union(carry_ds).groupby(
+        ["user_id", "bucket"]).aggregate(
         collect_columns_agg(["ts_us", "event_id", "is_right"], "rows"))
 
     def match(batch: pa.Table) -> pa.Table:
@@ -101,9 +235,6 @@ def asof_last_event(events: "ray.data.Dataset", *,
         })
 
     return grouped.map_batches(match, batch_format="pyarrow")
-
-
-DAY_US = 86_400_000_000
 
 
 def sessionize_salted(events: "ray.data.Dataset", *,

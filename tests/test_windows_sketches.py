@@ -64,6 +64,76 @@ def test_asof_matches_latest_prior_with_tie_break(ray_session):
     assert by_id[300]["prior_event_id"] is None
 
 
+def test_asof_bucketed_boundary_crossing(ray_session):
+    """One user spanning many time buckets: matches must cross bucket
+    boundaries (prior in the immediately-previous bucket AND in a
+    bucket several empty buckets back), with per-group state bounded
+    by one bucket's events. bucket_us=60s forces many buckets."""
+    ray = ray_session
+    US = 1_000_000
+    BUCKET = 60 * US  # 1-minute buckets
+    rows = [
+        # bucket 0: click at t=10, purchase at t=20 (in-bucket match)
+        (1, 7, 10 * US, "click", 0.0),
+        (2, 7, 20 * US, "purchase", 1.0),
+        # bucket 1: purchase at t=70 -> prior is bucket-0 click (id 1)
+        (3, 7, 70 * US, "purchase", 1.0),
+        # bucket 2: click at t=130 (tail of bucket 2)
+        (4, 7, 130 * US, "click", 0.0),
+        # buckets 3-9 empty; bucket 10: purchase at t=610 -> must reach
+        # back EIGHT buckets to the bucket-2 click (id 4)
+        (5, 7, 610 * US, "purchase", 1.0),
+        # bucket 11: purchase before any click in its bucket, click
+        # later in the same bucket must NOT match (ts > left.ts)
+        (6, 7, 665 * US, "purchase", 1.0),
+        (7, 7, 670 * US, "click", 0.0),
+        # bucket 12: purchase at t=730 -> prior is bucket-11 click
+        (8, 7, 730 * US, "purchase", 1.0),
+        # a second user interleaved everywhere, no clicks at all
+        (20, 8, 15 * US, "purchase", 1.0),
+        (21, 8, 615 * US, "purchase", 1.0),
+    ]
+    out = _collect(windows.asof_last_event(
+        ray.data.from_arrow(_events_tbl(rows)).repartition(4),
+        left_type="purchase", right_type="click", bucket_us=BUCKET))
+    by_id = {r["event_id"]: r for r in out.to_pylist()}
+    assert set(by_id) == {2, 3, 5, 6, 8, 20, 21}
+    assert by_id[2]["prior_event_id"] == 1     # in-bucket
+    assert by_id[3]["prior_event_id"] == 1     # previous bucket's tail
+    assert by_id[5]["prior_event_id"] == 4     # 8 buckets back
+    assert by_id[6]["prior_event_id"] == 4     # carry beats later click
+    assert by_id[8]["prior_event_id"] == 7     # boundary-crossing match
+    assert by_id[20]["prior_event_id"] is None
+    assert by_id[21]["prior_event_id"] is None
+    # prior_ts rides along with prior_event_id
+    import datetime
+    assert by_id[5]["prior_ts"] == datetime.datetime(1970, 1, 1) + \
+        datetime.timedelta(microseconds=130 * US)
+
+
+def test_asof_bucket_width_invariance(ray_session):
+    """The result must not depend on the bucket width (1 min vs 1 day
+    vs default) — same rows, different carry paths."""
+    ray = ray_session
+    US = 1_000_000
+    rng = np.random.RandomState(5)
+    rows = []
+    for eid in range(120):
+        rows.append((eid, int(rng.randint(0, 4)),
+                     int(rng.randint(0, 5000)) * 60 * US,
+                     "purchase" if rng.rand() < 0.5 else "click", 0.0))
+
+    def run(bucket_us):
+        t = _collect(windows.asof_last_event(
+            ray.data.from_arrow(_events_tbl(rows)).repartition(3),
+            left_type="purchase", right_type="click",
+            bucket_us=bucket_us))
+        return sorted(map(tuple, (
+            (r["event_id"], r["prior_event_id"]) for r in t.to_pylist())))
+
+    assert run(60 * US) == run(windows.DAY_US) == run(3600 * US)
+
+
 def test_sliding_hourly_range_semantics_with_gaps(ray_session):
     ray = ray_session
     H = 3_600_000_000
