@@ -33,6 +33,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from .broadcast import cached_get
+
 # --- exact dedup --------------------------------------------------------
 
 
@@ -81,8 +83,10 @@ def exact_dedup(ds: "ray.data.Dataset", key: str = "text",
         def keep_winners(batch: pa.Table) -> pa.Table:
             # the (fp -> winner id) map keeps the pair condition the
             # join path enforces — id-only membership would over-keep
-            # when id_col values repeat across distinct keys
-            wm = ray.get(map_ref)
+            # when id_col values repeat across distinct keys;
+            # cached_get: near the broadcast limit the map is hundreds
+            # of MB — unpickle it once per worker, not once per batch
+            wm = cached_get(map_ref)
             fps = batch.column("_fp").to_pylist()
             ids = batch.column(id_col).to_pylist()
             return batch.filter(pa.array(
@@ -397,7 +401,7 @@ def verify_pairs_jaccard(pairs: "ray.data.Dataset",
     ids_ref = ray.put(cand_ids)
 
     def cand_shingles(batch: pa.Table) -> pa.Table:
-        want = ray.get(ids_ref)
+        want = cached_get(ids_ref)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         sub = batch.filter(pa.array(np.isin(ids, want)))
         sh = [_shingle_hashes64(t or "", shingle_k)
@@ -495,7 +499,7 @@ def keep_canonical(docs: "ray.data.Dataset", pairs: "ray.data.Dataset",
     drop_ref = ray.put(drop)
 
     def keep(batch: pa.Table) -> pa.Table:
-        dropped = ray.get(drop_ref)
+        dropped = cached_get(drop_ref)
         if len(dropped) == 0:
             return batch
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)

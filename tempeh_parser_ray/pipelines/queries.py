@@ -19,6 +19,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ..functions import broadcast as _bcast
 from ..functions import dedup as _dedup
 from ..functions import multimodal as _mm
 from ..functions import similarity as _sim
@@ -532,36 +533,73 @@ def pricing_summary(sf_dir: str) -> pa.Table:
     })
 
 
+class _SortedLookup:
+    """Broadcast key->value lookup for actor-pool stages: the driver
+    ships ``(sorted_keys, values)`` numpy arrays through ``ray.put``
+    ONCE; each actor materializes them ONCE in ``__init__``; per batch
+    the map is a single ``np.searchsorted`` + fancy index — zero
+    per-row Python in the fact scan (the round-2 per-batch
+    ``ray.get`` + per-row dict comprehension was measurably slower)."""
+
+    def __init__(self, lookup_ref):
+        import numpy as np
+        self.keys, self.vals = ray.get(lookup_ref)
+        self._np = np
+
+    def map(self, key_arr) -> "pa.Array":
+        np = self._np
+        k = key_arr.to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(self.keys, k)
+        return pa.array(self.vals[idx], pa.string())
+
+
+def _sorted_lookup_ref(keys, vals) -> "ray.ObjectRef":
+    """ray.put a (sorted keys, aligned values) pair for _SortedLookup."""
+    import numpy as np
+    keys = np.asarray(keys, dtype=np.int64)
+    vals = np.asarray(vals, dtype=object)
+    order = np.argsort(keys)
+    return ray.put((keys[order], vals[order]))
+
+
 def orders_by_nation(sf_dir: str) -> pa.Table:
     """orders -> customer -> nation rolled up per nation name.
 
-    The small side (customer+nation lookup dicts) is broadcast ONCE via
-    ``ray.put`` and read inside map_batches — no shuffle join; the only
-    exchange is the tiny 25-group aggregate."""
+    The small side (custkey -> nation-name, composed driver-side from
+    the two dimension tables) is broadcast ONCE via ``ray.put`` as
+    sorted numpy arrays; the fact scan is an actor-pool stage that
+    builds the lookup in ``__init__`` and maps each batch with one
+    vectorized searchsorted — no shuffle join; the only exchange is
+    the tiny 25-group aggregate."""
+    import numpy as np
     import pyarrow.parquet as pq
     cust = pq.read_table(str(Path(sf_dir) / "customer.parquet"),
                          columns=["c_custkey", "c_nationkey"])
     nat = pq.read_table(str(Path(sf_dir) / "nation.parquet"),
                         columns=["n_nationkey", "n_name"])
-    cust_to_nation = dict(zip(cust.column("c_custkey").to_pylist(),
-                              cust.column("c_nationkey").to_pylist()))
-    nation_name = dict(zip(nat.column("n_nationkey").to_pylist(),
-                           nat.column("n_name").to_pylist()))
-    lookup_ref = ray.put((cust_to_nation, nation_name))
+    nkeys = nat.column("n_nationkey").to_numpy()
+    nnames = np.asarray(nat.column("n_name").to_pylist(), dtype=object)
+    norder = np.argsort(nkeys)
+    cnat = cust.column("c_nationkey").to_numpy()
+    cust_names = nnames[norder][np.searchsorted(nkeys[norder], cnat)]
+    lookup_ref = _sorted_lookup_ref(
+        cust.column("c_custkey").to_numpy(), cust_names)
 
-    def attach(batch: pa.Table) -> pa.Table:
-        c2n, names = ray.get(lookup_ref)
-        nations = [names[c2n[c]] for c in
-                   batch.column("o_custkey").to_pylist()]
-        return pa.table({
-            "nation": pa.array(nations, pa.string()),
-            "price_micros": _micros(batch.column("o_totalprice")),
-        })
+    class AttachNation(_SortedLookup):
+        def __init__(self):
+            super().__init__(lookup_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "nation": self.map(batch.column("o_custkey")),
+                "price_micros": _micros(batch.column("o_totalprice")),
+            })
 
     agg = ray.data.read_parquet(
         str(Path(sf_dir) / "orders.parquet"),
         columns=["o_custkey", "o_totalprice"]).map_batches(
-        attach, batch_format="pyarrow").groupby("nation").aggregate(
+        AttachNation, batch_format="pyarrow",
+        concurrency=_q_pool()).groupby("nation").aggregate(
         ray.data.aggregate.Count(),
         ray.data.aggregate.Sum("price_micros"),
     )
@@ -1058,10 +1096,13 @@ def extract_spans(sf_dir: str) -> "ray.data.Dataset":
 def revenue_by_region(sf_dir: str) -> pa.Table:
     """TPC-H-Q5-style multi-way dimension join: lineitem revenue rolled
     up to the supplier's region through supplier -> nation -> region.
-    All three dimension tables are small sides, composed into ONE
-    suppkey -> region-name dict broadcast via ``ray.put``; the fact
-    scan joins by dict lookup inside map_batches (no shuffle join) and
-    only the pre-combined per-region partials exchange."""
+    All three dimension tables are small sides, composed driver-side
+    into ONE suppkey -> region-name map broadcast via ``ray.put`` as
+    sorted numpy arrays; the fact scan is an actor-pool stage
+    (lookup built once per actor, one vectorized searchsorted per
+    batch — no shuffle join, zero per-row Python) and only the
+    pre-combined per-region partials exchange."""
+    import numpy as np
     import pyarrow.parquet as pq
 
     supp = pq.read_table(str(Path(sf_dir) / "supplier.parquet"),
@@ -1070,36 +1111,43 @@ def revenue_by_region(sf_dir: str) -> pa.Table:
                         columns=["n_nationkey", "n_regionkey"])
     reg = pq.read_table(str(Path(sf_dir) / "region.parquet"),
                         columns=["r_regionkey", "r_name"])
-    n2r = dict(zip(nat.column("n_nationkey").to_pylist(),
-                   nat.column("n_regionkey").to_pylist()))
-    r2name = dict(zip(reg.column("r_regionkey").to_pylist(),
-                      reg.column("r_name").to_pylist()))
-    supp_region = {s: r2name[n2r[n]]
-                   for s, n in zip(supp.column("s_suppkey").to_pylist(),
-                                   supp.column("s_nationkey").to_pylist())}
-    lookup_ref = ray.put(supp_region)
+    rkeys = reg.column("r_regionkey").to_numpy()
+    rnames = np.asarray(reg.column("r_name").to_pylist(), dtype=object)
+    rorder = np.argsort(rkeys)
+    nkeys = nat.column("n_nationkey").to_numpy()
+    nreg = nat.column("n_regionkey").to_numpy()
+    nation_region = rnames[rorder][np.searchsorted(rkeys[rorder], nreg)]
+    norder = np.argsort(nkeys)
+    snat = supp.column("s_nationkey").to_numpy()
+    supp_region = nation_region[norder][
+        np.searchsorted(nkeys[norder], snat)]
+    lookup_ref = _sorted_lookup_ref(
+        supp.column("s_suppkey").to_numpy(), supp_region)
 
-    def attach(batch: pa.Table) -> pa.Table:
-        s2r = ray.get(lookup_ref)
-        disc = pc.multiply(
-            batch.column("l_extendedprice").cast(pa.float64()),
-            pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
-        t = pa.table({
-            "region": pa.array(
-                [s2r[s] for s in batch.column("l_suppkey").to_pylist()],
-                pa.string()),
-            "revenue_micros": pc.round(pc.multiply(
-                disc, 1_000_000.0)).cast(pa.int64()),
-        })
-        # map-side combine: <=|regions| rows leave each block
-        return pa.TableGroupBy(t, ["region"]).aggregate(
-            [("revenue_micros", "sum"), ([], "count_all")]).rename_columns(
-            ["region", "revenue_micros", "n_items"])
+    class AttachRegion(_SortedLookup):
+        def __init__(self):
+            super().__init__(lookup_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            disc = pc.multiply(
+                batch.column("l_extendedprice").cast(pa.float64()),
+                pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+            t = pa.table({
+                "region": self.map(batch.column("l_suppkey")),
+                "revenue_micros": pc.round(pc.multiply(
+                    disc, 1_000_000.0)).cast(pa.int64()),
+            })
+            # map-side combine: <=|regions| rows leave each block
+            return pa.TableGroupBy(t, ["region"]).aggregate(
+                [("revenue_micros", "sum"),
+                 ([], "count_all")]).rename_columns(
+                ["region", "revenue_micros", "n_items"])
 
     agg = ray.data.read_parquet(
         str(Path(sf_dir) / "lineitem.parquet"),
         columns=["l_suppkey", "l_extendedprice", "l_discount"]).map_batches(
-        attach, batch_format="pyarrow").groupby("region").aggregate(
+        AttachRegion, batch_format="pyarrow",
+        concurrency=_q_pool()).groupby("region").aggregate(
         ray.data.aggregate.Sum("n_items"),
         ray.data.aggregate.Sum("revenue_micros"))
     tbl = pa.Table.from_pylist(agg.take_all())
@@ -1314,7 +1362,9 @@ def doc_freq_score(sf_dir: str) -> "ray.data.Dataset":
         vocab_ref = ray.put(vocab)
 
         def score(batch: pa.Table) -> pa.Table:
-            v = ray.get(vocab_ref)
+            # worker-cached: the vocab dict near the broadcast limit is
+            # hundreds of MB; unpickle once per worker, not per batch
+            v = _bcast.cached_get(vocab_ref)
             sums = []
             for t in batch.column("text").to_pylist():
                 sums.append(sum(v.get(x, 0) for x in _ts.tokenize(t)))
