@@ -176,17 +176,23 @@ def cms_sum_agg(col: str = "cms", name: str = "cms"):
 def heavy_hitter_tokens(ds: "ray.data.Dataset", text_col: str,
                         divisor: int = 200) -> pa.Table:
     """EXACT heavy hitters (tokens with total count >= total_tokens //
-    divisor) found with a Count-Min prefilter:
+    divisor) found with a Count-Min prefilter over ONE tokenization
+    pass:
 
-    1. one pass builds per-batch CMS partials + token totals; sketches
-       merge by elementwise sum (a pure aggregate, 128 KiB rows);
-    2. a second pass re-scans tokens and keeps only those whose CMS
-       upper bound clears the threshold — a SUPERSET of the true heavy
-       hitters (CMS never underestimates), so the exact groupby that
-       follows runs over the tiny candidate set, never the vocabulary;
-    3. exact counts filter to the final answer.
+    1. one pass over the corpus emits per-block ``(token, n)`` partial
+       counts (the block's local vocabulary — the same rows the exact
+       groupby would shuffle anyway), materialized once;
+    2. the CMS and the token total are built FROM those partials
+       (sketch-of-counts == sketch-of-stream; sketches merge by
+       elementwise sum, a pure aggregate over 128 KiB rows);
+    3. the candidate filter ALSO reads the partials — tokens whose CMS
+       upper bound clears the threshold are a SUPERSET of the true
+       heavy hitters (CMS never underestimates) — so the exact groupby
+       runs over the tiny candidate set, never the vocabulary, and the
+       corpus text is tokenized exactly once end-to-end;
+    4. exact counts filter to the final answer.
 
-    The sketch bounds stage-3's input regardless of vocabulary size —
+    The sketch bounds stage-4's input regardless of vocabulary size —
     the pattern that replaces a full token groupby at 10^12 tokens."""
     from collections import Counter
 
@@ -195,33 +201,37 @@ def heavy_hitter_tokens(ds: "ray.data.Dataset", text_col: str,
         for t in batch.column(text_col).to_pylist():
             c.update(tokenize(t))
         return pa.table({
-            "cms": pa.array([cms_from_counts(dict(c)).tobytes()],
-                            pa.binary()),
-            "n_tokens": pa.array([sum(c.values())], pa.int64()),
+            "token": pa.array(list(c.keys()), pa.string()),
+            "n": pa.array(list(c.values()), pa.int64()),
         })
 
     parts = ds.map_batches(partial, batch_format="pyarrow").materialize()
-    total = int(parts.sum("n_tokens") or 0)
-    agg = parts.aggregate(cms_sum_agg("cms", "cms")) or {}
+    total = int(parts.sum("n") or 0)
+
+    def cms_partial(batch: pa.Table) -> pa.Table:
+        counts = dict(zip(batch.column("token").to_pylist(),
+                          (int(x) for x in batch.column("n").to_pylist())))
+        return pa.table({
+            "cms": pa.array([cms_from_counts(counts).tobytes()],
+                            pa.binary()),
+        })
+
+    agg = parts.map_batches(
+        cms_partial, batch_format="pyarrow").aggregate(
+        cms_sum_agg("cms", "cms")) or {}
     raw = agg.get("cms") or np.zeros((CMS_D, CMS_W), np.uint64).tobytes()
     sketch = np.frombuffer(raw, dtype=np.uint64).reshape(CMS_D, CMS_W)
     threshold = max(total // divisor, 1)
     sk_ref = ray.put(sketch)
 
     def candidates(batch: pa.Table) -> pa.Table:
-        sk = ray.get(sk_ref)
-        c: Counter = Counter()
-        for t in batch.column(text_col).to_pylist():
-            c.update(tokenize(t))
-        toks = list(c)
+        from .broadcast import cached_get
+        sk = cached_get(sk_ref)
+        toks = batch.column("token").to_pylist()
         keep = cms_estimate(sk, toks) >= np.uint64(threshold)
-        toks = [t for t, k in zip(toks, keep) if k]
-        return pa.table({
-            "token": pa.array(toks, pa.string()),
-            "n": pa.array([c[t] for t in toks], pa.int64()),
-        })
+        return batch.filter(pa.array(keep))
 
-    exact = ds.map_batches(
+    exact = parts.map_batches(
         candidates, batch_format="pyarrow").groupby("token").aggregate(
         ray.data.aggregate.Sum("n"))
     parts2 = list(exact.iter_batches(batch_format="pyarrow",

@@ -25,6 +25,7 @@ from ..functions import multimodal as _mm
 from ..functions import similarity as _sim
 from ..functions import sketches as _sk
 from ..functions import textstats as _ts
+from ..functions import topk as _topk
 from ..sources import synthetic as _synth
 from ..sources.fixtures import fixture_corpus_table
 from . import extract_pipeline as _ep
@@ -235,7 +236,14 @@ def dedup_exact(sf_dir: str) -> "ray.data.Dataset":
 def _mutated_corpus(sf_dir: str) -> "ray.data.Dataset":
     """documents + near-duplicate copies (docs with doc_id%10==0 get a
     clone at doc_id+100000 with ' extra' appended) — the dedup oracle
-    workload; deterministic."""
+    workload; deterministic. The MATERIALIZED corpus is memoized per
+    (source path, mtime, Ray session), so the minhash family's several
+    consumers in one analysis session build it once."""
+    src = Path(sf_dir) / "documents.parquet"
+    key = (str(src.resolve()), src.stat().st_mtime_ns,
+           ray.get_runtime_context().get_job_id())
+    if key in _CORPUS_MEMO:
+        return _CORPUS_MEMO[key]
     docs = _documents(sf_dir)
 
     def mutate(batch: pa.Table) -> pa.Table:
@@ -260,13 +268,37 @@ def _mutated_corpus(sf_dir: str) -> "ray.data.Dataset":
     # (candidate generation + the verify semi-join fetch) — without it
     # the whole build re-executes per consumer. At 100 TB the
     # equivalent is persisting the mutated corpus to parquet.
-    return docs.union(clones).repartition(16).materialize()
+    out = docs.union(clones).repartition(16).materialize()
+    _evict_same_path(_CORPUS_MEMO, key, gen_len=3)
+    _CORPUS_MEMO[key] = out
+    return out
 
 
 # verified-pair memo: keyed on (resolved path, source mtime, threshold);
 # holds PLAIN Arrow tables (no Ray object refs), so it stays valid
-# across ray.shutdown/init and invalidates when the source changes
+# across ray.shutdown/init and invalidates when the source changes.
+# One generation per source path: inserting a new (path, mtime) evicts
+# older mtimes of the same path so regenerated corpora don't strand
+# stale tables for the process lifetime.
 _PAIR_MEMO: dict[tuple, pa.Table] = {}
+
+# materialized mutated-corpus memo, shared by the minhash family so
+# dedup_minhash -> dedup_minhash_keep in one session pays the corpus
+# union+repartition+materialize once. Keyed additionally on the Ray
+# job id: a MaterializedDataset holds object-store refs that die with
+# the Ray session, unlike the plain-Arrow pair memo.
+_CORPUS_MEMO: dict[tuple, "ray.data.Dataset"] = {}
+
+
+def _evict_same_path(memo: dict, key: tuple, gen_len: int) -> None:
+    """Drop memo entries for the same source path (``key[0]``) whose
+    generation prefix ``key[:gen_len]`` differs — same-generation
+    siblings (e.g. the pair memo's two thresholds, gen_len=2) are
+    kept; the corpus memo uses gen_len=3 so a new Ray session also
+    evicts the dead-ref entry of the previous one."""
+    for k in [k for k in memo
+              if k[0] == key[0] and k[:gen_len] != key[:gen_len]]:
+        del memo[k]
 
 
 def _minhash_verified_pairs(sf_dir: str, threshold: float,
@@ -300,6 +332,7 @@ def _minhash_verified_pairs(sf_dir: str, threshold: float,
         tbl = tbl.take(pc.sort_indices(
             tbl, sort_keys=[("id_a", "ascending"),
                             ("id_b", "ascending")]))
+    _evict_same_path(_PAIR_MEMO, key, gen_len=2)
     _PAIR_MEMO[key] = tbl
     return tbl
 
@@ -865,19 +898,25 @@ def _lang_winners(tbl: pa.Table) -> pa.Table:
 
 def top_doc_per_lang(sf_dir: str) -> pa.Table:
     """Group-wise argmax (longest doc per language, ties to the lowest
-    doc_id) with a MAP-SIDE COMBINER: each batch emits at most one
-    winner row per lang, so only |langs| x n_blocks tiny rows leave the
-    workers; the exact final reduce runs over that partial set."""
+    doc_id): a MAP-SIDE COMBINER (each batch emits at most one winner
+    row per lang) feeds a GROUPED k=1 top-k reduce whose per-group
+    state is bounded by k — the driver sees only |langs| final rows,
+    independent of block count (functions/topk.py)."""
     def partial(batch: pa.Table) -> pa.Table:
         return _lang_winners(batch.select(["lang", "doc_id", "n_chars"]))
 
-    parts = list(_documents(sf_dir, ["lang", "doc_id", "n_chars"]).map_batches(
-        partial, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow", batch_size=None))
-    if not parts:
+    agg = _documents(sf_dir, ["lang", "doc_id", "n_chars"]).map_batches(
+        partial, batch_format="pyarrow").groupby("lang").aggregate(
+        _topk.topk_rows_agg(["doc_id", "n_chars"],
+                            [("n_chars", True), ("doc_id", False)], 1))
+    tbl = pa.Table.from_pylist(agg.take_all())
+    if tbl.num_rows == 0:
         return pa.schema([("lang", pa.string()), ("doc_id", pa.int64()),
                           ("n_chars", pa.int64())]).empty_table()
-    return _lang_winners(pa.concat_tables(parts)).select(
+    out = _topk.explode_topk(tbl, ["lang"], ["doc_id", "n_chars"],
+                             [pa.int64(), pa.int64()])
+    return out.take(pc.sort_indices(
+        out, sort_keys=[("lang", "ascending")])).select(
         ["lang", "doc_id", "n_chars"])
 
 
@@ -1018,21 +1057,29 @@ def _lang_topk(tbl: pa.Table, k: int) -> pa.Table:
 
 
 def top3_docs_per_lang(sf_dir: str) -> pa.Table:
-    """Group-wise top-k (k=3 longest docs per language) with a map-side
-    combiner: each batch emits at most k rows per lang, so only
-    |langs| x k x n_blocks tiny rows leave the workers."""
+    """Group-wise top-k (k=3 longest docs per language): map-side
+    combiner (at most k rows per lang per batch) + grouped top-k final
+    reduce with k-bounded per-group state — driver memory is
+    O(k x |langs|), independent of block count."""
     def partial(batch: pa.Table) -> pa.Table:
         return _lang_topk(batch.select(["lang", "doc_id", "n_chars"]),
                           TOPK_PER_LANG).drop_columns(["rank"])
 
-    parts = list(_documents(sf_dir).map_batches(
-        partial, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow", batch_size=None))
-    if not parts:
+    agg = _documents(sf_dir, ["lang", "doc_id", "n_chars"]).map_batches(
+        partial, batch_format="pyarrow").groupby("lang").aggregate(
+        _topk.topk_rows_agg(["doc_id", "n_chars"],
+                            [("n_chars", True), ("doc_id", False)],
+                            TOPK_PER_LANG))
+    tbl = pa.Table.from_pylist(agg.take_all())
+    if tbl.num_rows == 0:
         return pa.schema([("lang", pa.string()), ("doc_id", pa.int64()),
                           ("n_chars", pa.int64()),
                           ("rank", pa.int64())]).empty_table()
-    return _lang_topk(pa.concat_tables(parts), TOPK_PER_LANG).select(
+    out = _topk.explode_topk(tbl, ["lang"], ["doc_id", "n_chars"],
+                             [pa.int64(), pa.int64()], rank_col="rank")
+    return out.take(pc.sort_indices(
+        out, sort_keys=[("lang", "ascending"),
+                        ("rank", "ascending")])).select(
         ["lang", "doc_id", "n_chars", "rank"])
 
 
@@ -1202,8 +1249,10 @@ SEARCH_TOP_K = 20
 def keyword_search(sf_dir: str) -> pa.Table:
     """Keyword search: rank documents by query-token occurrence count
     (tf scoring). The query-token set lives in the task closure (tiny
-    broadcast); each batch emits only its local top-k partial, so only
-    |blocks| x k rows ever reach the final exact top-k."""
+    broadcast); each batch emits only its local top-k partial, and the
+    final exact top-k is a GLOBAL k-bounded aggregate (state never
+    exceeds k rows; the driver receives exactly k rows, independent of
+    block count)."""
     qset = frozenset(SEARCH_TOKENS)
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -1219,16 +1268,16 @@ def keyword_search(sf_dir: str) -> pa.Table:
                                             ("doc_id", "ascending")])
         return t.take(idx[:SEARCH_TOP_K])
 
-    parts = list(_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        partial, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow", batch_size=None))
-    if not parts:
-        return pa.table({"doc_id": pa.array([], pa.int64()),
-                         "score": pa.array([], pa.int64())})
-    t = pa.concat_tables(parts)
-    idx = pc.sort_indices(t, sort_keys=[("score", "descending"),
-                                        ("doc_id", "ascending")])
-    return t.take(idx[:SEARCH_TOP_K])
+    res = _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        partial, batch_format="pyarrow").aggregate(
+        _topk.topk_rows_agg(["doc_id", "score"],
+                            [("score", True), ("doc_id", False)],
+                            SEARCH_TOP_K))
+    rows = (res or {}).get("topk") or []
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "score": pa.array([r[1] for r in rows], pa.int64()),
+    })
 
 
 def orders_rollup(sf_dir: str) -> pa.Table:

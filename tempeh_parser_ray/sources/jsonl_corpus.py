@@ -44,7 +44,11 @@ def _materialize(out: Path, build) -> Path:
     every file inside it."""
     marker = out.parent / (out.name + "._DONE")
     if marker.exists():
-        return out
+        # /tmp agers can delete the data dir independently of the
+        # marker — only trust the marker when the data is still there
+        if out.exists():
+            return out
+        marker.unlink(missing_ok=True)
     tmp = out.parent / (out.name + ".tmp")
     if tmp.exists():
         shutil.rmtree(tmp)
