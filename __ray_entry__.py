@@ -337,18 +337,23 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         # closed form of the real container-header decode: payloads
-        # cycle PNG/GIF/JPEG/BMP by doc_id%4 with dims/channels as
-        # functions of doc_id
+        # cycle PNG/GIF/JPEG/BMP/WebP-VP8X by doc_id%5 with
+        # dims/channels as functions of doc_id (odd WebP ids carry the
+        # alpha flag -> 4 channels)
         "image_header_dims": """
             SELECT doc_id AS media_id,
                    CAST(1 + doc_id % 640 AS INTEGER) AS width,
                    CAST(1 + (doc_id * 7) % 480 AS INTEGER) AS height,
-                   CAST(CASE WHEN doc_id % 4 = 0 THEN
+                   CAST(CASE
+                        WHEN doc_id % 5 = 0 THEN
                              CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3
                                   ELSE 4 END
+                        WHEN doc_id % 5 = 4 THEN
+                             CASE WHEN doc_id % 2 = 1 THEN 4 ELSE 3 END
                         ELSE 3 END AS INTEGER) AS channels,
-                   CAST(CASE doc_id % 4 WHEN 0 THEN 33 WHEN 1 THEN 13
-                        WHEN 2 THEN 12 ELSE 26 END AS BIGINT) AS n_bytes
+                   CAST(CASE doc_id % 5 WHEN 0 THEN 33 WHEN 1 THEN 13
+                        WHEN 2 THEN 12 WHEN 3 THEN 26
+                        ELSE 30 END AS BIGINT) AS n_bytes
             FROM documents
         """,
         "frame_offsets": """

@@ -34,11 +34,15 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # by PNG color type
 def parse_image_header(blob: bytes
                        ) -> Optional[tuple[int, int, int, str]]:
     """REAL (dependency-free) container-header decode: (width, height,
-    channels, format) for PNG / GIF / JPEG / BMP payloads, ``None`` for
-    anything else. Pure byte parsing of the published container specs —
-    no codec library needed for dimensions/metadata, which is what the
-    100 TB filtering/statistics pipelines actually consume; full pixel
-    decode still needs PIL (gated in :class:`DecodeImageBatch`)."""
+    channels, format) for PNG / GIF / JPEG / BMP / WebP payloads,
+    ``None`` for anything else. WebP covers all three container
+    layouts: extended (VP8X: 24-bit canvas-minus-one dims, alpha flag
+    0x10), lossless (VP8L: 14-bit packed dims + alpha bit) and lossy
+    (VP8: sync code + 14-bit dims). Pure byte parsing of the published
+    container specs — no codec library needed for dimensions/metadata,
+    which is what the 100 TB filtering/statistics pipelines actually
+    consume; full pixel decode still needs PIL (gated in
+    :class:`DecodeImageBatch`)."""
     n = len(blob)
     if n >= 26 and blob[:8] == b"\x89PNG\r\n\x1a\n" \
             and blob[12:16] == b"IHDR":
@@ -71,6 +75,30 @@ def parse_image_header(blob: bytes
         w = int.from_bytes(blob[18:22], "little", signed=True)
         h = int.from_bytes(blob[22:26], "little", signed=True)
         return w, abs(h), 3, "bmp"
+    if n >= 21 and blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
+        fourcc = blob[12:16]
+        if fourcc == b"VP8X" and n >= 30:
+            # extended header: flags byte (ALPHA_FLAG=0x10), 3 reserved
+            # bytes, then 24-bit little-endian canvas dims minus one
+            alpha = blob[20] & 0x10
+            w = 1 + int.from_bytes(blob[24:27], "little")
+            h = 1 + int.from_bytes(blob[27:30], "little")
+            return w, h, 4 if alpha else 3, "webp"
+        if fourcc == b"VP8L" and n >= 25 and blob[20] == 0x2F:
+            # lossless: signature 0x2F then 14-bit w-1, 14-bit h-1,
+            # 1-bit alpha, 3-bit version packed little-endian
+            bits = int.from_bytes(blob[21:25], "little")
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+            return w, h, 4 if (bits >> 28) & 1 else 3, "webp"
+        if fourcc == b"VP8 " and n >= 30 \
+                and blob[23:26] == b"\x9d\x01\x2a":
+            # lossy: 3-byte frame tag, sync code, 14-bit dims (upper
+            # 2 bits of each uint16 are scaling hints)
+            w = int.from_bytes(blob[26:28], "little") & 0x3FFF
+            h = int.from_bytes(blob[28:30], "little") & 0x3FFF
+            return w, h, 3, "webp"
+        return None
     return None
 
 

@@ -436,10 +436,11 @@ def multimodal_features(sf_dir: str) -> "ray.data.Dataset":
 
 
 def _image_blob_batch(batch: pa.Table) -> pa.Table:
-    """Deterministic minimal image payload per doc cycling ALL FOUR
-    container formats the header parser supports (doc_id%4: PNG / GIF /
-    JPEG / BMP): dims and channels are closed functions of doc_id, so
-    the REAL header-decode path is SQL-checkable per format."""
+    """Deterministic minimal image payload per doc cycling ALL FIVE
+    container formats the header parser supports (doc_id%5: PNG / GIF /
+    JPEG / BMP / WebP-VP8X): dims and channels are closed functions of
+    doc_id, so the REAL header-decode path is SQL-checkable per
+    format."""
     import struct
 
     ids = batch.column("doc_id").to_pylist()
@@ -448,7 +449,7 @@ def _image_blob_batch(batch: pa.Table) -> pa.Table:
     for d in ids:
         w = 1 + d % 640
         h = 1 + (d * 7) % 480
-        fmt = d % 4
+        fmt = d % 5
         if fmt == 0:  # PNG: signature + IHDR chunk (33 bytes)
             ct = (0, 2, 6)[d % 3]
             ihdr = struct.pack(">II5B", w, h, 8, ct, 0, 0, 0)
@@ -462,10 +463,18 @@ def _image_blob_batch(batch: pa.Table) -> pa.Table:
             blobs.append(b"\xff\xd8\xff\xc0" + struct.pack(
                 ">HBHHB", 8, 8, h, w, 3))
             types.append("image/jpeg")
-        else:  # BMP: BITMAPINFOHEADER prefix (26 bytes)
+        elif fmt == 3:  # BMP: BITMAPINFOHEADER prefix (26 bytes)
             blobs.append(b"BM" + b"\x00" * 16
                          + struct.pack("<ii", w, h))
             types.append("image/bmp")
+        else:  # WebP extended header (VP8X chunk, 30 bytes); odd ids
+            # carry the alpha flag (0x10) -> 4 channels
+            flags = 0x10 if d % 2 else 0x00
+            blobs.append(b"RIFF" + struct.pack("<I", 22) + b"WEBPVP8X"
+                         + struct.pack("<I", 10) + bytes([flags, 0, 0, 0])
+                         + (w - 1).to_bytes(3, "little")
+                         + (h - 1).to_bytes(3, "little"))
+            types.append("image/webp")
     return pa.table({
         "media_id": pa.array(ids, pa.int64()),
         "media": pa.array(blobs, pa.binary()),
@@ -474,7 +483,7 @@ def _image_blob_batch(batch: pa.Table) -> pa.Table:
 
 
 def image_header_dims(sf_dir: str) -> "ray.data.Dataset":
-    """REAL (dependency-free) image decode over PNG/GIF/JPEG/BMP
+    """REAL (dependency-free) image decode over PNG/GIF/JPEG/BMP/WebP
     payloads: the container-header parser extracts true
     width/height/channels per format — not the byte-length stub
     (functions/multimodal.py:parse_image_header)."""

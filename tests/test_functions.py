@@ -215,6 +215,57 @@ def test_image_header_parse_real_formats():
     assert multimodal.parse_image_header(b"\x89PNG\r\n\x1a\nshort") is None
 
 
+def test_image_header_parse_webp_variants():
+    """All three WebP container layouts decode dependency-free:
+    extended (VP8X, 24-bit dims-minus-one + alpha flag), lossless
+    (VP8L, packed 14-bit dims + alpha bit) and lossy (VP8, sync code +
+    14-bit dims)."""
+    import struct
+
+    def vp8x(w, h, alpha):
+        return (b"RIFF" + struct.pack("<I", 22) + b"WEBPVP8X"
+                + struct.pack("<I", 10)
+                + bytes([0x10 if alpha else 0, 0, 0, 0])
+                + (w - 1).to_bytes(3, "little")
+                + (h - 1).to_bytes(3, "little"))
+
+    assert multimodal.parse_image_header(vp8x(1024, 768, False)) \
+        == (1024, 768, 3, "webp")
+    assert multimodal.parse_image_header(vp8x(33, 7, True)) \
+        == (33, 7, 4, "webp")
+    # 24-bit range: dims beyond uint16
+    assert multimodal.parse_image_header(vp8x(70000, 2, False)) \
+        == (70000, 2, 3, "webp")
+
+    def vp8l(w, h, alpha):
+        bits = (w - 1) | ((h - 1) << 14) | (alpha << 28)
+        return (b"RIFF" + struct.pack("<I", 17) + b"WEBPVP8L"
+                + struct.pack("<I", 5) + b"\x2f"
+                + struct.pack("<I", bits))
+
+    assert multimodal.parse_image_header(vp8l(500, 300, 0)) \
+        == (500, 300, 3, "webp")
+    assert multimodal.parse_image_header(vp8l(16383, 1, 1)) \
+        == (16383, 1, 4, "webp")
+
+    def vp8(w, h):
+        return (b"RIFF" + struct.pack("<I", 22) + b"WEBPVP8 "
+                + struct.pack("<I", 14) + b"\x00\x00\x00"
+                + b"\x9d\x01\x2a"
+                + struct.pack("<HH", w, h) + b"\x00" * 4)
+
+    assert multimodal.parse_image_header(vp8(640, 360)) \
+        == (640, 360, 3, "webp")
+    # scaling hint bits in the upper 2 bits must be masked off
+    assert multimodal.parse_image_header(vp8(100 | 0x4000, 50 | 0x8000)) \
+        == (100, 50, 3, "webp")
+
+    # corrupt sync code / truncated VP8L are rejected, not misparsed
+    bad_sync = vp8(10, 10)[:23] + b"\x00\x01\x2a" + vp8(10, 10)[26:]
+    assert multimodal.parse_image_header(bad_sync) is None
+    assert multimodal.parse_image_header(vp8l(4, 4, 0)[:22]) is None
+
+
 def test_decode_image_batch_uses_header_dims():
     """DecodeImageBatch prefers the real header decode over the
     byte-length stub when the payload is a recognized container."""
