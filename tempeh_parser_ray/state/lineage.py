@@ -88,6 +88,69 @@ def completed_shards(out_dir: str | Path) -> set[int]:
     return out
 
 
+def scale_report(out_dir: str | Path) -> dict:
+    """Audit surface for a large run: per-shard throughput/skew
+    percentiles computed from the committed lineage sidecars — a PURE
+    READ of existing records (no touch of the shard data itself), the
+    dashboard a 10^12-document operator would watch for stragglers.
+
+    Returns totals, per-shard ``mb_per_sec`` / ``docs_per_sec`` /
+    ``html_bytes`` percentiles (p10/p50/p90 + min/max), and the
+    straggler list (shards below half the median MB/s). Per-shard
+    wall time is the WAVE wall time (shards in a wave share one
+    pipeline), so intra-wave throughput differences reflect data skew
+    (bytes percentiles), not scheduling."""
+    import numpy as np
+
+    recs = [r for sid in sorted(completed_shards(out_dir))
+            if (r := read_lineage(out_dir, sid)) is not None]
+    if not recs:
+        return {"n_shards": 0, "totals": {}, "percentiles": {},
+                "stragglers": []}
+
+    def pct(vals: list[float]) -> dict:
+        a = np.asarray(vals, dtype=np.float64)
+        return {
+            "min": float(a.min()),
+            "p10": float(np.percentile(a, 10)),
+            "p50": float(np.percentile(a, 50)),
+            "p90": float(np.percentile(a, 90)),
+            "max": float(a.max()),
+        }
+
+    mbps = [r.mb_per_sec for r in recs]
+    med = float(np.median(np.asarray(mbps)))
+    stragglers = [
+        {"shard": r.shard, "mb_per_sec": r.mb_per_sec,
+         "html_bytes": r.html_bytes,
+         "wave": r.extra.get("wave")}
+        for r in recs if r.mb_per_sec < 0.5 * med]
+    # one wall-time contribution per WAVE (shards in a wave share a
+    # pipeline), keyed by the wave's shard list, not its duration
+    wave_walls: dict[tuple, float] = {}
+    for r in recs:
+        wkey = tuple(r.extra.get("wave") or [r.shard])
+        wave_walls[wkey] = r.extra.get("wave_seconds", r.wall_seconds)
+    wall = float(sum(wave_walls.values()))
+    return {
+        "n_shards": len(recs),
+        "totals": {
+            "n_docs": sum(r.n_docs for r in recs),
+            "n_errors": sum(r.n_errors for r in recs),
+            "html_bytes": sum(r.html_bytes for r in recs),
+            "extracted_chars": sum(r.extracted_chars for r in recs),
+        },
+        "percentiles": {
+            "mb_per_sec": pct(mbps),
+            "docs_per_sec": pct([r.docs_per_sec for r in recs]),
+            "html_bytes": pct([float(r.html_bytes) for r in recs]),
+        },
+        "median_mb_per_sec": med,
+        "wall_seconds_estimate": wall,
+        "stragglers": stragglers,
+    }
+
+
 class ShardTimer:
     def __enter__(self) -> "ShardTimer":
         self.t0 = time.time()

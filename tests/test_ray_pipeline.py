@@ -200,6 +200,52 @@ def test_main_text_drops_nav_keeps_content(ray_session):
         assert row["main_text"] == want  # nav + mail link dropped
 
 
+def test_scale_report_from_lineage(ray_session, tmp_path):
+    """scale_report is a pure read of committed lineage sidecars:
+    totals match the job's return value, percentiles are well-formed,
+    and a shard made artificially slow appears in the stragglers."""
+    import json
+
+    ray = ray_session
+    docs = pq.read_table(Path(SF_DIR) / "documents.parquet")
+    corpus = synth.synthesize_batch(docs)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    files = []
+    n = corpus.num_rows
+    step = n // 4
+    for i in range(4):
+        part = corpus.slice(i * step, step if i < 3 else n - 3 * step)
+        f = in_dir / f"part-{i}.parquet"
+        pq.write_table(part, f)
+        files.append(str(f))
+    out = tmp_path / "out"
+    tot = ep.run_extraction_job(files, out, shard_size=1, wave_size=2,
+                                spans=False, concurrency=(1, 2))
+    rep = lineage.scale_report(out)
+    assert rep["n_shards"] == 4
+    assert rep["totals"]["n_docs"] == tot["n_docs"] == n
+    assert rep["totals"]["html_bytes"] == tot["html_bytes"]
+    p = rep["percentiles"]["mb_per_sec"]
+    assert p["min"] <= p["p10"] <= p["p50"] <= p["p90"] <= p["max"]
+    # 2 waves of 2 shards -> wall estimate counts each wave once
+    assert 0 < rep["wall_seconds_estimate"] <= tot["wall_seconds"] + 1e-6
+
+    # plant a straggler: rewrite shard 1's sidecar with 100x the bytes
+    # over the same wall time (10x would still sit above half-median)
+    lp = lineage.lineage_path(out, 1)
+    rec = json.loads(lp.read_text())
+    rec["mb_per_sec"] = rec["mb_per_sec"] / 100.0
+    lp.write_text(json.dumps(rec))
+    rep2 = lineage.scale_report(out)
+    assert any(s["shard"] == 1 for s in rep2["stragglers"])
+    # report never touches shard data: removing parquet output changes
+    # nothing (it reads only _lineage/)
+    import shutil
+    shutil.rmtree(lineage.shard_output_dir(out, 0))
+    assert lineage.scale_report(out)["n_shards"] == 4
+
+
 def test_resume_cleans_crashed_shard(ray_session, tmp_path):
     """A shard dir left by a crashed attempt (output present, no lineage
     record) must be wiped and re-run, yielding exactly-once output."""
