@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": _q.audio_features,
         # temporal joins / windows (custom operators, pipelines/windows.py)
         "events_asof_join": _q.events_asof_join,
+        "events_range_join": _q.events_range_join,
         "events_sliding_3h": _q.events_sliding_3h,
         # sketches / summaries (functions/sketches.py)
         "doc_length_percentiles": _q.doc_length_percentiles,
@@ -524,6 +525,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_id, user_id, ts, prior_event_id, prior_ts
             FROM j WHERE rn = 1
+        """,
+        "events_range_join": """
+            WITH p AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+            c AS (SELECT user_id, ts,
+                         CAST(ROUND(value * 1000000) AS BIGINT) AS vm
+                  FROM events WHERE event_type = 'click')
+            SELECT p.event_id, p.user_id, p.ts,
+                   CAST(COUNT(c.ts) AS BIGINT) AS n_right,
+                   CAST(COALESCE(SUM(c.vm), 0) AS BIGINT)
+                       AS sum_right_micros
+            FROM p LEFT JOIN c
+              ON p.user_id = c.user_id
+             AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+            GROUP BY p.event_id, p.user_id, p.ts
         """,
         "events_sliding_3h": """
             WITH hourly AS (

@@ -939,6 +939,22 @@ def events_asof_join(sf_dir: str) -> "ray.data.Dataset":
         left_type="purchase", right_type="click")
 
 
+RANGE_JOIN_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def events_range_join(sf_dir: str) -> "ray.data.Dataset":
+    """Range (interval) join: each purchase event paired with the
+    count and exact integer-micro value sum of the same user's clicks
+    in the inclusive preceding hour — the bounded-window sibling of the
+    as-of join, bucketed with ghost rows at bucket boundaries
+    (pipelines/windows.py:range_join_events)."""
+    return _win.range_join_events(
+        _events(sf_dir, ["event_id", "user_id", "ts", "event_type",
+                         "value"]),
+        left_type="purchase", right_type="click",
+        window_us=RANGE_JOIN_WINDOW_US)
+
+
 def events_sliding_3h(sf_dir: str) -> pa.Table:
     """Sliding 3-hour windowed totals per event type (RANGE window over
     the hourly pre-aggregate)."""

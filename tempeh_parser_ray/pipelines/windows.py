@@ -114,13 +114,17 @@ def asof_last_event(events: "ray.data.Dataset", *,
             "bucket": pc.divide(ts, bucket_us).cast(pa.int64()),
             "ts_us": ts,
             "event_id": t.column("event_id"),
-            "is_right": side,
+            # int64, not bool: the downstream per-group collect rows
+            # must stay pure-int64 so the collected column is a native
+            # Arrow list column, not a pickled-object fallback
+            "is_right": side.cast(pa.int64()),
         })
 
     proj = events.map_batches(project, batch_format="pyarrow")
 
     def meta_rows(batch: pa.Table) -> pa.Table:
-        is_r = batch.column("is_right").to_numpy(zero_copy_only=False)
+        is_r = batch.column("is_right").to_numpy(
+            zero_copy_only=False).astype(bool)
         ts = batch.column("ts_us").to_numpy(zero_copy_only=False)
         ids = batch.column("event_id").to_numpy(zero_copy_only=False)
         return pa.table({
@@ -182,7 +186,7 @@ def asof_last_event(events: "ray.data.Dataset", *,
             "bucket": pa.array(out_b, pa.int64()),
             "ts_us": pa.array(out_ts, pa.int64()),
             "event_id": pa.array(out_id, pa.int64()),
-            "is_right": pa.array([True] * len(out_u), pa.bool_()),
+            "is_right": pa.array([1] * len(out_u), pa.int64()),
         })
 
     carry_ds = per_user.map_batches(carries, batch_format="pyarrow")
@@ -200,8 +204,8 @@ def asof_last_event(events: "ray.data.Dataset", *,
         valids: list[np.ndarray] = []
         for uid, rows in zip(batch.column("user_id").to_pylist(),
                              batch.column("rows").to_pylist()):
-            arr = np.asarray([r[:2] for r in rows], dtype=np.int64)
-            right = np.asarray([bool(r[2]) for r in rows])
+            arr = np.asarray(rows, dtype=np.int64)  # pure-int64 rows
+            right = arr[:, 2].astype(bool)
             lts, lid = arr[~right, 0], arr[~right, 1]
             rts, rid = arr[right, 0], arr[right, 1]
             # sort rights by (ts, id): searchsorted(..., 'right')-1 then
@@ -235,6 +239,116 @@ def asof_last_event(events: "ray.data.Dataset", *,
         })
 
     return grouped.map_batches(match, batch_format="pyarrow")
+
+
+def range_join_events(events: "ray.data.Dataset", *,
+                      left_type: str, right_type: str,
+                      window_us: int, bucket_us: int = DAY_US,
+                      ) -> "ray.data.Dataset":
+    """Range (interval) join within an event stream: each ``left_type``
+    event gets the COUNT and exact integer-micro value SUM of
+    ``right_type`` events by the same user with
+    ``left.ts - window_us <= right.ts <= left.ts`` (both ends
+    inclusive, SQL ``BETWEEN`` semantics).
+
+    TIME-BUCKETED like :func:`asof_last_event`, but simpler — the
+    window is bounded, so carries degenerate to GHOST ROWS: a right in
+    the last ``window_us`` of its bucket is duplicated into the next
+    bucket (it is the only right an adjacent bucket's lefts can see,
+    given ``window_us <= bucket_us``), then each ``(user, bucket)``
+    group resolves its lefts with two searchsorteds over prefix sums.
+    Shuffle carries only ``(user, bucket, ts, event_id, side, micros)``
+    rows plus the ghost fraction (~window/bucket of rights); per-group
+    state is one user's events per bucket."""
+    assert window_us <= bucket_us, "window must not exceed the bucket"
+
+    def project(batch: pa.Table) -> pa.Table:
+        types = batch.column("event_type")
+        keep = pc.or_(pc.equal(types, left_type),
+                      pc.equal(types, right_type))
+        t = batch.filter(keep)
+        side = pc.equal(t.column("event_type"), right_type)
+        ts = t.column("ts").cast(pa.int64())
+        micros = pc.round(pc.multiply(
+            t.column("value").cast(pa.float64()), 1_000_000.0)).cast(
+            pa.int64())
+        base = pa.table({
+            "user_id": t.column("user_id"),
+            "bucket": pc.divide(ts, bucket_us).cast(pa.int64()),
+            "ts_us": ts,
+            "event_id": t.column("event_id"),
+            # int64 so the per-group collect rows stay pure-int64
+            # (native Arrow list column, no pickled-object fallback)
+            "is_right": side.cast(pa.int64()),
+            "value_micros": micros,
+        })
+        # ghost rights into the NEXT bucket: only rights within
+        # window_us of their bucket's end can serve an adjacent
+        # bucket's lefts
+        ts_np = ts.to_numpy(zero_copy_only=False)
+        right_np = side.to_numpy(zero_copy_only=False).astype(bool)
+        if len(ts_np):
+            bucket_np = ts_np // bucket_us
+            ghost = right_np & (
+                ts_np >= (bucket_np + 1) * bucket_us - window_us)
+        else:
+            ghost = np.zeros(0, dtype=bool)
+        g = base.filter(pa.array(ghost))
+        ghosts = pa.table({
+            "user_id": g.column("user_id"),
+            "bucket": pc.add(g.column("bucket"), 1).cast(pa.int64()),
+            "ts_us": g.column("ts_us"),
+            "event_id": g.column("event_id"),
+            "is_right": g.column("is_right"),
+            "value_micros": g.column("value_micros"),
+        })
+        return pa.concat_tables([base, ghosts])
+
+    grouped = events.map_batches(
+        project, batch_format="pyarrow").groupby(
+        ["user_id", "bucket"]).aggregate(
+        collect_columns_agg(["ts_us", "event_id", "is_right",
+                             "value_micros"], "rows"))
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        out_e: list[np.ndarray] = []
+        out_u: list[np.ndarray] = []
+        out_t: list[np.ndarray] = []
+        out_n: list[np.ndarray] = []
+        out_s: list[np.ndarray] = []
+        for uid, rows in zip(batch.column("user_id").to_pylist(),
+                             batch.column("rows").to_pylist()):
+            arr = np.asarray(rows, dtype=np.int64)  # pure-int64 rows
+            right = arr[:, 2].astype(bool)
+            lts, lid = arr[~right, 0], arr[~right, 1]
+            if not len(lts):
+                continue
+            rts = arr[right, 0]
+            rvl = arr[right, 3]
+            order = np.argsort(rts, kind="stable")
+            rts, rvl = rts[order], rvl[order]
+            cs = np.concatenate(([0], np.cumsum(rvl)))
+            lo = np.searchsorted(rts, lts - window_us, side="left")
+            hi = np.searchsorted(rts, lts, side="right")
+            out_e.append(lid)
+            out_u.append(np.full(len(lid), uid, dtype=np.int64))
+            out_t.append(lts)
+            out_n.append(hi - lo)
+            out_s.append(cs[hi] - cs[lo])
+        if not out_e:
+            z = np.zeros(0, np.int64)
+            out_e = out_u = out_t = out_n = out_s = [z]
+        return pa.table({
+            "event_id": pa.array(np.concatenate(out_e), pa.int64()),
+            "user_id": pa.array(np.concatenate(out_u), pa.int64()),
+            "ts": pa.array(np.concatenate(out_t), pa.int64()).cast(
+                pa.timestamp("us")),
+            "n_right": pa.array(np.concatenate(out_n), pa.int64()),
+            "sum_right_micros": pa.array(
+                np.concatenate(out_s), pa.int64()),
+        })
+
+    return grouped.map_batches(resolve, batch_format="pyarrow")
 
 
 def sessionize_salted(events: "ray.data.Dataset", *,

@@ -106,6 +106,48 @@ def test_asof_equals_bruteforce(ray_session, evs):
         assert got[pid] == expect, (pid, got[pid], expect)
 
 
+range_strategy = st.lists(
+    st.tuples(st.integers(0, 2),                 # user
+              st.integers(0, 200),               # ts units (minutes)
+              st.booleans(),                     # is purchase (else click)
+              st.integers(0, 50)),               # value (scaled)
+    min_size=1, max_size=40)
+
+
+@given(range_strategy)
+@_SET
+def test_range_join_equals_bruteforce(ray_session, evs):
+    """Bucketed range join == brute-force window scan, with a bucket
+    width (1 h) small enough that ghosts are exercised (window == the
+    1 h bucket)."""
+    ray = ray_session
+    HOUR = 60 * MIN
+    rows = [(i, u, t * MIN, "purchase" if p else "click", v / 4.0)
+            for i, (u, t, p, v) in enumerate(evs)]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.int64()).cast(
+            pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+    })
+    got = {r["event_id"]: (r["n_right"], r["sum_right_micros"])
+           for r in _collect(windows.range_join_events(
+               ray.data.from_arrow(tbl), left_type="purchase",
+               right_type="click", window_us=HOUR,
+               bucket_us=HOUR)).to_pylist()}
+
+    purchases = [r for r in rows if r[3] == "purchase"]
+    clicks = [r for r in rows if r[3] == "click"]
+    assert set(got) == {p[0] for p in purchases}
+    for pid, pu, pts, _, _ in purchases:
+        sel = [c for c in clicks
+               if c[1] == pu and pts - HOUR <= c[2] <= pts]
+        expect = (len(sel), sum(round(c[4] * 1e6) for c in sel))
+        assert got[pid] == expect, (pid, got[pid], expect)
+
+
 pairs_strategy = st.lists(
     st.tuples(st.integers(0, 15), st.integers(0, 15)),
     min_size=0, max_size=25)
@@ -190,6 +232,15 @@ def test_partition_invariance(ray_session):
         return sorted((r["event_id"], r["prior_event_id"])
                       for r in t.to_pylist())
     assert asof_pairs(1) == asof_pairs(7)
+
+    # range join
+    def range_rows(n):
+        t = _collect(windows.range_join_events(
+            evs(n), left_type="purchase", right_type="click",
+            window_us=3_600_000_000))
+        return sorted((r["event_id"], r["n_right"],
+                       r["sum_right_micros"]) for r in t.to_pylist())
+    assert range_rows(1) == range_rows(7)
 
     # MinHash candidate + verify pipeline
     def pairs(n):
