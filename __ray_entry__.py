@@ -109,6 +109,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multi-way dimension join (supplier -> nation -> region)
         "revenue_by_region": _q.revenue_by_region,
         "parts_by_brand": _q.parts_by_brand,
+        # corpus curation (functions/curation.py)
+        "sequence_packing": _q.sequence_packing,
+        "decontaminate": _q.decontaminate,
+        "pii_redact": _q.pii_redact,
+        "repetition_ratio": _q.repetition_ratio,
+        "stratified_sample_by_lang": _q.stratified_sample_by_lang,
+        "source_mixture_sample": _q.source_mixture_sample,
+        # LAG window (pipelines/windows.py)
+        "events_lag": _q.events_lag,
     }
 
 
@@ -860,5 +869,122 @@ def oracle_sql() -> dict[str, str]:
         SELECT '4_exact_dedup', COUNT(DISTINCT fp) FROM feats
         WHERE nt >= 24 AND sr >= 0.02 AND known
         ORDER BY stage
+    """
+    _toks_or_empty = (r"CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) "
+                      rf"ELSE {_TOKENS} END")
+    d["sequence_packing"] = f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len({_TOKENS}) END AS BIGINT) AS n_tokens
+            FROM documents),
+        c AS (
+            SELECT doc_id, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS before
+            FROM t)
+        SELECT doc_id, n_tokens,
+               CAST(before // 2048 AS BIGINT) AS chunk_id,
+               CAST(before % 2048 AS BIGINT) AS chunk_offset
+        FROM c
+    """
+    d["decontaminate"] = f"""
+        WITH toks AS (
+            SELECT doc_id, {_toks_or_empty} AS t FROM documents),
+        g AS (
+            SELECT doc_id,
+                   array_to_string(list_slice(t, i, i + 7), ' ') AS gram
+            FROM (SELECT doc_id, t,
+                         unnest(generate_series(1, len(t) - 7)) AS i
+                  FROM toks)),
+        bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+        hit AS (
+            SELECT DISTINCT doc_id FROM g
+            WHERE doc_id % 97 <> 0
+              AND gram IN (SELECT gram FROM bench))
+        SELECT d.doc_id,
+               CAST(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END
+                    AS BIGINT) AS contaminated
+        FROM documents d LEFT JOIN hit h USING (doc_id)
+        WHERE d.doc_id % 97 <> 0
+    """
+    _email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    _phone_re = r"\b\d{3}-\d{4}\b"
+    d["pii_redact"] = f"""
+        WITH aug AS (
+            SELECT doc_id,
+                   text ||
+                   CASE WHEN doc_id % 7 = 0 THEN ' contact u' ||
+                        CAST(doc_id AS VARCHAR) || '@example.com now'
+                        ELSE '' END ||
+                   CASE WHEN doc_id % 11 = 0 THEN ' call 555-0142'
+                        ELSE '' END AS t
+            FROM documents),
+        m AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t, '{_email_re}'))
+                        AS BIGINT) AS n_emails,
+                   regexp_replace(t, '{_email_re}', '<EMAIL>', 'g') AS t2
+            FROM aug)
+        SELECT doc_id,
+               regexp_replace(t2, '{_phone_re}', '<PHONE>', 'g')
+                   AS clean_text,
+               n_emails,
+               CAST(len(regexp_extract_all(t2, '{_phone_re}'))
+                    AS BIGINT) AS n_phones
+        FROM m
+    """
+    d["repetition_ratio"] = f"""
+        WITH toks AS (
+            SELECT doc_id, {_toks_or_empty} AS t FROM documents),
+        g AS (
+            SELECT doc_id,
+                   array_to_string(list_slice(t, i, i + 2), ' ') AS gram
+            FROM (SELECT doc_id, t,
+                         unnest(generate_series(1, len(t) - 2)) AS i
+                  FROM toks)),
+        a AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct
+            FROM g GROUP BY doc_id),
+        f AS (
+            SELECT d.doc_id,
+                   COALESCE(a.n_grams, 0) AS n_grams,
+                   COALESCE(a.n_distinct, 0) AS n_distinct
+            FROM documents d LEFT JOIN a USING (doc_id))
+        SELECT doc_id, n_grams, n_distinct,
+               CAST(CASE WHEN n_grams > 0
+                    THEN (100 * (n_grams - n_distinct)) // n_grams
+                    ELSE 0 END AS BIGINT) AS dup_pct,
+               CAST(CASE WHEN n_grams > 0 AND
+                         (100 * (n_grams - n_distinct)) // n_grams >= 20
+                    THEN 1 ELSE 0 END AS BIGINT) AS is_repetitive
+        FROM f
+    """
+    d["stratified_sample_by_lang"] = """
+        SELECT lang, doc_id,
+               CAST(row_number() OVER w AS BIGINT) AS "rank"
+        FROM documents
+        WINDOW w AS (PARTITION BY lang
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+        QUALIFY row_number() OVER w <= 5
+        ORDER BY lang, "rank"
+    """
+    d["source_mixture_sample"] = """
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sampled
+        FROM documents
+        WHERE ((doc_id * 2654435761) % 4294967296) % 100
+              < 5 + (CAST(SUBSTR(source, 4, 99) AS BIGINT) % 4) * 10
+        GROUP BY source ORDER BY source
+    """
+    d["events_lag"] = """
+        SELECT event_id, user_id, ts,
+               LAG(event_id) OVER w AS prev_event_id,
+               LAG(ts) OVER w AS prev_ts,
+               CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS BIGINT)
+                   AS gap_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """
     return d

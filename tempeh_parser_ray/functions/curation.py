@@ -1,0 +1,272 @@
+"""Corpus-curation operators a large-scale training-data pipeline needs
+beyond dedup: sequence packing (a distributed prefix-sum scan),
+benchmark decontamination (n-gram overlap), PII redaction, and
+repetition-based quality scoring.
+
+All are ``map_batches``/groupby compositions over Arrow batches — no
+driver-side row loops, no whole-corpus materialization. Every operator
+here has a DuckDB oracle in ``__ray_entry__`` (token contract:
+``textstats.tokenize`` == ``string_split_regex(trim(text), '\\s+')``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from .dedup import collect_columns_agg
+from .textstats import tokenize
+
+# --- sequence packing (distributed prefix-sum scan) ---------------------
+
+
+def sequence_packing(docs: "ray.data.Dataset", *, capacity: int,
+                     bucket_size: int = 65_536) -> "ray.data.Dataset":
+    """Greedy concat-then-split sequence packing: documents ordered by
+    ``doc_id`` are laid end-to-end in token space and cut into chunks of
+    ``capacity`` tokens; each doc reports the chunk its first token
+    lands in and its offset within that chunk (training-sequence
+    assembly for an LLM data loader).
+
+    This is a DISTRIBUTED PREFIX SUM (scan), composed without a global
+    sort:
+
+    1. one ``map_batches`` pass computes ``(doc_id, n_tokens,
+       bucket = doc_id // bucket_size)`` — the scan runs over the
+       pre-existing key order, so no shuffle re-orders data;
+    2. per-bucket token sums via ONE pure ``groupby(bucket).sum`` —
+       ``n_docs / bucket_size`` rows reach the driver (bounded: 15 M
+       rows at 10^12 docs; beyond that, apply the same two stages
+       recursively to the bucket-sum table — a two-level scan);
+    3. the driver computes EXCLUSIVE bucket offsets (a cumsum over the
+       tiny sorted bucket table) and broadcasts sorted (bucket, offset)
+       arrays once via ``ray.put``;
+    4. a ``groupby(bucket)`` collect (per-group state bounded by
+       ``bucket_size`` docs — pure-int64 rows, native Arrow lists)
+       resolves each bucket independently: sort by doc_id, exclusive
+       cumsum, add the bucket offset via ``np.searchsorted``.
+    """
+    counts = docs.map_batches(
+        _token_count_bucket, batch_format="pyarrow",
+        fn_kwargs={"bucket_size": bucket_size}).materialize()
+
+    sums = counts.groupby("bucket").aggregate(
+        ray.data.aggregate.Sum("n_tokens")).take_all()
+    buckets = np.asarray(sorted(r["bucket"] for r in sums), np.int64)
+    per_bucket = {r["bucket"]: r["sum(n_tokens)"] for r in sums}
+    totals = np.asarray([per_bucket[b] for b in buckets], np.int64)
+    offsets = np.concatenate(([0], np.cumsum(totals)[:-1]))
+    bcast = ray.put((buckets, offsets))
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        bks, offs = ray.get(bcast)
+        out_id: list[np.ndarray] = []
+        out_n: list[np.ndarray] = []
+        out_c: list[np.ndarray] = []
+        out_o: list[np.ndarray] = []
+        for bkt, rows in zip(batch.column("bucket").to_pylist(),
+                             batch.column("rows").to_pylist()):
+            arr = np.asarray(rows, dtype=np.int64)  # (doc_id, n_tokens)
+            order = np.argsort(arr[:, 0], kind="stable")
+            ids, toks = arr[order, 0], arr[order, 1]
+            base = offs[np.searchsorted(bks, bkt)]
+            before = base + np.concatenate(([0], np.cumsum(toks)[:-1]))
+            out_id.append(ids)
+            out_n.append(toks)
+            out_c.append(before // capacity)
+            out_o.append(before % capacity)
+        if not out_id:
+            z = np.zeros(0, np.int64)
+            out_id = out_n = out_c = out_o = [z]
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
+            "n_tokens": pa.array(np.concatenate(out_n), pa.int64()),
+            "chunk_id": pa.array(np.concatenate(out_c), pa.int64()),
+            "chunk_offset": pa.array(np.concatenate(out_o), pa.int64()),
+        })
+
+    grouped = counts.groupby("bucket").aggregate(
+        collect_columns_agg(["doc_id", "n_tokens"], "rows"))
+    return grouped.map_batches(resolve, batch_format="pyarrow")
+
+
+def _token_count_bucket(batch: pa.Table, *, bucket_size: int) -> pa.Table:
+    texts = batch.column("text").to_pylist()
+    ids = batch.column("doc_id").cast(pa.int64())
+    return pa.table({
+        "doc_id": ids,
+        "n_tokens": pa.array([len(tokenize(t)) for t in texts],
+                             pa.int64()),
+        "bucket": pc.divide(ids, bucket_size).cast(pa.int64()),
+    })
+
+
+# --- benchmark decontamination (n-gram overlap) --------------------------
+
+
+def decontaminate(docs: "ray.data.Dataset", *, width: int = 8,
+                  benchmark_mod: int = 97,
+                  join_parts: int = 8) -> "ray.data.Dataset":
+    """Benchmark decontamination: flag every non-benchmark document
+    sharing at least one ``width``-token shingle with the benchmark set
+    (docs with ``doc_id % benchmark_mod == 0``) — the GPT-3-style
+    n-gram overlap check run before training.
+
+    Both sides explode to per-doc-DEDUPED ``(doc_id, gram-fp)`` rows
+    (vectorized siphash over the gram strings — only 8-byte
+    fingerprints shuffle, never gram text; the DuckDB oracle joins on
+    the gram STRINGS, so agreement also certifies the fp has no
+    colliding pair on this input). The overlap test is a distributed
+    hash join on the fp — no broadcast of either side, so the benchmark
+    set may itself be web-scale:
+
+    1. benchmark distinct fps: keys-only groupby (pre-deduped map-side);
+    2. candidate hits: fact-side fps ``inner`` join benchmark keys,
+       then ONE groupby(doc_id) count -> the contaminated id set;
+    3. flag assembly: UNION of (all non-benchmark doc_ids, hit=0) with
+       (hit ids, hit=1) -> ``groupby(doc_id).max(hit)``. A union +
+       pure aggregate rather than a left_outer join: Ray's hash-join
+       aggregator crashes on partitions whose right side received zero
+       rows (schema-less empty build), which is the COMMON case when
+       the hit set is small — the aggregate path has no such fragility
+       and shuffles the same (doc_id, int64) rows.
+    """
+    import pandas as pd
+
+    def grams(batch: pa.Table, *, side_bench: bool) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        out_id: list[int] = []
+        out_g: list[str] = []
+        for i, t in zip(ids, texts):
+            if (i % benchmark_mod == 0) != side_bench:
+                continue
+            toks = tokenize(t)
+            seen = {" ".join(toks[j:j + width])
+                    for j in range(len(toks) - width + 1)}
+            out_id.extend([int(i)] * len(seen))
+            out_g.extend(seen)
+        fp = pd.util.hash_array(np.asarray(out_g, dtype=object)).astype(
+            np.int64)
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "gfp": pa.array(fp, pa.int64())})
+
+    bench_keys = docs.map_batches(
+        grams, batch_format="pyarrow",
+        fn_kwargs={"side_bench": True}).groupby("gfp").count(
+        ).drop_columns(["count()"])
+    fact = docs.map_batches(grams, batch_format="pyarrow",
+                            fn_kwargs={"side_bench": False})
+    def hit_flag(batch: pa.Table) -> pa.Table:
+        # canonical (doc_id, hit=1) schema even for empty/schema-less
+        # blocks out of the groupby
+        if batch.num_rows and "doc_id" in batch.schema.names:
+            hids = batch.column("doc_id").cast(pa.int64())
+        else:
+            hids = pa.array([], pa.int64())
+        return pa.table({
+            "doc_id": hids,
+            "hit": pa.array(np.ones(len(hids), np.int64), pa.int64()),
+        })
+
+    hits = fact.join(bench_keys, join_type="inner",
+                     num_partitions=join_parts, on=("gfp",)).groupby(
+        "doc_id").count().map_batches(hit_flag, batch_format="pyarrow")
+
+    def nonbench_zeros(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = ids[ids % benchmark_mod != 0].astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(keep, pa.int64()),
+            "hit": pa.array(np.zeros(len(keep), np.int64), pa.int64()),
+        })
+
+    zeros = docs.map_batches(nonbench_zeros, batch_format="pyarrow")
+    flags = zeros.union(hits).groupby("doc_id").aggregate(
+        ray.data.aggregate.Max("hit"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "contaminated": batch.column("max(hit)").cast(pa.int64()),
+        })
+
+    return flags.map_batches(finish, batch_format="pyarrow")
+
+
+# --- PII redaction --------------------------------------------------------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b\d{3}-\d{4}\b"
+
+
+def pii_redact_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> (doc_id, clean_text, n_emails, n_phones).
+
+    Fully vectorized RE2 kernels (``pyarrow.compute`` regex = RE2, the
+    same engine DuckDB's ``regexp_replace`` uses, so the oracle is
+    exact): deterministic PII augmentation (docs with ``doc_id%7==0``
+    gain an email, ``%11==0`` a phone number — the corpus itself is
+    PII-free), then count + scrub both classes. Zero Python per row."""
+    ids = batch.column("doc_id").cast(pa.int64())
+    id_str = pc.cast(ids, pa.string())
+    mod7 = pc.equal(pc.subtract(
+        ids, pc.multiply(pc.divide(ids, 7), 7)), 0)
+    mod11 = pc.equal(pc.subtract(
+        ids, pc.multiply(pc.divide(ids, 11), 11)), 0)
+    mail_sfx = pc.if_else(
+        mod7,
+        pc.binary_join_element_wise(
+            pa.array([" contact u"] * len(batch)), id_str,
+            pa.array(["@example.com now"] * len(batch)), ""),
+        pa.array([""] * len(batch)))
+    phone_sfx = pc.if_else(
+        mod11, pa.array([" call 555-0142"] * len(batch)),
+        pa.array([""] * len(batch)))
+    text = pc.binary_join_element_wise(
+        batch.column("text").cast(pa.string()), mail_sfx, phone_sfx, "")
+    n_mail = pc.count_substring_regex(text, _EMAIL_RE).cast(pa.int64())
+    clean = pc.replace_substring_regex(text, _EMAIL_RE, "<EMAIL>")
+    n_phone = pc.count_substring_regex(clean, _PHONE_RE).cast(pa.int64())
+    clean = pc.replace_substring_regex(clean, _PHONE_RE, "<PHONE>")
+    return pa.table({
+        "doc_id": ids,
+        "clean_text": clean,
+        "n_emails": n_mail,
+        "n_phones": n_phone,
+    })
+
+
+# --- repetition-based quality (duplicate n-gram fraction) ----------------
+
+
+def repetition_stats_batch(batch: pa.Table, *, width: int = 3,
+                           dup_pct_cut: int = 20) -> pa.Table:
+    """(doc_id, text) -> duplicate ``width``-gram stats per doc — the
+    Gopher-style repetition quality signal, integer-exact: ``dup_pct``
+    = ``100 * (n_grams - n_distinct) // n_grams`` (0 for gram-less
+    docs); ``is_repetitive`` = 1 when ``dup_pct >= dup_pct_cut``."""
+    texts = batch.column("text").to_pylist()
+    n_g = np.zeros(len(texts), np.int64)
+    n_d = np.zeros(len(texts), np.int64)
+    for i, t in enumerate(texts):
+        toks = tokenize(t)
+        n = len(toks) - width + 1
+        if n <= 0:
+            continue
+        n_g[i] = n
+        n_d[i] = len({tuple(toks[j:j + width]) for j in range(n)})
+    dup_pct = np.where(n_g > 0, 100 * (n_g - n_d) // np.maximum(n_g, 1),
+                       0)
+    return pa.table({
+        "doc_id": batch.column("doc_id").cast(pa.int64()),
+        "n_grams": pa.array(n_g, pa.int64()),
+        "n_distinct": pa.array(n_d, pa.int64()),
+        "dup_pct": pa.array(dup_pct, pa.int64()),
+        "is_repetitive": pa.array(
+            (dup_pct >= dup_pct_cut).astype(np.int64), pa.int64()),
+    })

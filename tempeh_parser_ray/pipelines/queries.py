@@ -20,6 +20,7 @@ import ray
 import ray.data
 
 from ..functions import broadcast as _bcast
+from ..functions import curation as _cur
 from ..functions import dedup as _dedup
 from ..functions import multimodal as _mm
 from ..functions import similarity as _sim
@@ -1672,3 +1673,120 @@ def audio_features(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(
         lambda b: b.select(["media_id", "n_windows", "n_bytes"]),
         batch_format="pyarrow")
+
+
+# --- corpus curation (functions/curation.py) -----------------------------
+
+
+PACK_CAPACITY = 2048  # tokens per training chunk
+
+
+def sequence_packing(sf_dir: str) -> "ray.data.Dataset":
+    """Training-sequence packing: documents laid end-to-end by doc_id
+    and cut into 2048-token chunks — a DISTRIBUTED PREFIX-SUM SCAN
+    (per-bucket sums -> driver exclusive offsets over the tiny bucket
+    table -> per-bucket resolution; functions/curation.py)."""
+    return _cur.sequence_packing(
+        _documents(sf_dir, ["doc_id", "text"]), capacity=PACK_CAPACITY)
+
+
+def decontaminate(sf_dir: str) -> "ray.data.Dataset":
+    """Benchmark decontamination: flag non-benchmark docs sharing any
+    8-token shingle with the benchmark subset (doc_id%97==0) via a
+    distributed fingerprint join — neither side is broadcast, so the
+    benchmark set may itself be web-scale."""
+    return _cur.decontaminate(_documents(sf_dir, ["doc_id", "text"]),
+                              width=8, benchmark_mod=97,
+                              join_parts=_join_parts())
+
+
+def pii_redact(sf_dir: str) -> "ray.data.Dataset":
+    """PII scrub: count + redact emails and phone numbers with
+    vectorized RE2 kernels (deterministic augmentation seeds the
+    corpus with synthetic PII; zero Python per row)."""
+    return _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        _cur.pii_redact_batch, batch_format="pyarrow")
+
+
+def repetition_ratio(sf_dir: str) -> "ray.data.Dataset":
+    """Gopher-style repetition quality signal: duplicate word-3-gram
+    fraction per document, integer-exact."""
+    return _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        _cur.repetition_stats_batch, batch_format="pyarrow")
+
+
+def events_lag(sf_dir: str) -> "ray.data.Dataset":
+    """LAG window per user (prev event + gap), time-bucketed with
+    carry rows so no group holds a user's full history
+    (pipelines/windows.py:lag_events)."""
+    return _win.lag_events(
+        _events(sf_dir, ["event_id", "user_id", "ts"]))
+
+
+STRAT_K = 5  # docs sampled per language
+
+
+def stratified_sample_by_lang(sf_dir: str) -> pa.Table:
+    """Stratified sampling: the first STRAT_K docs per language under
+    md5(doc_id) ordering — deterministic, reproducible across cluster
+    sizes (md5 chosen because DuckDB reproduces it bit-exactly).
+    Map-side per-lang top-k partials + a bounded grouped final reduce
+    (state <= k rows per group regardless of block count). The sort
+    key is PACKED into one string ``md5hex|%020d(doc_id)`` so the
+    aggregate state stays a homogeneous Arrow list and lexicographic
+    order equals (md5, doc_id) order."""
+    import hashlib as _hl
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        key = [f"{_hl.md5(str(i).encode()).hexdigest()}|{i:020d}"
+               for i in ids]
+        t = pa.table({
+            "lang": batch.column("lang"),
+            "key": pa.array(key, pa.string()),
+        })
+        # map-side combiner: keep only each lang's local top-k
+        import pandas as pd
+        df = t.to_pandas()
+        df = df.sort_values("key").groupby(
+            "lang", sort=False).head(STRAT_K)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = _documents(sf_dir, ["doc_id", "lang"]).map_batches(
+        keyed, batch_format="pyarrow").groupby("lang").aggregate(
+        _topk.topk_rows_agg(["key"], [("key", False)], STRAT_K))
+    tbl = pa.Table.from_pylist(agg.take_all())
+    out = _topk.explode_topk(tbl, ["lang"], ["key"], [pa.string()],
+                             topk_col="topk", rank_col="rank")
+    doc_id = pc.cast(
+        pc.utf8_slice_codeunits(out.column("key"), 33, 53), pa.int64())
+    return pa.table({
+        "lang": out.column("lang"),
+        "doc_id": doc_id,
+        "rank": out.column("rank"),
+    }).sort_by([("lang", "ascending"), ("rank", "ascending")])
+
+
+def source_mixture_sample(sf_dir: str) -> pa.Table:
+    """Mixture sampling: per-source keep rates (5 + (src_num % 4)*10
+    percent) applied via the deterministic multiplicative doc_id hash;
+    one low-cardinality groupby of the survivors."""
+
+    def pick(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        src = batch.column("source")
+        num = pc.cast(pc.utf8_slice_codeunits(src, 3, 99),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(1 << 32)
+        keep = (h % np.uint64(100)).astype(np.int64) < 5 + (num % 4) * 10
+        return pa.table({"source": src.filter(pa.array(keep))})
+
+    agg = _documents(sf_dir, ["doc_id", "source"]).map_batches(
+        pick, batch_format="pyarrow").groupby("source").count()
+    tbl = pa.Table.from_pylist(agg.take_all())
+    return pa.table({
+        "source": tbl.column("source"),
+        "n_sampled": tbl.column("count()").cast(pa.int64()),
+    }).sort_by([("source", "ascending")])

@@ -351,6 +351,135 @@ def range_join_events(events: "ray.data.Dataset", *,
     return grouped.map_batches(resolve, batch_format="pyarrow")
 
 
+def lag_events(events: "ray.data.Dataset", *, bucket_us: int = DAY_US,
+               ) -> "ray.data.Dataset":
+    """LAG window over an event stream: each event paired with the
+    immediately preceding event by the same user under ``(ts,
+    event_id)`` ordering (SQL ``LAG(...) OVER (PARTITION BY user_id
+    ORDER BY ts, event_id)``), plus the gap in microseconds; nulls for
+    a user's first event.
+
+    Same TIME-BUCKETED shape as :func:`asof_last_event` — no group ever
+    holds a user's full history:
+
+    1. project to ``(user, bucket, ts, event_id)``;
+    2. per-bucket tails via the O(1)-state lexmax aggregate;
+    3. per-user pass over the bounded bucket-summary list emits one
+       CARRY row per bucket — the preceding populated bucket's tail
+       (later buckets' timestamps are strictly larger, so the latest
+       earlier event is always the previous populated bucket's tail);
+    4. match: group real events + carries by ``(user, bucket)``, sort
+       by ``(ts, id)``; each event's LAG is its predecessor in the
+       sorted run (the carry, sorting first, serves the bucket's first
+       event; carries themselves emit nothing).
+    """
+
+    def project(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64())
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "bucket": pc.divide(ts, bucket_us).cast(pa.int64()),
+            "ts_us": ts,
+            "event_id": batch.column("event_id"),
+            "is_carry": pa.array(np.zeros(len(batch), np.int64),
+                                 pa.int64()),
+        })
+
+    proj = events.map_batches(project, batch_format="pyarrow")
+
+    tails = proj.map_batches(
+        lambda b: b.select(["user_id", "bucket", "ts_us", "event_id"]),
+        batch_format="pyarrow").groupby(
+        ["user_id", "bucket"]).aggregate(
+        _lexmax_pair_agg("ts_us", "event_id", "tail"))
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        t = batch.column("tail").to_pylist()
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "bucket": batch.column("bucket"),
+            "tail_ts": pa.array([x[0] for x in t], pa.int64()),
+            "tail_id": pa.array([x[1] for x in t], pa.int64()),
+        })
+
+    per_user = tails.map_batches(
+        flatten, batch_format="pyarrow").groupby("user_id").aggregate(
+        collect_columns_agg(["bucket", "tail_ts", "tail_id"], "meta"))
+
+    def carries(batch: pa.Table) -> pa.Table:
+        out_u: list[int] = []
+        out_b: list[int] = []
+        out_ts: list[int] = []
+        out_id: list[int] = []
+        for uid, rows in zip(batch.column("user_id").to_pylist(),
+                             batch.column("meta").to_pylist()):
+            arr = np.asarray(rows, dtype=np.int64)
+            arr = arr[np.argsort(arr[:, 0], kind="stable")]
+            for k in range(1, len(arr)):
+                out_u.append(uid)
+                out_b.append(int(arr[k, 0]))
+                out_ts.append(int(arr[k - 1, 1]))
+                out_id.append(int(arr[k - 1, 2]))
+        return pa.table({
+            "user_id": pa.array(out_u, pa.int64()),
+            "bucket": pa.array(out_b, pa.int64()),
+            "ts_us": pa.array(out_ts, pa.int64()),
+            "event_id": pa.array(out_id, pa.int64()),
+            "is_carry": pa.array([1] * len(out_u), pa.int64()),
+        })
+
+    carry_ds = per_user.map_batches(carries, batch_format="pyarrow")
+
+    grouped = proj.union(carry_ds).groupby(
+        ["user_id", "bucket"]).aggregate(
+        collect_columns_agg(["ts_us", "event_id", "is_carry"], "rows"))
+
+    def match(batch: pa.Table) -> pa.Table:
+        eids: list[np.ndarray] = []
+        uids: list[np.ndarray] = []
+        tss: list[np.ndarray] = []
+        pids: list[np.ndarray] = []
+        ptss: list[np.ndarray] = []
+        valids: list[np.ndarray] = []
+        for uid, rows in zip(batch.column("user_id").to_pylist(),
+                             batch.column("rows").to_pylist()):
+            arr = np.asarray(rows, dtype=np.int64)
+            order = np.lexsort((arr[:, 1], arr[:, 0]))
+            ts, eid = arr[order, 0], arr[order, 1]
+            carry = arr[order, 2].astype(bool)
+            prev_ts = np.concatenate(([0], ts[:-1]))
+            prev_id = np.concatenate(([0], eid[:-1]))
+            has_prev = np.ones(len(ts), bool)
+            if len(ts):
+                has_prev[0] = False
+            keep = ~carry
+            eids.append(eid[keep])
+            uids.append(np.full(int(keep.sum()), uid, dtype=np.int64))
+            tss.append(ts[keep])
+            pids.append(prev_id[keep])
+            ptss.append(prev_ts[keep])
+            valids.append(has_prev[keep])
+        if not eids:
+            z = np.zeros(0, np.int64)
+            eids = uids = tss = pids = ptss = [z]
+            valids = [np.zeros(0, bool)]
+        valid_all = np.concatenate(valids)
+        pts = np.concatenate(ptss)
+        cts = np.concatenate(tss)
+        return pa.table({
+            "event_id": pa.array(np.concatenate(eids), pa.int64()),
+            "user_id": pa.array(np.concatenate(uids), pa.int64()),
+            "ts": pa.array(cts, pa.int64()).cast(pa.timestamp("us")),
+            "prev_event_id": pa.array(
+                np.concatenate(pids), pa.int64(), mask=~valid_all),
+            "prev_ts": pa.array(pts, pa.int64(),
+                                mask=~valid_all).cast(pa.timestamp("us")),
+            "gap_us": pa.array(cts - pts, pa.int64(), mask=~valid_all),
+        })
+
+    return grouped.map_batches(match, batch_format="pyarrow")
+
+
 def sessionize_salted(events: "ray.data.Dataset", *,
                       gap_us: int, salt_unit_us: int = DAY_US,
                       ) -> "ray.data.Dataset":
