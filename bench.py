@@ -65,6 +65,10 @@ QUERY_NAMES = [
     "heavy_hitters", "doc_fingerprint_shingle", "ngram_jaccard_pairs",
     "parse_fixture_corpus", "keyword_search", "orders_rollup",
     "revenue_by_region", "parts_by_brand",
+    "events_range_join", "events_lag",
+    "sequence_packing", "decontaminate", "pii_redact",
+    "repetition_ratio", "stratified_sample_by_lang",
+    "source_mixture_sample",
 ]
 
 
