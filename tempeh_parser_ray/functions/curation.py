@@ -18,6 +18,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from .broadcast import cached_get
 from .dedup import collect_columns_agg
 from .textstats import tokenize
 
@@ -63,7 +64,9 @@ def sequence_packing(docs: "ray.data.Dataset", *, capacity: int,
     bcast = ray.put((buckets, offsets))
 
     def resolve(batch: pa.Table) -> pa.Table:
-        bks, offs = ray.get(bcast)
+        # per-worker cached fetch: the (bucket, offset) arrays are 240 MB
+        # at 10^12 docs — never re-deserialize them per batch
+        bks, offs = cached_get(bcast)
         out_id: list[np.ndarray] = []
         out_n: list[np.ndarray] = []
         out_c: list[np.ndarray] = []

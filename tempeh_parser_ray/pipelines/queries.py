@@ -1769,8 +1769,10 @@ def stratified_sample_by_lang(sf_dir: str) -> pa.Table:
 
 def source_mixture_sample(sf_dir: str) -> pa.Table:
     """Mixture sampling: per-source keep rates (5 + (src_num % 4)*10
-    percent) applied via the deterministic multiplicative doc_id hash;
-    one low-cardinality groupby of the survivors."""
+    percent) applied via the deterministic multiplicative doc_id hash.
+    Map-side combiner: each batch emits per-source PARTIAL counts, so
+    the exchange carries |sources| x |blocks| rows (not one row per
+    surviving document) into the final low-cardinality sum."""
 
     def pick(batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -1781,12 +1783,17 @@ def source_mixture_sample(sf_dir: str) -> pa.Table:
         h = (ids.astype(np.uint64) * np.uint64(2654435761)) \
             % np.uint64(1 << 32)
         keep = (h % np.uint64(100)).astype(np.int64) < 5 + (num % 4) * 10
-        return pa.table({"source": src.filter(pa.array(keep))})
+        part = pc.value_counts(src.filter(pa.array(keep)))
+        return pa.table({
+            "source": part.field("values"),
+            "n": part.field("counts").cast(pa.int64()),
+        })
 
     agg = _documents(sf_dir, ["doc_id", "source"]).map_batches(
-        pick, batch_format="pyarrow").groupby("source").count()
+        pick, batch_format="pyarrow").groupby("source").aggregate(
+        ray.data.aggregate.Sum("n"))
     tbl = pa.Table.from_pylist(agg.take_all())
     return pa.table({
         "source": tbl.column("source"),
-        "n_sampled": tbl.column("count()").cast(pa.int64()),
+        "n_sampled": tbl.column("sum(n)").cast(pa.int64()),
     }).sort_by([("source", "ascending")])

@@ -68,6 +68,62 @@ def _lexmax_pair_agg(ts_col: str, id_col: str, name: str):
         name=name)
 
 
+def _run_bounds(u: np.ndarray, b: np.ndarray):
+    """First/last index of each (u, b) run in sorted order."""
+    change = (u[1:] != u[:-1]) | (b[1:] != b[:-1])
+    starts = np.nonzero(np.concatenate(([True], change)))[0]
+    lasts = np.nonzero(np.concatenate((change, [True])))[0]
+    return starts, lasts
+
+
+def _combine_tail_partials(batch: pa.Table) -> pa.Table:
+    """Map-side combiner for a per-(user, bucket) lexmax-(ts, id)
+    groupby: each input block emits ONE row per (user, bucket) — its
+    block-local tail — so the exchange carries group-count rows, not
+    event-count rows. lexmax(lexmax partials) == lexmax, so the
+    downstream ``_lexmax_pair_agg`` is unchanged."""
+    if batch.num_rows == 0:
+        return batch
+    u = batch.column("user_id").to_numpy(zero_copy_only=False)
+    b = batch.column("bucket").to_numpy(zero_copy_only=False)
+    ts = batch.column("ts_us").to_numpy(zero_copy_only=False)
+    ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, ts, b, u))
+    u, b, ts, ids = u[order], b[order], ts[order], ids[order]
+    _, lasts = _run_bounds(u, b)
+    return pa.table({
+        "user_id": pa.array(u[lasts], pa.int64()),
+        "bucket": pa.array(b[lasts], pa.int64()),
+        "ts_us": pa.array(ts[lasts], pa.int64()),
+        "event_id": pa.array(ids[lasts], pa.int64()),
+    })
+
+
+def _combine_meta_partials(batch: pa.Table) -> pa.Table:
+    """Map-side combiner for the as-of bucket-summary groupby: per
+    (user, bucket) per block, the local right-tail lexmax (sentinel
+    ``-1`` rows lose automatically) and the local left-count sum —
+    both re-aggregable by the unchanged downstream aggregates."""
+    if batch.num_rows == 0:
+        return batch
+    u = batch.column("user_id").to_numpy(zero_copy_only=False)
+    b = batch.column("bucket").to_numpy(zero_copy_only=False)
+    rts = batch.column("r_ts").to_numpy(zero_copy_only=False)
+    rid = batch.column("r_id").to_numpy(zero_copy_only=False)
+    nl = batch.column("n_left").to_numpy(zero_copy_only=False)
+    order = np.lexsort((rid, rts, b, u))
+    u, b, rts, rid, nl = (u[order], b[order], rts[order], rid[order],
+                          nl[order])
+    starts, lasts = _run_bounds(u, b)
+    return pa.table({
+        "user_id": pa.array(u[lasts], pa.int64()),
+        "bucket": pa.array(b[lasts], pa.int64()),
+        "r_ts": pa.array(rts[lasts], pa.int64()),
+        "r_id": pa.array(rid[lasts], pa.int64()),
+        "n_left": pa.array(np.add.reduceat(nl, starts), pa.int64()),
+    })
+
+
 def asof_last_event(events: "ray.data.Dataset", *,
                     left_type: str, right_type: str,
                     bucket_us: int = DAY_US,
@@ -136,7 +192,8 @@ def asof_last_event(events: "ray.data.Dataset", *,
         })
 
     meta = proj.map_batches(
-        meta_rows, batch_format="pyarrow").groupby(
+        meta_rows, batch_format="pyarrow").map_batches(
+        _combine_meta_partials, batch_format="pyarrow").groupby(
         ["user_id", "bucket"]).aggregate(
         _lexmax_pair_agg("r_ts", "r_id", "tail"),
         ray.data.aggregate.Sum("n_left"))
@@ -389,7 +446,8 @@ def lag_events(events: "ray.data.Dataset", *, bucket_us: int = DAY_US,
 
     tails = proj.map_batches(
         lambda b: b.select(["user_id", "bucket", "ts_us", "event_id"]),
-        batch_format="pyarrow").groupby(
+        batch_format="pyarrow").map_batches(
+        _combine_tail_partials, batch_format="pyarrow").groupby(
         ["user_id", "bucket"]).aggregate(
         _lexmax_pair_agg("ts_us", "event_id", "tail"))
 
