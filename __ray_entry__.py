@@ -118,6 +118,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mixture_sample": _q.source_mixture_sample,
         # LAG window (pipelines/windows.py)
         "events_lag": _q.events_lag,
+        # incremental dedup / model scoring / retrieval (round 3)
+        "incremental_dedup": _q.incremental_dedup,
+        "quality_classifier": _q.quality_classifier,
+        "tfidf_search": _q.tfidf_search,
+        "above_median_length": _q.above_median_length,
     }
 
 
@@ -986,5 +991,77 @@ def oracle_sql() -> dict[str, str]:
                    AS gap_us
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+    d["incremental_dedup"] = """
+        WITH snap AS (
+            SELECT DISTINCT md5(text) AS fp FROM documents
+            WHERE doc_id % 3 = 0),
+        inc AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+            UNION ALL
+            SELECT doc_id + 500000 AS doc_id, text FROM documents
+            WHERE doc_id % 6 = 0)
+        SELECT i.doc_id,
+               CAST(CASE WHEN s.fp IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                   AS is_dup
+        FROM inc i LEFT JOIN snap s ON md5(i.text) = s.fp
+        ORDER BY i.doc_id
+    """
+    d["quality_classifier"] = rf"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_TOKENS}) AS tok
+            FROM documents WHERE trim(text) <> ''),
+        s AS (
+            SELECT doc_id,
+                   SUM(CAST(CAST(('0x' || substr(md5(tok), 1, 8))
+                                 AS UBIGINT) % 21 AS BIGINT) - 10)
+                       AS score
+            FROM tok GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(s.score, 0) AS BIGINT) AS score,
+               CAST(CASE WHEN COALESCE(s.score, 0) >= 0
+                    THEN 1 ELSE 0 END AS BIGINT) AS is_quality
+        FROM documents d LEFT JOIN s USING (doc_id)
+    """
+    d["tfidf_search"] = rf"""
+        WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        tok AS (
+            SELECT doc_id, unnest({_TOKENS}) AS tok
+            FROM documents WHERE trim(text) <> ''),
+        df AS (
+            SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok
+            WHERE tok IN ('join', 'hash', 'vector') GROUP BY tok),
+        tf AS (
+            SELECT doc_id, tok, COUNT(*) AS tf FROM tok
+            WHERE tok IN ('join', 'hash', 'vector')
+            GROUP BY doc_id, tok),
+        sc AS (
+            SELECT t.doc_id,
+                   SUM(t.tf * (1000000 * (SELECT n FROM nn)
+                               // (1 + d.df))) AS score_milli
+            FROM tf t JOIN df d USING (tok) GROUP BY t.doc_id)
+        SELECT doc_id, CAST(score_milli AS BIGINT) AS score_milli,
+               CAST(ROW_NUMBER() OVER (ORDER BY score_milli DESC,
+                                       doc_id) AS BIGINT) AS rank
+        FROM sc WHERE score_milli > 0
+        ORDER BY rank LIMIT 20
+    """
+    d["above_median_length"] = rf"""
+        WITH t AS (
+            SELECT lang,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len({_TOKENS}) END AS BIGINT) AS n_tokens
+            FROM documents),
+        med AS (
+            SELECT lang,
+                   CAST(quantile_disc(n_tokens, 0.5) AS BIGINT)
+                       AS median_tokens
+            FROM t GROUP BY lang)
+        SELECT m.lang, m.median_tokens,
+               CAST((SELECT COUNT(*) FROM t
+                     WHERE t.lang = m.lang
+                       AND t.n_tokens >= m.median_tokens) AS BIGINT)
+                   AS n_at_or_above
+        FROM med m ORDER BY m.lang
     """
     return d

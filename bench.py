@@ -69,6 +69,8 @@ QUERY_NAMES = [
     "sequence_packing", "decontaminate", "pii_redact",
     "repetition_ratio", "stratified_sample_by_lang",
     "source_mixture_sample",
+    "incremental_dedup", "quality_classifier", "tfidf_search",
+    "above_median_length",
 ]
 
 

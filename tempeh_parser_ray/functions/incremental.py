@@ -1,0 +1,175 @@
+"""Incremental (snapshot-vs-incoming) exact deduplication with a
+distributed Bloom-filter prefilter.
+
+The continuous-ingest shape of exact dedup: a SNAPSHOT corpus (already
+curated / trained on) and an INCOMING stream; every incoming document
+whose text exactly matches any snapshot document must be flagged
+without re-shuffling the snapshot per ingest batch.
+
+Design (100 TB-safe):
+
+1. **Bloom build** — one pass over snapshot fingerprints folds into a
+   fixed-size bitset via a global ``AggregateFn`` whose state is an
+   ``m_bits/8``-byte numpy word array and whose merge is a bitwise OR
+   (a tree reduce over workers; only bitsets move, never fingerprints).
+   ``k`` probe indexes derive from the two 64-bit halves of the text's
+   md5 (Kirsch-Mitzenmacher double hashing), so the filter is exactly
+   reproducible from the fingerprint alone.
+2. **Candidate filter** — the bitset is ``ray.put`` once and read via
+   the per-worker broadcast cache; each incoming batch tests all ``k``
+   bits vectorized (numpy gather + AND over the word array). Bloom has
+   NO false negatives, so dropped rows are provably clean; survivors
+   are a small superset of the true duplicates (fp rate ~(1-e^{-kn/m})^k).
+3. **Exact verify** — ONLY the candidates join (inner, distributed
+   hash join on the md5 hex) against the snapshot's distinct
+   fingerprints; output flags assemble via the union + ``Max``
+   aggregate pattern (no fragile left_outer on possibly-empty sides).
+
+The Bloom prefilter never changes the answer — it bounds the join's
+probe side. The DuckDB oracle is therefore the plain
+``LEFT JOIN ON md5(text)`` closed form.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from .broadcast import cached_get
+
+_MASK64 = (1 << 64) - 1
+
+
+def fingerprint_batch(batch: pa.Table, *, text_col: str = "text",
+                      id_col: str = "doc_id") -> pa.Table:
+    """(id, text) -> (id, fp) where fp is the md5 hex of the utf-8
+    text — the exact-match fingerprint shared by the Bloom probes, the
+    verify join, and the SQL oracle (``md5(text)``)."""
+    ids = batch.column(id_col).cast(pa.int64())
+    fps = [hashlib.md5((t or "").encode("utf-8")).hexdigest()
+           for t in batch.column(text_col).to_pylist()]
+    return pa.table({"doc_id": ids, "fp": pa.array(fps, pa.string())})
+
+
+def _probe_indexes(fps: list[str], m_bits: int, k: int) -> np.ndarray:
+    """(n, k) Bloom bit indexes via double hashing on the md5 halves."""
+    if not fps:
+        return np.zeros((0, k), np.int64)
+    h1 = np.asarray([int(f[:16], 16) for f in fps], np.uint64)
+    h2 = np.asarray([int(f[16:], 16) for f in fps], np.uint64)
+    i = np.arange(k, dtype=np.uint64)
+    idx = (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits)
+    return idx.astype(np.int64)
+
+
+def bloom_build_agg(m_bits: int, k: int):
+    """Global aggregate folding a Dataset of ``fp`` rows into one
+    ``m_bits``-wide Bloom bitset (state: ``m_bits/64`` uint64 words,
+    OR-merged — a distributed tree reduce shipping only bitsets)."""
+    from ray.data.block import BlockAccessor
+
+    n_words = (m_bits + 63) // 64
+
+    def acc_block(acc, block):
+        t = BlockAccessor.for_block(block).to_arrow()
+        bits = acc if acc is not None else np.zeros(n_words, np.uint64)
+        idx = _probe_indexes(t.column("fp").to_pylist(), m_bits, k)
+        if idx.size:
+            flat = idx.reshape(-1)
+            np.bitwise_or.at(bits, flat >> 6,
+                             np.uint64(1) << (flat & 63).astype(np.uint64))
+        return bits
+
+    def merge(a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return np.bitwise_or(a, b)
+
+    return ray.data.aggregate.AggregateFn(
+        init=lambda k_: None,
+        accumulate_block=acc_block,
+        merge=merge,
+        finalize=lambda a: (a if a is not None
+                            else np.zeros(n_words, np.uint64)).tobytes(),
+        name="bloom")
+
+
+def bloom_might_contain(bits_words: np.ndarray, fps: list[str],
+                        m_bits: int, k: int) -> np.ndarray:
+    """Vectorized membership test: True where ALL k bits are set."""
+    idx = _probe_indexes(fps, m_bits, k)
+    if not idx.size:
+        return np.zeros(0, bool)
+    word = bits_words[idx >> 6]
+    bit = (word >> (idx & 63).astype(np.uint64)) & np.uint64(1)
+    return bit.all(axis=1)
+
+
+def incremental_dedup(snapshot: "ray.data.Dataset",
+                      incoming: "ray.data.Dataset", *,
+                      m_bits: int = 1 << 20, k: int = 4,
+                      join_parts: int = 8) -> "ray.data.Dataset":
+    """Flag incoming docs whose text exactly matches any snapshot doc.
+
+    Both inputs carry ``(doc_id, text)``; returns ``(doc_id, is_dup)``
+    over the incoming set. Size ``m_bits`` ~10x the snapshot
+    cardinality for a ~2% candidate false-positive rate (the fp rate
+    only affects join probe volume, never the answer)."""
+    snap_fp = snapshot.map_batches(
+        fingerprint_batch, batch_format="pyarrow").materialize()
+    inc_fp = incoming.map_batches(
+        fingerprint_batch, batch_format="pyarrow")
+
+    bits_bytes = snap_fp.aggregate(bloom_build_agg(m_bits, k))["bloom"]
+    bits_ref = ray.put(np.frombuffer(bits_bytes, np.uint64).copy())
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        bits = cached_get(bits_ref)
+        hit = bloom_might_contain(
+            bits, batch.column("fp").to_pylist(), m_bits, k)
+        return batch.filter(pa.array(hit))
+
+    cand = inc_fp.map_batches(candidates, batch_format="pyarrow")
+    snap_keys = snap_fp.map_batches(
+        lambda b: b.select(["fp"]), batch_format="pyarrow").groupby(
+        "fp").count().drop_columns(["count()"])
+
+    def hit_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows and "doc_id" in batch.schema.names:
+            ids = batch.column("doc_id").cast(pa.int64())
+        else:
+            ids = pa.array([], pa.int64())
+        return pa.table({
+            "doc_id": ids,
+            "hit": pa.array(np.ones(len(ids), np.int64), pa.int64()),
+        })
+
+    hits = cand.join(snap_keys, join_type="inner",
+                     num_partitions=join_parts, on=("fp",)).map_batches(
+        hit_rows, batch_format="pyarrow")
+
+    def zero_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").cast(pa.int64())
+        return pa.table({
+            "doc_id": ids,
+            "hit": pa.array(np.zeros(len(ids), np.int64), pa.int64()),
+        })
+
+    zeros = inc_fp.map_batches(zero_rows, batch_format="pyarrow")
+    flags = zeros.union(hits).groupby("doc_id").aggregate(
+        ray.data.aggregate.Max("hit"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "is_dup": batch.column("max(hit)").cast(pa.int64()),
+        })
+
+    return flags.map_batches(finish, batch_format="pyarrow")

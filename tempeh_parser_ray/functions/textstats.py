@@ -172,3 +172,37 @@ def token_count_regex_batch(batch: pa.Table) -> pa.Table:
         "n_bpe_tokens": pa.array(
             [len(_BPE_RE.findall(t or "")) for t in texts], pa.int64()),
     })
+
+
+# Hashing-trick linear classifier (fastText-style model-scoring stage,
+# integer-exact so the DuckDB oracle reproduces it bit-for-bit): each
+# token hashes to a bucket via md5 (the oracle's md5() agrees), the
+# bucket indexes a deterministic weight in [-10, 10], and a document's
+# score is the sum of its token weights. The per-process weight memo
+# exploits the Zipfian vocabulary (bounded so web-scale tails can't
+# grow it without limit).
+_W_MEMO: dict[str, int] = {}
+_W_MEMO_MAX = 1 << 20
+
+
+def _token_weight(tok: str) -> int:
+    w = _W_MEMO.get(tok)
+    if w is None:
+        w = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:8],
+                16) % 21 - 10
+        if len(_W_MEMO) < _W_MEMO_MAX:
+            _W_MEMO[tok] = w
+    return w
+
+
+def classifier_score_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> (doc_id, score, is_quality): hashed-linear
+    model inference per document; ``is_quality`` = score >= 0."""
+    texts = batch.column("text").to_pylist()
+    scores = [sum(map(_token_weight, tokenize(t))) for t in texts]
+    return pa.table({
+        "doc_id": batch.column("doc_id").cast(pa.int64()),
+        "score": pa.array(scores, pa.int64()),
+        "is_quality": pa.array([1 if s >= 0 else 0 for s in scores],
+                               pa.int64()),
+    })

@@ -1797,3 +1797,169 @@ def source_mixture_sample(sf_dir: str) -> pa.Table:
         "source": tbl.column("source"),
         "n_sampled": tbl.column("sum(n)").cast(pa.int64()),
     }).sort_by([("source", "ascending")])
+
+
+# --- incremental dedup / model scoring / retrieval (round 3) -------------
+
+
+def incremental_dedup(sf_dir: str) -> pa.Table:
+    """Snapshot-vs-incoming exact dedup with a distributed
+    Bloom-filter prefilter (functions/incremental.py): snapshot =
+    docs with ``doc_id%3==0``; incoming = the rest UNION exact clones
+    of ``doc_id%6==0`` docs at ``doc_id+500000`` (guaranteed hits).
+    Only Bloom-candidate fingerprints reach the verify join, and the
+    prefilter never changes the answer — the oracle is the plain
+    ``LEFT JOIN ON md5(text)`` closed form."""
+    from ..functions import incremental as _inc
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+
+    def _mod_filter(batch: pa.Table, *, mod: int, eq: bool) -> pa.Table:
+        ids = batch.column("doc_id").cast(pa.int64())
+        rem = pc.subtract(ids, pc.multiply(pc.divide(ids, mod), mod))
+        keep = pc.equal(rem, 0) if eq else pc.not_equal(rem, 0)
+        return batch.filter(keep)
+
+    snapshot = docs.map_batches(
+        _mod_filter, batch_format="pyarrow",
+        fn_kwargs={"mod": 3, "eq": True})
+
+    def clone(batch: pa.Table) -> pa.Table:
+        t = _mod_filter(batch, mod=6, eq=True)
+        return pa.table({
+            "doc_id": pc.add(t.column("doc_id").cast(pa.int64()),
+                             500000),
+            "text": t.column("text"),
+        })
+
+    incoming = docs.map_batches(
+        _mod_filter, batch_format="pyarrow",
+        fn_kwargs={"mod": 3, "eq": False}).union(
+        docs.map_batches(clone, batch_format="pyarrow"))
+    out = _inc.incremental_dedup(snapshot, incoming,
+                                 m_bits=1 << 20, k=4,
+                                 join_parts=_join_parts())
+    parts = list(out.iter_batches(batch_format="pyarrow",
+                                  batch_size=None))
+    tbl = pa.concat_tables(parts) if parts else pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "is_dup": pa.array([], pa.int64())})
+    return tbl.sort_by([("doc_id", "ascending")])
+
+
+def quality_classifier(sf_dir: str) -> "ray.data.Dataset":
+    """Model-scoring stage: hashing-trick linear classifier over each
+    document's tokens (md5 bucket -> deterministic weight in [-10,10];
+    integer-exact, so the DuckDB oracle reproduces the inference
+    bit-for-bit)."""
+    return _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        _ts.classifier_score_batch, batch_format="pyarrow")
+
+
+TFIDF_TERMS = ("join", "hash", "vector")
+TFIDF_K = 20
+
+
+def tfidf_search(sf_dir: str) -> pa.Table:
+    """TF-IDF retrieval: rank documents for a fixed query-term set by
+    ``sum_t tf(t, d) * idf_milli(t)`` with the integer idf
+    ``1_000_000 * N // (1 + df(t))`` (exact, so SQL-checkable).
+
+    Two corpus passes, both with map-side combiners:
+    pass 1 reduces per-batch ``(n_docs, df_term...)`` partial rows via
+    ``Dataset.sum`` (|terms|+1 integers reach the driver); pass 2
+    scores per batch against the broadcast idf vector and keeps each
+    batch's local top-k, then ONE bounded global ``topk_rows_agg``
+    reduce finishes — O(k) driver state regardless of block count."""
+    terms = list(TFIDF_TERMS)
+    docs = _documents(sf_dir, ["doc_id", "text"])
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        dfs = [0] * len(terms)
+        texts = batch.column("text").to_pylist()
+        for t in texts:
+            s = set(_ts.tokenize(t))
+            for i, term in enumerate(terms):
+                dfs[i] += term in s
+        return pa.table({
+            "n": pa.array([len(texts)], pa.int64()),
+            **{f"df_{i}": pa.array([dfs[i]], pa.int64())
+               for i in range(len(terms))},
+        })
+
+    sums = docs.map_batches(df_partial, batch_format="pyarrow").sum(
+        ["n"] + [f"df_{i}" for i in range(len(terms))])
+    n_docs = int(sums["sum(n)"])
+    idf = [1_000_000 * n_docs // (1 + int(sums[f"sum(df_{i})"]))
+           for i in range(len(terms))]
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        rows: list[tuple[int, int]] = []
+        for i, t in zip(ids, batch.column("text").to_pylist()):
+            toks = _ts.tokenize(t)
+            s = sum(toks.count(term) * w for term, w in zip(terms, idf))
+            if s > 0:
+                rows.append((s, int(i)))
+        rows.sort(key=lambda r: (-r[0], r[1]))
+        rows = rows[:TFIDF_K]
+        return pa.table({
+            "score_milli": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+        })
+
+    agg = docs.map_batches(score_topk, batch_format="pyarrow").aggregate(
+        _topk.topk_rows_agg(["score_milli", "doc_id"],
+                            [("score_milli", True), ("doc_id", False)],
+                            TFIDF_K))
+    rows = agg["topk"]
+    return pa.table({
+        "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+        "score_milli": pa.array([r[0] for r in rows], pa.int64()),
+        "rank": pa.array(range(1, len(rows) + 1), pa.int64()),
+    })
+
+
+def above_median_length(sf_dir: str) -> pa.Table:
+    """Per-language median token count (DuckDB ``quantile_disc(0.5)``
+    semantics) and the count of docs at-or-above it — BOTH read off one
+    distributed ``(lang, n_tokens)`` value-count histogram (map-side
+    combined; the only corpus pass), so the quantile AND the filter
+    count need no second scan."""
+
+    def lengths(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": batch.column("lang"),
+            "n_tokens": pa.array(
+                [len(_ts.tokenize(t))
+                 for t in batch.column("text").to_pylist()], pa.int64()),
+        })
+
+    hist = _sk.grouped_value_counts(
+        _documents(sf_dir, ["lang", "text"]).map_batches(
+            lengths, batch_format="pyarrow"), "lang", "n_tokens")
+    parts = list(hist.iter_batches(batch_format="pyarrow",
+                                   batch_size=None))
+    if not parts:
+        return pa.table({"lang": pa.array([], pa.string()),
+                         "median_tokens": pa.array([], pa.int64()),
+                         "n_at_or_above": pa.array([], pa.int64())})
+    tbl = pa.concat_tables(parts)
+    import numpy as np
+    langs = np.asarray(tbl.column("lang").to_pylist(), dtype=object)
+    vals = np.asarray(tbl.column("n_tokens").to_pylist(), np.int64)
+    cnts = np.asarray(tbl.column("sum(n)").to_pylist(), np.int64)
+    out_l: list[str] = []
+    out_m: list[int] = []
+    out_n: list[int] = []
+    for lang in sorted(set(langs)):
+        m = langs == lang
+        med = _sk.quantile_disc_from_hist(vals[m], cnts[m], [0.5])[0]
+        out_l.append(lang)
+        out_m.append(med)
+        out_n.append(int(cnts[m][vals[m] >= med].sum()))
+    return pa.table({
+        "lang": pa.array(out_l, pa.string()),
+        "median_tokens": pa.array(out_m, pa.int64()),
+        "n_at_or_above": pa.array(out_n, pa.int64()),
+    })
