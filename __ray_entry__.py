@@ -123,6 +123,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier": _q.quality_classifier,
         "tfidf_search": _q.tfidf_search,
         "above_median_length": _q.above_median_length,
+        # real dependency-free pixel codec (PNG all-filters + BMP24)
+        "image_pixel_stats": _q.image_pixel_stats,
     }
 
 
@@ -1063,5 +1065,40 @@ def oracle_sql() -> dict[str, str]:
                        AND t.n_tokens >= m.median_tokens) AS BIGINT)
                    AS n_at_or_above
         FROM med m ORDER BY m.lang
+    """
+    # closed form of the REAL pixel codec path: pixel (x, y, ch) of
+    # image doc_id is (x*3 + y*7 + ch*11 + doc_id) % 256; the resize
+    # picks source indexes ((x*w)//8, (y*h)//8)
+    d["image_pixel_stats"] = """
+        WITH params AS (
+            SELECT doc_id AS media_id,
+                   4 + doc_id % 13 AS width,
+                   3 + doc_id % 11 AS height,
+                   CASE WHEN doc_id % 2 = 1 THEN 3
+                        ELSE CASE doc_id % 3 WHEN 0 THEN 1
+                             WHEN 1 THEN 3 ELSE 4 END
+                   END AS channels
+            FROM documents),
+        px AS (
+            SELECT media_id,
+                   SUM((x*3 + y*7 + ch*11 + media_id) % 256)
+                       AS pixel_sum
+            FROM params, range(16) rx(x), range(13) ry(y),
+                 range(4) rc(ch)
+            WHERE x < width AND y < height AND ch < channels
+            GROUP BY media_id),
+        rz AS (
+            SELECT media_id,
+                   SUM((((x*width)//8)*3 + ((y*height)//8)*7
+                        + ch*11 + media_id) % 256) AS resized_sum
+            FROM params, range(8) rx(x), range(8) ry(y), range(4) rc(ch)
+            WHERE ch < channels
+            GROUP BY media_id)
+        SELECT p.media_id, CAST(p.width AS BIGINT) AS width,
+               CAST(p.height AS BIGINT) AS height,
+               CAST(p.channels AS BIGINT) AS channels,
+               CAST(px.pixel_sum AS BIGINT) AS pixel_sum,
+               CAST(rz.resized_sum AS BIGINT) AS resized_sum
+        FROM params p JOIN px USING (media_id) JOIN rz USING (media_id)
     """
     return d

@@ -137,6 +137,14 @@ class DecodeImageBatch:
                 channels.append(len(img.getbands()))
                 arr = np.asarray(img, dtype=np.float64).ravel()
                 hist, _ = np.histogram(arr, bins=16, range=(0, 255))
+            elif (img := decode_image_pixels(blob)) is not None:
+                # REAL pixel decode (dependency-free PNG/BMP24 codec
+                # below): true dims + a histogram over DECODED pixels
+                heights.append(img.shape[0])
+                widths.append(img.shape[1])
+                channels.append(img.shape[2])
+                hist, _ = np.histogram(img.ravel(), bins=16,
+                                       range=(0, 256))
             elif (hdr := parse_image_header(blob)) is not None:
                 # REAL container-header decode (PNG/GIF/JPEG/BMP dims
                 # need no codec library); byte-histogram features.
@@ -281,3 +289,191 @@ class AudioFeatureStubBatch:
             "n_windows": pa.array(n_windows, pa.int64()),
             "n_bytes": pa.array(n_bytes, pa.int64()),
         })
+
+
+# --- REAL dependency-free pixel codec (PNG + BMP24) ----------------------
+#
+# The container ships no image library, but PNG's pixel layer needs only
+# stdlib zlib + the five published row filters, and uncompressed 24-bit
+# BMP is a numpy reshape — so the decode/resize path below is REAL pixel
+# math, not a stub: bytes in, (h, w, c) uint8 array out, verified
+# end-to-end by a closed-form SQL oracle over deterministic test images
+# (queries.image_pixel_stats) and an encode->decode round-trip pytest.
+# GIF/JPEG/WebP pixel layers still need entropy coders (LZW/DCT) and
+# remain header-only.
+
+import zlib
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, c: int) -> np.ndarray:
+    """Undo PNG row filtering (types 0-4) on decompressed IDAT bytes.
+    Filters 0/1/2 cover the vectorizable hot path (cumsum / row add);
+    3/4 fall back to a per-pixel scan (correct, rare in our inputs)."""
+    stride = w * c
+    out = np.zeros((h, stride), np.int32)
+    raw_a = np.frombuffer(raw, np.uint8).astype(np.int32)
+    if len(raw_a) != h * (stride + 1):
+        raise ValueError("PNG pixel payload has wrong length")
+    rows = raw_a.reshape(h, stride + 1)
+    for y in range(h):
+        f, cur = int(rows[y, 0]), rows[y, 1:]
+        prev = out[y - 1] if y else np.zeros(stride, np.int32)
+        if f == 0:
+            out[y] = cur
+        elif f == 1:  # Sub: + left  => per-lane cumsum mod 256
+            out[y] = np.cumsum(cur.reshape(w, c), axis=0).reshape(-1) % 256
+        elif f == 2:  # Up: + above
+            out[y] = (cur + prev) % 256
+        elif f == 3:  # Average: + (left + above) // 2  (left-sequential)
+            row = out[y]
+            for x in range(w):
+                left = row[(x - 1) * c:x * c] if x else np.zeros(c, np.int32)
+                s = x * c
+                row[s:s + c] = (cur[s:s + c]
+                                + (left + prev[s:s + c]) // 2) % 256
+        elif f == 4:  # Paeth predictor (left-sequential)
+            row = out[y]
+            zc = np.zeros(c, np.int32)
+            for x in range(w):
+                s = x * c
+                a = row[s - c:s] if x else zc
+                b = prev[s:s + c]
+                d = prev[s - c:s] if x else zc
+                p = a + b - d
+                pa_, pb, pd = np.abs(p - a), np.abs(p - b), np.abs(p - d)
+                pred = np.where((pa_ <= pb) & (pa_ <= pd), a,
+                                np.where(pb <= pd, b, d))
+                row[s:s + c] = (cur[s:s + c] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+    return out.astype(np.uint8).reshape(h, w, c)
+
+
+def decode_image_pixels(blob: bytes) -> Optional[np.ndarray]:
+    """REAL pixel decode -> (h, w, channels) uint8, or ``None`` when the
+    payload is not an 8-bit non-interlaced gray/RGB/RGBA PNG or an
+    uncompressed bottom-up 24-bit BMP (callers fall back to the
+    header/stub path)."""
+    n = len(blob)
+    if n > 45 and blob[:8] == b"\x89PNG\r\n\x1a\n":
+        w = int.from_bytes(blob[16:20], "big")
+        h = int.from_bytes(blob[20:24], "big")
+        depth, ct, il = blob[24], blob[25], blob[28]
+        if depth != 8 or ct not in (0, 2, 6) or il != 0 or not (w and h):
+            return None
+        c = {0: 1, 2: 3, 6: 4}[ct]
+        idat = b""
+        p = 8
+        while p + 8 <= n:
+            ln = int.from_bytes(blob[p:p + 4], "big")
+            typ = blob[p + 4:p + 8]
+            if typ == b"IDAT":
+                idat += blob[p + 8:p + 8 + ln]
+            elif typ == b"IEND":
+                break
+            p += 12 + ln
+        if not idat:
+            return None
+        try:
+            return _png_unfilter(zlib.decompress(idat), w, h, c)
+        except (zlib.error, ValueError):
+            return None
+    if n >= 54 and blob[:2] == b"BM":
+        off = int.from_bytes(blob[10:14], "little")
+        w = int.from_bytes(blob[18:22], "little", signed=True)
+        h = int.from_bytes(blob[22:26], "little", signed=True)
+        bpp = int.from_bytes(blob[28:30], "little")
+        comp = int.from_bytes(blob[30:34], "little")
+        if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+            return None
+        flip = h > 0
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3
+        if off + stride * h > n:
+            return None
+        rows = np.frombuffer(blob, np.uint8,
+                             count=stride * h, offset=off)
+        img = rows.reshape(h, stride)[:, :w * 3].reshape(h, w, 3)
+        img = img[::-1] if flip else img
+        return img[:, :, ::-1].copy()  # BGR -> RGB
+    return None
+
+
+def resize_nearest(img: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """REAL nearest-neighbor resize: out[y, x] = in[(y*h)//th, (x*w)//tw]
+    (pure integer index math, matching the SQL oracle's closed form)."""
+    h, w = img.shape[:2]
+    yi = (np.arange(th, dtype=np.int64) * h) // th
+    xi = (np.arange(tw, dtype=np.int64) * w) // tw
+    return img[yi][:, xi]
+
+
+def _png_filter_row(recon: np.ndarray, prev: np.ndarray, f: int,
+                    c: int) -> np.ndarray:
+    """Apply PNG filter ``f`` to a reconstructed row (encoder side)."""
+    w = len(recon) // c
+    left = np.zeros_like(recon)
+    left[c:] = recon[:-c]
+    if f == 0:
+        return recon % 256
+    if f == 1:
+        return (recon - left) % 256
+    if f == 2:
+        return (recon - prev) % 256
+    if f == 3:
+        return (recon - (left + prev) // 2) % 256
+    if f == 4:
+        up_left = np.zeros_like(prev)
+        up_left[c:] = prev[:-c]
+        p = left + prev - up_left
+        pa_, pb, pd = (np.abs(p - left), np.abs(p - prev),
+                       np.abs(p - up_left))
+        pred = np.where((pa_ <= pb) & (pa_ <= pd), left,
+                        np.where(pb <= pd, prev, up_left))
+        return (recon - pred) % 256
+    raise ValueError(f)
+
+
+def encode_png(img: np.ndarray, *, filter_mode: str = "cycle") -> bytes:
+    """Minimal REAL PNG encoder (8-bit gray/RGB/RGBA, non-interlaced)
+    for deterministic test/synthetic payloads. ``filter_mode='cycle'``
+    applies filter type ``y % 5`` per row so decoders must implement
+    ALL five unfilters; ``'none'`` writes filter 0 everywhere."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    ct = {1: 0, 3: 2, 4: 6}[c]
+    arr = img.astype(np.int32).reshape(h, w * c)
+    lines = []
+    for y in range(h):
+        f = (y % 5) if filter_mode == "cycle" else 0
+        prev = arr[y - 1] if y else np.zeros(w * c, np.int32)
+        lines.append(bytes([f])
+                     + _png_filter_row(arr[y], prev, f, c)
+                     .astype(np.uint8).tobytes())
+    raw = zlib.compress(b"".join(lines))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (len(data).to_bytes(4, "big") + typ + data
+                + zlib.crc32(typ + data).to_bytes(4, "big"))
+
+    import struct
+    ihdr = struct.pack(">II5B", w, h, 8, ct, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", raw) + chunk(b"IEND", b""))
+
+
+def encode_bmp24(img: np.ndarray) -> bytes:
+    """Minimal REAL bottom-up 24-bit BMP encoder (RGB in, BGR rows out,
+    4-byte row padding) for deterministic test/synthetic payloads."""
+    import struct
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, :w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)
+    data = rows.tobytes()
+    off = 54
+    header = (b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            len(data), 2835, 2835, 0, 0))
+    return header + data

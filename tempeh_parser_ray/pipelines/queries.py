@@ -1963,3 +1963,61 @@ def above_median_length(sf_dir: str) -> pa.Table:
         "median_tokens": pa.array(out_m, pa.int64()),
         "n_at_or_above": pa.array(out_n, pa.int64()),
     })
+
+
+def image_pixel_stats(sf_dir: str) -> "ray.data.Dataset":
+    """REAL pixel-level decode + resize, no image library: deterministic
+    small images (even doc_ids: PNG written with all five row filters
+    cycling; odd: bottom-up 24-bit BMP) are decoded back to pixel
+    arrays by the dependency-free codec (functions/multimodal.py:
+    ``decode_image_pixels``) and resized 8x8 nearest-neighbor
+    (``resize_nearest``). ``pixel_sum`` / ``resized_sum`` are
+    integer-exact closed forms of (doc_id, x, y, ch), so the SQL oracle
+    verifies the ENTIRE pixel path — inflate, unfilter (incl. Paeth),
+    BGR/bottom-up unswizzle, and the resize index math — bit-for-bit."""
+    import numpy as np
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        blobs: list[bytes] = []
+        for d in ids:
+            w, h = 4 + d % 13, 3 + d % 11
+            c = 3 if d % 2 == 1 else (1, 3, 4)[d % 3]
+            x = np.arange(w)[None, :, None]
+            y = np.arange(h)[:, None, None]
+            ch = np.arange(c)[None, None, :]
+            img = ((x * 3 + y * 7 + ch * 11 + d) % 256).astype(np.uint8)
+            if d % 2 == 1:
+                blobs.append(_mm.encode_bmp24(img))
+            else:
+                blobs.append(_mm.encode_png(
+                    img if c > 1 else img[:, :, 0], filter_mode="cycle"))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "media": pa.array(blobs, pa.binary()),
+        })
+
+    def decode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        ws, hs, cs, sums, rsums = [], [], [], [], []
+        for blob in batch.column("media").to_pylist():
+            img = _mm.decode_image_pixels(blob)
+            h, w, c = img.shape
+            ws.append(w)
+            hs.append(h)
+            cs.append(c)
+            sums.append(int(img.astype(np.int64).sum()))
+            rsums.append(int(_mm.resize_nearest(img, 8, 8)
+                             .astype(np.int64).sum()))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "channels": pa.array(cs, pa.int64()),
+            "pixel_sum": pa.array(sums, pa.int64()),
+            "resized_sum": pa.array(rsums, pa.int64()),
+        })
+
+    return _documents(sf_dir, ["doc_id"]).map_batches(
+        gen, batch_format="pyarrow").map_batches(
+        decode, batch_format="pyarrow")
