@@ -115,18 +115,58 @@ def bloom_might_contain(bits_words: np.ndarray, fps: list[str],
 def incremental_dedup(snapshot: "ray.data.Dataset",
                       incoming: "ray.data.Dataset", *,
                       m_bits: int = 1 << 20, k: int = 4,
-                      join_parts: int = 8) -> "ray.data.Dataset":
+                      join_parts: int = 8,
+                      broadcast_limit: int = 5_000_000,
+                      snapshot_broadcast_limit: int = 2_000_000
+                      ) -> "ray.data.Dataset":
     """Flag incoming docs whose text exactly matches any snapshot doc.
 
     Both inputs carry ``(doc_id, text)``; returns ``(doc_id, is_dup)``
-    over the incoming set. Size ``m_bits`` ~10x the snapshot
-    cardinality for a ~2% candidate false-positive rate (the fp rate
-    only affects join probe volume, never the answer)."""
+    over the incoming set. SIZE-ADAPTIVE (the same shape as exact
+    dedup's winner filter and doc_freq_score's vocab): a snapshot whose
+    fingerprint count fits ``snapshot_broadcast_limit`` is shipped ONCE
+    as a sorted fixed-width md5 array (32 B/doc; per-worker cached) and
+    incoming batches resolve membership with one vectorized
+    searchsorted — a single corpus pass, no shuffle at all. Above the
+    limit, the Bloom + distributed-join path takes over: the bitset
+    bounds the join probe side (fp rate ~(1-e^{-kn/m})^k with ``m_bits``
+    ~10x snapshot cardinality), and neither side is ever broadcast.
+    Both paths are pytest-pinned equal; the Bloom never changes the
+    answer, so the SQL oracle is one closed form."""
+    # both fp projections can be consumed twice — materialize so md5
+    # runs once per side. The fp table is ~40 B/doc, far below the
+    # corpus payload, and spills if needed.
     snap_fp = snapshot.map_batches(
         fingerprint_batch, batch_format="pyarrow").materialize()
     inc_fp = incoming.map_batches(
         fingerprint_batch, batch_format="pyarrow")
 
+    if snap_fp.count() <= snapshot_broadcast_limit:
+        parts = list(snap_fp.iter_batches(batch_format="pyarrow",
+                                          batch_size=None))
+        fps = (pa.concat_tables(parts).column("fp").to_pylist()
+               if parts else [])
+        sorted_fps = np.sort(np.asarray(fps, dtype="S32"))
+        fps_ref = ray.put(sorted_fps)
+
+        def mark_direct(batch: pa.Table) -> pa.Table:
+            table = cached_get(fps_ref)
+            probe = np.asarray(batch.column("fp").to_pylist(),
+                               dtype="S32")
+            if len(table):
+                pos = np.searchsorted(table, probe)
+                is_dup = (pos < len(table)) & (
+                    table[np.minimum(pos, len(table) - 1)] == probe)
+            else:
+                is_dup = np.zeros(len(probe), bool)
+            return pa.table({
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "is_dup": pa.array(is_dup.astype(np.int64), pa.int64()),
+            })
+
+        return inc_fp.map_batches(mark_direct, batch_format="pyarrow")
+
+    inc_fp = inc_fp.materialize()  # consumed twice below
     bits_bytes = snap_fp.aggregate(bloom_build_agg(m_bits, k))["bloom"]
     bits_ref = ray.put(np.frombuffer(bits_bytes, np.uint64).copy())
 
@@ -146,14 +186,42 @@ def incremental_dedup(snapshot: "ray.data.Dataset",
             ids = batch.column("doc_id").cast(pa.int64())
         else:
             ids = pa.array([], pa.int64())
-        return pa.table({
-            "doc_id": ids,
-            "hit": pa.array(np.ones(len(ids), np.int64), pa.int64()),
-        })
+        return pa.table({"doc_id": ids})
 
     hits = cand.join(snap_keys, join_type="inner",
                      num_partitions=join_parts, on=("fp",)).map_batches(
-        hit_rows, batch_format="pyarrow")
+        hit_rows, batch_format="pyarrow").materialize()
+
+    # flag assembly, size-adaptive (the exact-dedup winner pattern):
+    # the verified hit-id set is bounded by the candidate count, so
+    # below the broadcast limit ship it once (sorted int64 array,
+    # per-worker cached) and mark incoming batches with a vectorized
+    # searchsorted — NO second all-to-all over the incoming set. Above
+    # the limit, fall back to the union + Max-aggregate exchange
+    # (hit ids never gather on the driver in that branch).
+    if hits.count() <= broadcast_limit:
+        hit_parts = list(hits.iter_batches(batch_format="pyarrow",
+                                           batch_size=None))
+        hit_tbl = (pa.concat_tables(hit_parts) if hit_parts
+                   else pa.table({"doc_id": pa.array([], pa.int64())}))
+        hit_ids = np.sort(hit_tbl.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64))
+        ids_ref = ray.put(hit_ids)
+
+        def mark(batch: pa.Table) -> pa.Table:
+            sorted_ids = cached_get(ids_ref)
+            ids = batch.column("doc_id").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(sorted_ids, ids)
+            is_dup = (pos < len(sorted_ids)) & \
+                (sorted_ids[np.minimum(pos, max(len(sorted_ids) - 1, 0))]
+                 == ids) if len(sorted_ids) else np.zeros(len(ids), bool)
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "is_dup": pa.array(is_dup.astype(np.int64), pa.int64()),
+            })
+
+        return inc_fp.map_batches(mark, batch_format="pyarrow")
 
     def zero_rows(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").cast(pa.int64())
@@ -162,8 +230,16 @@ def incremental_dedup(snapshot: "ray.data.Dataset",
             "hit": pa.array(np.zeros(len(ids), np.int64), pa.int64()),
         })
 
+    def one_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").cast(pa.int64())
+        return pa.table({
+            "doc_id": ids,
+            "hit": pa.array(np.ones(len(ids), np.int64), pa.int64()),
+        })
+
     zeros = inc_fp.map_batches(zero_rows, batch_format="pyarrow")
-    flags = zeros.union(hits).groupby("doc_id").aggregate(
+    ones = hits.map_batches(one_rows, batch_format="pyarrow")
+    flags = zeros.union(ones).groupby("doc_id").aggregate(
         ray.data.aggregate.Max("hit"))
 
     def finish(batch: pa.Table) -> pa.Table:

@@ -60,11 +60,17 @@ def test_incremental_dedup_end_to_end(ray_session):
         "text": pa.array([f"text {i}" if i < 50 else f"fresh {i}"
                           for i in range(100)]),
     })).repartition(4)
-    out = pa.concat_tables(
-        inc.incremental_dedup(snap, inc_ds, m_bits=1 << 14, k=4,
-                              join_parts=2).iter_batches(
-            batch_format="pyarrow", batch_size=None)
-    ).sort_by([("doc_id", "ascending")])
-    flags = out.column("is_dup").to_pylist()
-    assert out.column("doc_id").to_pylist() == list(range(1000, 1100))
-    assert flags == [1] * 50 + [0] * 50
+    def run(**kw):
+        return pa.concat_tables(
+            inc.incremental_dedup(snap, inc_ds, m_bits=1 << 14, k=4,
+                                  join_parts=2, **kw).iter_batches(
+                batch_format="pyarrow", batch_size=None)
+        ).sort_by([("doc_id", "ascending")])
+
+    # direct path (snapshot broadcast) and Bloom+join path (forced via
+    # snapshot_broadcast_limit=0) must agree exactly
+    for out in (run(), run(snapshot_broadcast_limit=0),
+                run(snapshot_broadcast_limit=0, broadcast_limit=0)):
+        flags = out.column("is_dup").to_pylist()
+        assert out.column("doc_id").to_pylist() == list(range(1000, 1100))
+        assert flags == [1] * 50 + [0] * 50

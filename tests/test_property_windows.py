@@ -252,3 +252,47 @@ def test_partition_invariance(ray_session):
         return sorted(zip(v.column("id_a").to_pylist(),
                           v.column("id_b").to_pylist()))
     assert pairs(2) == pairs(16)
+
+
+def test_partition_invariance_round3(ray_session):
+    """Block-layout invariance for the round-3 operators: LAG window,
+    Bloom incremental dedup, and sequence packing."""
+    import pyarrow.parquet as pq
+
+    from tempeh_parser_ray.functions import curation, incremental
+
+    ray = ray_session
+    docs_tbl = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                             columns=["doc_id", "text"])
+    ev_tbl = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                           columns=["event_id", "user_id", "ts"])
+
+    def docs(n):
+        return ray.data.from_arrow(docs_tbl).repartition(n)
+
+    def evs(n):
+        return ray.data.from_arrow(ev_tbl).repartition(n)
+
+    def lag_rows(n):
+        t = _collect(windows.lag_events(evs(n)))
+        return sorted((r["event_id"], r["prev_event_id"], r["gap_us"])
+                      for r in t.to_pylist())
+    assert lag_rows(1) == lag_rows(7)
+
+    def inc_rows(n):
+        snap = docs(n)
+        t = _collect(incremental.incremental_dedup(
+            snap, docs(max(1, n // 2)), m_bits=1 << 16, k=4,
+            join_parts=2))
+        return sorted((r["doc_id"], r["is_dup"]) for r in t.to_pylist())
+    # snapshot == incoming -> every incoming doc is a dup; layout-free
+    ra, rb = inc_rows(1), inc_rows(6)
+    assert ra == rb
+    assert all(f == 1 for _, f in ra)
+
+    def pack_rows(n):
+        t = _collect(curation.sequence_packing(docs(n), capacity=512,
+                                               bucket_size=64))
+        return sorted((r["doc_id"], r["chunk_id"], r["chunk_offset"])
+                      for r in t.to_pylist())
+    assert pack_rows(1) == pack_rows(9)
