@@ -125,6 +125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "above_median_length": _q.above_median_length,
         # real dependency-free pixel codec (PNG all-filters + BMP24)
         "image_pixel_stats": _q.image_pixel_stats,
+        # cross-document duplicated-gram fraction (substring-dedup signal)
+        "cross_doc_repetition": _q.cross_doc_repetition,
     }
 
 
@@ -1100,5 +1102,32 @@ def oracle_sql() -> dict[str, str]:
                CAST(px.pixel_sum AS BIGINT) AS pixel_sum,
                CAST(rz.resized_sum AS BIGINT) AS resized_sum
         FROM params p JOIN px USING (media_id) JOIN rz USING (media_id)
+    """
+    d["cross_doc_repetition"] = f"""
+        WITH toks AS (
+            SELECT doc_id, {_toks_or_empty} AS t FROM documents),
+        g AS (
+            SELECT doc_id,
+                   array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+            FROM (SELECT doc_id, t,
+                         unnest(generate_series(1, len(t) - 4)) AS i
+                  FROM toks)),
+        shared AS (
+            SELECT gram FROM (
+                SELECT gram, COUNT(DISTINCT doc_id) AS df
+                FROM g GROUP BY gram) WHERE df >= 2),
+        tot AS (
+            SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),
+        sh AS (
+            SELECT doc_id, COUNT(*) AS n_shared FROM g
+            WHERE gram IN (SELECT gram FROM shared) GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(t.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared,
+               CAST(CASE WHEN COALESCE(t.n_grams, 0) = 0 THEN 0
+                    ELSE 100 * COALESCE(s.n_shared, 0) // t.n_grams
+                    END AS BIGINT) AS shared_pct
+        FROM documents d LEFT JOIN tot t USING (doc_id)
+                         LEFT JOIN sh s USING (doc_id)
     """
     return d

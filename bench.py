@@ -70,7 +70,7 @@ QUERY_NAMES = [
     "repetition_ratio", "stratified_sample_by_lang",
     "source_mixture_sample",
     "incremental_dedup", "quality_classifier", "tfidf_search",
-    "above_median_length", "image_pixel_stats",
+    "above_median_length", "image_pixel_stats", "cross_doc_repetition",
 ]
 
 

@@ -273,3 +273,122 @@ def repetition_stats_batch(batch: pa.Table, *, width: int = 3,
         "is_repetitive": pa.array(
             (dup_pct >= dup_pct_cut).astype(np.int64), pa.int64()),
     })
+
+
+# --- cross-document repetition (duplicated-n-gram fraction) --------------
+
+
+def cross_doc_gram_stats(docs: "ray.data.Dataset", *, width: int = 5,
+                         join_parts: int = 8) -> "ray.data.Dataset":
+    """Per-document CROSS-corpus duplication signal (the Lee-et-al
+    substring-dedup metric): for each doc, the count and percentage of
+    its ``width``-token gram positions whose gram also occurs in at
+    least one OTHER document.
+
+    THREE exchanges total, each carrying bounded rows:
+
+    1. one map pass emits per-doc-DEDUPED ``(doc_id, gfp, cnt)`` gram
+       rows (vectorized siphash fingerprints — 8-byte fps shuffle,
+       never gram text; the SQL oracle joins gram STRINGS, so agreement
+       also certifies fp collision-freeness on the input) PLUS one
+       unconditional ``(doc_id, n_grams, 0)`` total row per doc;
+    2. gram document-frequency: ONE ``groupby(gfp).count`` over the
+       deduped rows; grams with df >= 2 are the "shared" key set;
+    3. the gram rows ``inner``-join the shared keys (distributed hash
+       join — the shared set is never broadcast, so pathological
+       corpora with billions of shared grams still stream), and the
+       join output feeds the SAME final ``groupby(doc_id).sum`` as the
+       total rows — no separate per-doc hit aggregate.
+
+    ``shared_pct`` is integer-exact: ``100 * n_shared // n_grams``
+    (0 for gram-less docs).
+    """
+    import pandas as pd
+    from collections import Counter
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        out_id: list[int] = []
+        out_g: list[str] = []
+        out_c: list[int] = []
+        tot_id: list[int] = []
+        tot_n: list[int] = []
+        for i, t in zip(ids, texts):
+            toks = tokenize(t)
+            n = max(len(toks) - width + 1, 0)
+            tot_id.append(int(i))
+            tot_n.append(n)
+            if not n:
+                continue
+            c = Counter(" ".join(toks[j:j + width]) for j in range(n))
+            out_id.extend([int(i)] * len(c))
+            out_g.extend(c.keys())
+            out_c.extend(c.values())
+        fp = pd.util.hash_array(
+            np.asarray(out_g, dtype=object)).astype(np.int64)
+        grams = pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "gfp": pa.array(fp, pa.int64()),
+            "cnt": pa.array(out_c, pa.int64()),
+        })
+        return grams
+
+    def total_rows(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ns = [max(len(tokenize(t)) - width + 1, 0) for t in texts]
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "n_grams": pa.array(ns, pa.int64()),
+            "n_shared": pa.array([0] * len(ns), pa.int64()),
+        })
+
+    grams = docs.map_batches(
+        gram_rows, batch_format="pyarrow").materialize()
+
+    shared = grams.groupby("gfp").count()
+
+    def df2_keys(batch: pa.Table) -> pa.Table:
+        if batch.num_rows and "count()" in batch.schema.names:
+            t = batch.filter(pc.greater_equal(batch.column("count()"), 2))
+            return pa.table({"gfp": t.column("gfp").cast(pa.int64())})
+        return pa.table({"gfp": pa.array([], pa.int64())})
+
+    shared_keys = shared.map_batches(df2_keys, batch_format="pyarrow")
+
+    def hit_contrib(batch: pa.Table) -> pa.Table:
+        if batch.num_rows and "doc_id" in batch.schema.names:
+            return pa.table({
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "n_grams": pa.array(
+                    np.zeros(batch.num_rows, np.int64), pa.int64()),
+                "n_shared": batch.column("cnt").cast(pa.int64()),
+            })
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_grams": pa.array([], pa.int64()),
+                         "n_shared": pa.array([], pa.int64())})
+
+    hits = grams.join(shared_keys, join_type="inner",
+                      num_partitions=join_parts,
+                      on=("gfp",)).map_batches(
+        hit_contrib, batch_format="pyarrow")
+
+    totals = docs.map_batches(total_rows, batch_format="pyarrow")
+    merged = totals.union(hits).groupby("doc_id").aggregate(
+        ray.data.aggregate.Sum("n_grams"),
+        ray.data.aggregate.Sum("n_shared"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ng = batch.column("sum(n_grams)").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ns = batch.column("sum(n_shared)").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pct = np.where(ng > 0, 100 * ns // np.maximum(ng, 1), 0)
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "n_grams": pa.array(ng, pa.int64()),
+            "n_shared": pa.array(ns, pa.int64()),
+            "shared_pct": pa.array(pct, pa.int64()),
+        })
+
+    return merged.map_batches(finish, batch_format="pyarrow")

@@ -2021,3 +2021,14 @@ def image_pixel_stats(sf_dir: str) -> "ray.data.Dataset":
     return _documents(sf_dir, ["doc_id"]).map_batches(
         gen, batch_format="pyarrow").map_batches(
         decode, batch_format="pyarrow")
+
+
+def cross_doc_repetition(sf_dir: str) -> "ray.data.Dataset":
+    """Cross-document duplicated-gram fraction (the Lee-et-al substring
+    dedup signal): per doc, how many of its 5-token gram positions
+    occur in at least one other document (functions/curation.py:
+    cross_doc_gram_stats — three bounded exchanges, no broadcast of
+    the shared-gram set)."""
+    return _cur.cross_doc_gram_stats(
+        _documents(sf_dir, ["doc_id", "text"]), width=5,
+        join_parts=_join_parts())
