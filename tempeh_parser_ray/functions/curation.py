@@ -112,8 +112,9 @@ def _token_count_bucket(batch: pa.Table, *, bucket_size: int) -> pa.Table:
 
 
 def decontaminate(docs: "ray.data.Dataset", *, width: int = 8,
-                  benchmark_mod: int = 97,
-                  join_parts: int = 8) -> "ray.data.Dataset":
+                  benchmark_mod: int = 97, join_parts: int = 8,
+                  bench_broadcast_limit: int = 5_000_000
+                  ) -> "ray.data.Dataset":
     """Benchmark decontamination: flag every non-benchmark document
     sharing at least one ``width``-token shingle with the benchmark set
     (docs with ``doc_id % benchmark_mod == 0``) — the GPT-3-style
@@ -123,9 +124,12 @@ def decontaminate(docs: "ray.data.Dataset", *, width: int = 8,
     (vectorized siphash over the gram strings — only 8-byte
     fingerprints shuffle, never gram text; the DuckDB oracle joins on
     the gram STRINGS, so agreement also certifies the fp has no
-    colliding pair on this input). The overlap test is a distributed
-    hash join on the fp — no broadcast of either side, so the benchmark
-    set may itself be web-scale:
+    colliding pair on this input). SIZE-ADAPTIVE overlap test: a
+    benchmark key set within ``bench_broadcast_limit`` is broadcast
+    once as a sorted int64 array and every doc flags itself in ONE
+    pass (vectorized searchsorted, per-worker cached); a larger set
+    falls back to a distributed hash join on the fp — no broadcast of
+    either side, so the benchmark set may itself be web-scale:
 
     1. benchmark distinct fps: keys-only groupby (pre-deduped map-side);
     2. candidate hits: fact-side fps ``inner`` join benchmark keys,
@@ -161,7 +165,43 @@ def decontaminate(docs: "ray.data.Dataset", *, width: int = 8,
     bench_keys = docs.map_batches(
         grams, batch_format="pyarrow",
         fn_kwargs={"side_bench": True}).groupby("gfp").count(
-        ).drop_columns(["count()"])
+        ).drop_columns(["count()"]).materialize()
+
+    # size-adaptive (the incremental-dedup shape): a benchmark key set
+    # that fits the broadcast limit ships once as a sorted int64 array
+    # (per-worker cached) and every doc resolves its flag in ONE pass —
+    # no join, no flag-assembly exchange. Above the limit, the
+    # distributed join below handles web-scale benchmark sets.
+    if bench_keys.count() <= bench_broadcast_limit:
+        parts = list(bench_keys.iter_batches(batch_format="pyarrow",
+                                             batch_size=None))
+        keys = (pa.concat_tables(parts).column("gfp").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+            if parts else np.zeros(0, np.int64))
+        keys_ref = ray.put(np.sort(keys))
+
+        def mark(batch: pa.Table) -> pa.Table:
+            table = cached_get(keys_ref)
+            t = grams(batch, side_bench=False)
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            fps = t.column("gfp").to_numpy(zero_copy_only=False)
+            if len(table):
+                pos = np.searchsorted(table, fps)
+                hit = (pos < len(table)) & (
+                    table[np.minimum(pos, len(table) - 1)] == fps)
+            else:
+                hit = np.zeros(len(fps), bool)
+            all_ids = batch.column("doc_id").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            all_ids = np.unique(all_ids[all_ids % benchmark_mod != 0])
+            flags = np.isin(all_ids, ids[hit]).astype(np.int64)
+            return pa.table({
+                "doc_id": pa.array(all_ids, pa.int64()),
+                "contaminated": pa.array(flags, pa.int64()),
+            })
+
+        return docs.map_batches(mark, batch_format="pyarrow")
+
     fact = docs.map_batches(grams, batch_format="pyarrow",
                             fn_kwargs={"side_bench": False})
     def hit_flag(batch: pa.Table) -> pa.Table:

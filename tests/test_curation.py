@@ -156,11 +156,13 @@ def test_decontaminate_flags_shared_shingles(ray_session):
         (2, "totally different words here with no overlap at all ok"),
         (4, "a b c d e f g"),                  # only 7 shared tokens -> miss
     ]
-    out = _collect(curation.decontaminate(
-        ray.data.from_arrow(_docs_tbl(rows)), width=8, benchmark_mod=3,
-        join_parts=2))
-    flags = {r["doc_id"]: r["contaminated"] for r in out.to_pylist()}
-    assert flags == {1: 1, 2: 0, 4: 0}
+    # broadcast path (default) and forced join path must agree exactly
+    for kw in ({}, {"bench_broadcast_limit": 0}):
+        out = _collect(curation.decontaminate(
+            ray.data.from_arrow(_docs_tbl(rows)), width=8,
+            benchmark_mod=3, join_parts=2, **kw))
+        flags = {r["doc_id"]: r["contaminated"] for r in out.to_pylist()}
+        assert flags == {1: 1, 2: 0, 4: 0}
 
 
 # --- PII redaction -------------------------------------------------------
