@@ -172,7 +172,11 @@ def decontaminate(docs: "ray.data.Dataset", *, width: int = 8,
     # (per-worker cached) and every doc resolves its flag in ONE pass —
     # no join, no flag-assembly exchange. Above the limit, the
     # distributed join below handles web-scale benchmark sets.
-    if bench_keys.count() <= bench_broadcast_limit:
+    # (n == 0 must also take this path: Ray's hash join crashes on a
+    # schema-less empty side, and with no benchmark keys there is
+    # nothing to join anyway.)
+    n_bench = bench_keys.count()
+    if n_bench <= bench_broadcast_limit or n_bench == 0:
         parts = list(bench_keys.iter_batches(batch_format="pyarrow",
                                              batch_size=None))
         keys = (pa.concat_tables(parts).column("gfp").to_numpy(
@@ -385,6 +389,20 @@ def cross_doc_gram_stats(docs: "ray.data.Dataset", *, width: int = 5,
 
     grams = docs.map_batches(
         gram_rows, batch_format="pyarrow").materialize()
+
+    if grams.count() == 0:
+        # gram-less corpus: nothing can be shared; also sidesteps
+        # Ray's hash-join fragility on schema-less empty sides
+        def all_zero(batch: pa.Table) -> pa.Table:
+            t = total_rows(batch)
+            return pa.table({
+                "doc_id": t.column("doc_id"),
+                "n_grams": t.column("n_grams"),
+                "n_shared": t.column("n_shared"),
+                "shared_pct": pa.array(
+                    np.zeros(t.num_rows, np.int64), pa.int64()),
+            })
+        return docs.map_batches(all_zero, batch_format="pyarrow")
 
     shared = grams.groupby("gfp").count()
 

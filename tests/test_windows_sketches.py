@@ -408,3 +408,36 @@ def test_heavy_hitters_match_exact(ray_session):
     """).df()
     assert got.column("token").to_pylist() == ora["token"].tolist()
     assert got.column("n").to_pylist() == ora["n"].tolist()
+
+
+def test_empty_input_robustness_round3(ray_session):
+    """Empty datasets flow through the round-3 operators (lag, range
+    join, curation, incremental dedup, cross-doc repetition) without
+    crashing and with schema-stable empty outputs."""
+    import pyarrow as pa
+    import ray
+    from tempeh_parser_ray.functions import curation, incremental
+    from tempeh_parser_ray.pipelines import windows
+
+    empty_ev = ray.data.from_arrow(_events_tbl([]))
+    assert _collect(windows.lag_events(empty_ev)).num_rows == 0
+    assert _collect(windows.range_join_events(
+        empty_ev, left_type="purchase", right_type="click",
+        window_us=3_600_000_000)).num_rows == 0
+
+    empty_docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string())}))
+    assert _collect(curation.sequence_packing(
+        empty_docs, capacity=128)).num_rows == 0
+    assert _collect(curation.decontaminate(
+        empty_docs, join_parts=2)).num_rows == 0
+    assert _collect(curation.decontaminate(
+        empty_docs, join_parts=2,
+        bench_broadcast_limit=0)).num_rows == 0
+    assert _collect(curation.cross_doc_gram_stats(
+        empty_docs, join_parts=2)).num_rows == 0
+    for kw in ({}, {"snapshot_broadcast_limit": 0}):
+        assert _collect(incremental.incremental_dedup(
+            empty_docs, empty_docs, join_parts=2,
+            **kw)).num_rows == 0
