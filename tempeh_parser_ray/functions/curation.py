@@ -322,27 +322,31 @@ def repetition_stats_batch(batch: pa.Table, *, width: int = 3,
 # --- cross-document repetition (duplicated-n-gram fraction) --------------
 
 
-def cross_doc_gram_stats(docs: "ray.data.Dataset", *, width: int = 5,
-                         join_parts: int = 8) -> "ray.data.Dataset":
+def cross_doc_gram_stats(docs: "ray.data.Dataset", *, width: int = 5
+                         ) -> "ray.data.Dataset":
     """Per-document CROSS-corpus duplication signal (the Lee-et-al
     substring-dedup metric): for each doc, the count and percentage of
     its ``width``-token gram positions whose gram also occurs in at
     least one OTHER document.
 
-    THREE exchanges total, each carrying bounded rows:
+    JOIN-FREE: a gram with document frequency 1 has ALL its occurrences
+    in a single document, so ``Min(doc_id)`` carried through the df
+    aggregate identifies that owner and ``Sum(cnt)`` its position
+    count; per doc, ``n_shared = n_grams - n_unique``. That turns the
+    natural gram-rows-join-shared-keys plan (an all-to-all hash join
+    over the gram table) into ONE grouped aggregate plus two bounded
+    exchanges:
 
     1. one map pass emits per-doc-DEDUPED ``(doc_id, gfp, cnt)`` gram
        rows (vectorized siphash fingerprints — 8-byte fps shuffle,
        never gram text; the SQL oracle joins gram STRINGS, so agreement
-       also certifies fp collision-freeness on the input) PLUS one
-       unconditional ``(doc_id, n_grams, 0)`` total row per doc;
-    2. gram document-frequency: ONE ``groupby(gfp).count`` over the
-       deduped rows; grams with df >= 2 are the "shared" key set;
-    3. the gram rows ``inner``-join the shared keys (distributed hash
-       join — the shared set is never broadcast, so pathological
-       corpora with billions of shared grams still stream), and the
-       join output feeds the SAME final ``groupby(doc_id).sum`` as the
-       total rows — no separate per-doc hit aggregate.
+       also certifies fp collision-freeness on the input);
+    2. ONE ``groupby(gfp).aggregate(Count, Sum(cnt), Min(doc_id))``;
+       df==1 rows collapse (batch-locally pre-summed) to per-doc
+       unique-position counts;
+    3. final assembly: UNION of per-doc ``(n_grams, n_grams)`` totals
+       with ``(0, -n_unique)`` unique rows -> ``groupby(doc_id).sum``
+       yields ``n_shared = n_grams - n_unique`` exactly.
 
     ``shared_pct`` is integer-exact: ``100 * n_shared // n_grams``
     (0 for gram-less docs).
@@ -379,12 +383,14 @@ def cross_doc_gram_stats(docs: "ray.data.Dataset", *, width: int = 5,
         return grams
 
     def total_rows(batch: pa.Table) -> pa.Table:
+        # n_shared starts at n_grams; unique_contrib rows subtract the
+        # df==1 positions, leaving exactly the shared-position count
         texts = batch.column("text").to_pylist()
         ns = [max(len(tokenize(t)) - width + 1, 0) for t in texts]
         return pa.table({
             "doc_id": batch.column("doc_id").cast(pa.int64()),
             "n_grams": pa.array(ns, pa.int64()),
-            "n_shared": pa.array([0] * len(ns), pa.int64()),
+            "n_shared": pa.array(ns, pa.int64()),
         })
 
     grams = docs.map_batches(
@@ -404,35 +410,47 @@ def cross_doc_gram_stats(docs: "ray.data.Dataset", *, width: int = 5,
             })
         return docs.map_batches(all_zero, batch_format="pyarrow")
 
-    shared = grams.groupby("gfp").count()
+    def gram_partials(batch: pa.Table) -> pa.Table:
+        # map-side combiner: collapse a block's gram rows to one row
+        # per gfp (local df / position-count / min-owner), all three
+        # re-aggregable downstream — the exchange carries the block's
+        # DISTINCT grams, not one row per (doc, gram)
+        g = pa.TableGroupBy(batch, ["gfp"]).aggregate(
+            [("doc_id", "count"), ("cnt", "sum"), ("doc_id", "min")])
+        return g.rename_columns(["gfp", "df", "cnt", "owner"])
 
-    def df2_keys(batch: pa.Table) -> pa.Table:
-        if batch.num_rows and "count()" in batch.schema.names:
-            t = batch.filter(pc.greater_equal(batch.column("count()"), 2))
-            return pa.table({"gfp": t.column("gfp").cast(pa.int64())})
-        return pa.table({"gfp": pa.array([], pa.int64())})
+    gram_stats = grams.map_batches(
+        gram_partials, batch_format="pyarrow").groupby("gfp").aggregate(
+        ray.data.aggregate.Sum("df"),
+        ray.data.aggregate.Sum("cnt"),
+        ray.data.aggregate.Min("owner"))
 
-    shared_keys = shared.map_batches(df2_keys, batch_format="pyarrow")
+    def unique_contrib(batch: pa.Table) -> pa.Table:
+        """df==1 grams -> per-doc (0, -n_unique) rows, batch-locally
+        pre-summed so the final exchange carries per-doc partials."""
+        if not batch.num_rows or "sum(df)" not in batch.schema.names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_grams": pa.array([], pa.int64()),
+                             "n_shared": pa.array([], pa.int64())})
+        t = batch.filter(pc.equal(batch.column("sum(df)"), 1))
+        ids = t.column("min(owner)").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cnt = t.column("sum(cnt)").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        sums = np.zeros(len(uniq), np.int64)
+        np.add.at(sums, inv, cnt)
+        return pa.table({
+            "doc_id": pa.array(uniq, pa.int64()),
+            "n_grams": pa.array(np.zeros(len(uniq), np.int64),
+                                pa.int64()),
+            "n_shared": pa.array(-sums, pa.int64()),
+        })
 
-    def hit_contrib(batch: pa.Table) -> pa.Table:
-        if batch.num_rows and "doc_id" in batch.schema.names:
-            return pa.table({
-                "doc_id": batch.column("doc_id").cast(pa.int64()),
-                "n_grams": pa.array(
-                    np.zeros(batch.num_rows, np.int64), pa.int64()),
-                "n_shared": batch.column("cnt").cast(pa.int64()),
-            })
-        return pa.table({"doc_id": pa.array([], pa.int64()),
-                         "n_grams": pa.array([], pa.int64()),
-                         "n_shared": pa.array([], pa.int64())})
-
-    hits = grams.join(shared_keys, join_type="inner",
-                      num_partitions=join_parts,
-                      on=("gfp",)).map_batches(
-        hit_contrib, batch_format="pyarrow")
-
+    uniques = gram_stats.map_batches(unique_contrib,
+                                     batch_format="pyarrow")
     totals = docs.map_batches(total_rows, batch_format="pyarrow")
-    merged = totals.union(hits).groupby("doc_id").aggregate(
+    merged = totals.union(uniques).groupby("doc_id").aggregate(
         ray.data.aggregate.Sum("n_grams"),
         ray.data.aggregate.Sum("n_shared"))
 

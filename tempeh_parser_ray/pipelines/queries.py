@@ -2027,8 +2027,8 @@ def cross_doc_repetition(sf_dir: str) -> "ray.data.Dataset":
     """Cross-document duplicated-gram fraction (the Lee-et-al substring
     dedup signal): per doc, how many of its 5-token gram positions
     occur in at least one other document (functions/curation.py:
-    cross_doc_gram_stats — three bounded exchanges, no broadcast of
-    the shared-gram set)."""
+    cross_doc_gram_stats — JOIN-FREE: df==1 grams identify their one
+    owner via Min(doc_id), so n_shared = n_grams - n_unique from a
+    single grouped aggregate)."""
     return _cur.cross_doc_gram_stats(
-        _documents(sf_dir, ["doc_id", "text"]), width=5,
-        join_parts=_join_parts())
+        _documents(sf_dir, ["doc_id", "text"]), width=5)

@@ -436,7 +436,7 @@ def test_empty_input_robustness_round3(ray_session):
         empty_docs, join_parts=2,
         bench_broadcast_limit=0)).num_rows == 0
     assert _collect(curation.cross_doc_gram_stats(
-        empty_docs, join_parts=2)).num_rows == 0
+        empty_docs)).num_rows == 0
     for kw in ({}, {"snapshot_broadcast_limit": 0}):
         assert _collect(incremental.incremental_dedup(
             empty_docs, empty_docs, join_parts=2,
