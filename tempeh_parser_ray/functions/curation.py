@@ -329,24 +329,29 @@ def cross_doc_gram_stats(docs: "ray.data.Dataset", *, width: int = 5
     its ``width``-token gram positions whose gram also occurs in at
     least one OTHER document.
 
-    JOIN-FREE: a gram with document frequency 1 has ALL its occurrences
-    in a single document, so ``Min(doc_id)`` carried through the df
-    aggregate identifies that owner and ``Sum(cnt)`` its position
-    count; per doc, ``n_shared = n_grams - n_unique``. That turns the
-    natural gram-rows-join-shared-keys plan (an all-to-all hash join
-    over the gram table) into ONE grouped aggregate plus two bounded
-    exchanges:
+    JOIN-FREE, SINGLE-TOKENIZE: a gram with document frequency 1 has
+    ALL its occurrences in one document, so ``Min(doc_id)`` carried
+    through the df aggregate identifies that owner and ``Sum(cnt)``
+    its position count; per doc, ``n_shared = n_grams - n_unique``.
+    That turns the natural gram-rows-join-shared-keys plan (an
+    all-to-all hash join over the gram table) into one grouped
+    aggregate plus a small assembly exchange:
 
-    1. one map pass emits per-doc-DEDUPED ``(doc_id, gfp, cnt)`` gram
-       rows (vectorized siphash fingerprints — 8-byte fps shuffle,
-       never gram text; the SQL oracle joins gram STRINGS, so agreement
-       also certifies fp collision-freeness on the input);
-    2. ONE ``groupby(gfp).aggregate(Count, Sum(cnt), Min(doc_id))``;
-       df==1 rows collapse (batch-locally pre-summed) to per-doc
-       unique-position counts;
-    3. final assembly: UNION of per-doc ``(n_grams, n_grams)`` totals
-       with ``(0, -n_unique)`` unique rows -> ``groupby(doc_id).sum``
-       yields ``n_shared = n_grams - n_unique`` exactly.
+    1. ONE tokenize pass emits, per doc, its per-doc-DEDUPED
+       ``(doc_id, gfp, cnt, kind=0)`` gram rows (vectorized siphash
+       fps — 8-byte fps shuffle, never gram text; the SQL oracle joins
+       gram STRINGS, so agreement also certifies fp collision-freeness
+       on the input) PLUS one ``kind=1`` total row carrying
+       ``n_grams`` — materialized once, so the corpus is read and
+       tokenized exactly once (a block-local gfp combiner was measured
+       to dedupe <0.1% of gram rows — per-doc gram sets barely collide
+       within a block — so gram rows go straight to the exchange);
+    2. ``groupby(gfp).aggregate(Count, Sum(cnt), Min(doc_id))`` over
+       the gram rows; df==1 rows collapse (batch-locally pre-summed)
+       to per-doc unique-position counts;
+    3. assembly: UNION of per-doc ``(n_grams, n_grams)`` totals with
+       ``(0, -n_unique)`` unique rows -> ``groupby(doc_id).sum`` gives
+       ``n_shared = n_grams - n_unique`` exactly.
 
     ``shared_pct`` is integer-exact: ``100 * n_shared // n_grams``
     (0 for gram-less docs).
@@ -354,7 +359,7 @@ def cross_doc_gram_stats(docs: "ray.data.Dataset", *, width: int = 5
     import pandas as pd
     from collections import Counter
 
-    def gram_rows(batch: pa.Table) -> pa.Table:
+    def emit(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         texts = batch.column("text").to_pylist()
         out_id: list[int] = []
@@ -375,65 +380,47 @@ def cross_doc_gram_stats(docs: "ray.data.Dataset", *, width: int = 5
             out_c.extend(c.values())
         fp = pd.util.hash_array(
             np.asarray(out_g, dtype=object)).astype(np.int64)
-        grams = pa.table({
-            "doc_id": pa.array(out_id, pa.int64()),
-            "gfp": pa.array(fp, pa.int64()),
-            "cnt": pa.array(out_c, pa.int64()),
+        return pa.table({
+            "doc_id": pa.array(out_id + tot_id, pa.int64()),
+            "gfp": pa.array(np.concatenate(
+                (fp, np.zeros(len(tot_id), np.int64))), pa.int64()),
+            "cnt": pa.array(out_c + tot_n, pa.int64()),
+            "kind": pa.array([0] * len(out_id) + [1] * len(tot_id),
+                             pa.int64()),
         })
-        return grams
 
-    def total_rows(batch: pa.Table) -> pa.Table:
+    combined = docs.map_batches(
+        emit, batch_format="pyarrow").materialize()
+
+    def gram_side(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("kind"), 0))
+        return t.select(["doc_id", "gfp", "cnt"])
+
+    def total_side(batch: pa.Table) -> pa.Table:
         # n_shared starts at n_grams; unique_contrib rows subtract the
         # df==1 positions, leaving exactly the shared-position count
-        texts = batch.column("text").to_pylist()
-        ns = [max(len(tokenize(t)) - width + 1, 0) for t in texts]
+        t = batch.filter(pc.equal(batch.column("kind"), 1))
         return pa.table({
-            "doc_id": batch.column("doc_id").cast(pa.int64()),
-            "n_grams": pa.array(ns, pa.int64()),
-            "n_shared": pa.array(ns, pa.int64()),
+            "doc_id": t.column("doc_id"),
+            "n_grams": t.column("cnt"),
+            "n_shared": t.column("cnt"),
         })
 
-    grams = docs.map_batches(
-        gram_rows, batch_format="pyarrow").materialize()
-
-    if grams.count() == 0:
-        # gram-less corpus: nothing can be shared; also sidesteps
-        # Ray's hash-join fragility on schema-less empty sides
-        def all_zero(batch: pa.Table) -> pa.Table:
-            t = total_rows(batch)
-            return pa.table({
-                "doc_id": t.column("doc_id"),
-                "n_grams": t.column("n_grams"),
-                "n_shared": t.column("n_shared"),
-                "shared_pct": pa.array(
-                    np.zeros(t.num_rows, np.int64), pa.int64()),
-            })
-        return docs.map_batches(all_zero, batch_format="pyarrow")
-
-    def gram_partials(batch: pa.Table) -> pa.Table:
-        # map-side combiner: collapse a block's gram rows to one row
-        # per gfp (local df / position-count / min-owner), all three
-        # re-aggregable downstream — the exchange carries the block's
-        # DISTINCT grams, not one row per (doc, gram)
-        g = pa.TableGroupBy(batch, ["gfp"]).aggregate(
-            [("doc_id", "count"), ("cnt", "sum"), ("doc_id", "min")])
-        return g.rename_columns(["gfp", "df", "cnt", "owner"])
-
-    gram_stats = grams.map_batches(
-        gram_partials, batch_format="pyarrow").groupby("gfp").aggregate(
-        ray.data.aggregate.Sum("df"),
+    gram_stats = combined.map_batches(
+        gram_side, batch_format="pyarrow").groupby("gfp").aggregate(
+        ray.data.aggregate.Count(),
         ray.data.aggregate.Sum("cnt"),
-        ray.data.aggregate.Min("owner"))
+        ray.data.aggregate.Min("doc_id"))
 
     def unique_contrib(batch: pa.Table) -> pa.Table:
         """df==1 grams -> per-doc (0, -n_unique) rows, batch-locally
-        pre-summed so the final exchange carries per-doc partials."""
-        if not batch.num_rows or "sum(df)" not in batch.schema.names:
+        pre-summed so the assembly exchange carries per-doc partials."""
+        if not batch.num_rows or "count()" not in batch.schema.names:
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "n_grams": pa.array([], pa.int64()),
                              "n_shared": pa.array([], pa.int64())})
-        t = batch.filter(pc.equal(batch.column("sum(df)"), 1))
-        ids = t.column("min(owner)").to_numpy(
+        t = batch.filter(pc.equal(batch.column("count()"), 1))
+        ids = t.column("min(doc_id)").to_numpy(
             zero_copy_only=False).astype(np.int64)
         cnt = t.column("sum(cnt)").to_numpy(
             zero_copy_only=False).astype(np.int64)
@@ -449,7 +436,7 @@ def cross_doc_gram_stats(docs: "ray.data.Dataset", *, width: int = 5
 
     uniques = gram_stats.map_batches(unique_contrib,
                                      batch_format="pyarrow")
-    totals = docs.map_batches(total_rows, batch_format="pyarrow")
+    totals = combined.map_batches(total_side, batch_format="pyarrow")
     merged = totals.union(uniques).groupby("doc_id").aggregate(
         ray.data.aggregate.Sum("n_grams"),
         ray.data.aggregate.Sum("n_shared"))
