@@ -127,6 +127,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_pixel_stats": _q.image_pixel_stats,
         # cross-document duplicated-gram fraction (substring-dedup signal)
         "cross_doc_repetition": _q.cross_doc_repetition,
+        # tokenizer training + mixture planning
+        "bpe_train": _q.bpe_train,
+        "mixture_plan": _q.mixture_plan,
     }
 
 
@@ -1129,5 +1132,21 @@ def oracle_sql() -> dict[str, str]:
                     END AS BIGINT) AS shared_pct
         FROM documents d LEFT JOIN tot t USING (doc_id)
                          LEFT JOIN sh s USING (doc_id)
+    """
+    d["mixture_plan"] = rf"""
+        WITH per AS (
+            SELECT source,
+                   SUM(CAST(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len({_TOKENS}) END AS BIGINT))
+                       AS n_tokens
+            FROM documents GROUP BY source),
+        tot AS (
+            SELECT SUM(n_tokens) AS total, COUNT(*) AS n_src FROM per)
+        SELECT p.source, p.n_tokens,
+               CAST(CASE WHEN p.n_tokens = 0 THEN 0
+                    ELSE LEAST(1000000,
+                         1000000 * (t.total // (10 * t.n_src))
+                         // p.n_tokens) END AS BIGINT) AS rate_ppm
+        FROM per p, tot t ORDER BY p.source
     """
     return d

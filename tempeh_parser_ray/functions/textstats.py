@@ -206,3 +206,69 @@ def classifier_score_batch(batch: pa.Table) -> pa.Table:
         "is_quality": pa.array([1 if s >= 0 else 0 for s in scores],
                                pa.int64()),
     })
+
+
+# --- BPE merge training (iterative algorithm, vocab-bounded) -------------
+
+
+def word_frequencies(docs, text_col: str = "text"):
+    """Distributed word-frequency table — the ONLY corpus-scale pass a
+    BPE trainer needs: per-batch Counter partials (shuffle rows bounded
+    by each block's vocabulary, not its token count) -> one
+    ``groupby(word).sum``. Returns a Dataset of (word, n)."""
+    from collections import Counter
+
+    import ray
+    import ray.data
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            c.update(tokenize(t))
+        return pa.table({
+            "word": pa.array(list(c.keys()), pa.string()),
+            "n": pa.array(list(c.values()), pa.int64()),
+        })
+
+    return docs.map_batches(partial, batch_format="pyarrow").groupby(
+        "word").aggregate(ray.data.aggregate.Sum("n"))
+
+
+def bpe_merges_from_word_freq(word_freq: dict[str, int],
+                              n_merges: int) -> list[tuple[str, str, int]]:
+    """Classic BPE merge loop over a word-frequency table (driver-side
+    by DESIGN: the table is vocabulary-bounded — millions of rows at
+    web scale — while the corpus pass above is the distributed part).
+    Deterministic: the most frequent adjacent symbol pair wins each
+    round, ties broken lexicographically on (left, right). Returns
+    [(left, right, pair_count), ...] in merge order."""
+    from collections import Counter
+
+    words: list[tuple[list[str], int]] = [
+        (list(w), n) for w, n in sorted(word_freq.items()) if w]
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for sym, n in words:
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        (la, rb), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((la, rb, cnt))
+        joined = la + rb
+        new_words = []
+        for sym, n in words:
+            out = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == la and sym[i + 1] == rb:
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_words.append((out, n))
+        words = new_words
+    return merges

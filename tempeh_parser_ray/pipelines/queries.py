@@ -2032,3 +2032,64 @@ def cross_doc_repetition(sf_dir: str) -> "ray.data.Dataset":
     single grouped aggregate)."""
     return _cur.cross_doc_gram_stats(
         _documents(sf_dir, ["doc_id", "text"]), width=5)
+
+
+BPE_N_MERGES = 20
+
+
+def bpe_train(sf_dir: str) -> pa.Table:
+    """BPE tokenizer training: ONE distributed corpus pass builds the
+    word-frequency table (Counter partials -> groupby(word).sum; the
+    exchange is bounded by per-block vocabulary), then the classic
+    merge loop runs driver-side over that VOCAB-BOUNDED table — the
+    correct scale split, since the vocabulary is millions of rows where
+    the corpus is trillions. Deterministic tie-breaks; rows-only by
+    design (iterative merges are not SQL-expressible) with a
+    brute-force pytest oracle."""
+    wf_ds = _ts.word_frequencies(_documents(sf_dir, ["text"]))
+    wf = {r["word"]: r["sum(n)"] for r in wf_ds.take_all()}
+    merges = _ts.bpe_merges_from_word_freq(wf, BPE_N_MERGES)
+    return pa.table({
+        "rank": pa.array(range(1, len(merges) + 1), pa.int64()),
+        "left": pa.array([m[0] for m in merges], pa.string()),
+        "right": pa.array([m[1] for m in merges], pa.string()),
+        "pair_count": pa.array([m[2] for m in merges], pa.int64()),
+    })
+
+
+def mixture_plan(sf_dir: str) -> pa.Table:
+    """Mixture planning: allocate a global token budget (10% of corpus
+    tokens, split evenly across sources) into per-source sampling
+    rates, integer-exact in parts-per-million. One distributed
+    (source, tokens) pre-aggregated groupby; the allocation itself
+    reads the |sources|-row table."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = batch.column("source").to_pylist()
+        ns = [len(_ts.tokenize(t))
+              for t in batch.column("text").to_pylist()]
+        import collections
+        agg: dict[str, int] = collections.defaultdict(int)
+        for s, n in zip(src, ns):
+            agg[s] += n
+        return pa.table({
+            "source": pa.array(list(agg.keys()), pa.string()),
+            "n": pa.array(list(agg.values()), pa.int64()),
+        })
+
+    per_src = _documents(sf_dir, ["source", "text"]).map_batches(
+        partial, batch_format="pyarrow").groupby("source").aggregate(
+        ray.data.aggregate.Sum("n"))
+    tbl = pa.Table.from_pylist(per_src.take_all())
+    srcs = tbl.column("source").to_pylist()
+    ns = tbl.column("sum(n)").to_pylist()
+    total = sum(ns)
+    budget_per_source = total // (10 * max(len(srcs), 1))
+    rates = [min(1_000_000, 1_000_000 * budget_per_source // n)
+             if n else 0 for n in ns]
+    out = pa.table({
+        "source": pa.array(srcs, pa.string()),
+        "n_tokens": pa.array(ns, pa.int64()),
+        "rate_ppm": pa.array(rates, pa.int64()),
+    })
+    return out.sort_by([("source", "ascending")])

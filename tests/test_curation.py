@@ -203,3 +203,36 @@ def test_repetition_stats_flags_repetitive_docs(ray_session):
     assert by_id[2]["n_grams"] == 4 and by_id[2]["n_distinct"] == 4
     assert by_id[2]["dup_pct"] == 0 and by_id[2]["is_repetitive"] == 0
     assert by_id[3]["n_grams"] == 0 and by_id[3]["dup_pct"] == 0
+
+
+# --- BPE merge training --------------------------------------------------
+
+
+def test_bpe_merges_brute_force():
+    """Merge loop vs a hand-checkable case: 'low' x5, 'lower' x2 —
+    first merge must be ('l','o') count 7, then ('lo','w') count 7."""
+    from tempeh_parser_ray.functions import textstats as ts
+    merges = ts.bpe_merges_from_word_freq({"low": 5, "lower": 2}, 3)
+    assert merges[0] == ("l", "o", 7)
+    assert merges[1] == ("lo", "w", 7)
+    # after 'low' is one symbol: pairs are (low,e)x2,(e,r)x2 -> tie
+    # broken lexicographically toward ('e','r')
+    assert merges[2] == ("e", "r", 2)
+
+
+def test_bpe_tie_break_lexicographic():
+    from tempeh_parser_ray.functions import textstats as ts
+    # 'ba' and 'ab' both have count 1 -> ('a','b') must win the tie
+    merges = ts.bpe_merges_from_word_freq({"ab": 1, "ba": 1}, 1)
+    assert merges[0] == ("a", "b", 1)
+
+
+def test_word_frequencies_distributed(ray_session):
+    import pyarrow as pa
+    import ray
+    from tempeh_parser_ray.functions import textstats as ts
+    docs = ray.data.from_arrow(pa.table({
+        "text": pa.array(["a b a", "b c", "", "a"])})).repartition(3)
+    wf = {r["word"]: r["sum(n)"]
+          for r in ts.word_frequencies(docs).take_all()}
+    assert wf == {"a": 3, "b": 2, "c": 1}
