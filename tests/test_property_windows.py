@@ -296,3 +296,39 @@ def test_partition_invariance_round3(ray_session):
         return sorted((r["doc_id"], r["chunk_id"], r["chunk_offset"])
                       for r in t.to_pylist())
     assert pack_rows(1) == pack_rows(9)
+
+
+lag_strategy = st.lists(
+    st.tuples(st.integers(0, 2),                 # user
+              st.integers(0, 200)),              # ts units (minutes)
+    min_size=1, max_size=40)
+
+
+@given(lag_strategy)
+@_SET
+def test_lag_equals_bruteforce(ray_session, evs):
+    """lag_events vs a brute-force LAG OVER (PARTITION BY user ORDER BY
+    ts, event_id) — random small streams, including ts ties (ordered by
+    event_id) and multi-bucket spans (1-min units vs 1-day buckets use
+    small bucket_us here to force carries)."""
+    ray = ray_session
+    rows = [(i, u, t * MIN) for i, (u, t) in enumerate(evs)]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.int64()).cast(
+            pa.timestamp("us")),
+    })
+    got = {r["event_id"]: (r["prev_event_id"], r["gap_us"])
+           for r in _collect(windows.lag_events(
+               ray.data.from_arrow(tbl),
+               bucket_us=30 * MIN)).to_pylist()}
+    assert set(got) == {r[0] for r in rows}
+    for eid, u, ts in rows:
+        prior = [(r[2], r[0]) for r in rows
+                 if r[1] == u and (r[2], r[0]) < (ts, eid)]
+        if prior:
+            pts, pid = max(prior)
+            assert got[eid] == (pid, ts - pts), (eid, got[eid])
+        else:
+            assert got[eid] == (None, None), (eid, got[eid])
