@@ -130,6 +130,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tokenizer training + mixture planning
         "bpe_train": _q.bpe_train,
         "mixture_plan": _q.mixture_plan,
+        # flagship composite: quality -> dedup -> decontam -> pack
+        "curation_pipeline": _q.curation_pipeline,
     }
 
 
@@ -1148,5 +1150,64 @@ def oracle_sql() -> dict[str, str]:
                          1000000 * (t.total // (10 * t.n_src))
                          // p.n_tokens) END AS BIGINT) AS rate_ppm
         FROM per p, tot t ORDER BY p.source
+    """
+    d["curation_pipeline"] = rf"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 500000 AS doc_id, text FROM documents
+            WHERE doc_id % 6 = 0),
+        toks AS (
+            SELECT doc_id, text,
+                   CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                        ELSE {_TOKENS} END AS t
+            FROM corpus),
+        feats AS (
+            SELECT doc_id, text, CAST(len(t) AS BIGINT) AS n_tokens,
+                   CASE WHEN len(t) - 2 <= 0 THEN 0
+                        ELSE (100 * ((len(t) - 2) - len(list_distinct(
+                            [array_to_string(list_slice(t, CAST(i AS INT),
+                                             CAST(i AS INT) + 2), ' ')
+                             for i in range(1, len(t) - 1)]))))
+                             // (len(t) - 2) END AS dup_pct,
+                   CAST(COALESCE(list_sum(
+                       [CAST(CAST(('0x' || substr(md5(x), 1, 8))
+                                  AS UBIGINT) % 21 AS BIGINT) - 10
+                        for x in t]), 0) AS BIGINT) AS score
+            FROM toks),
+        kept1 AS (
+            SELECT f.* FROM feats f
+            WHERE n_tokens >= 24 AND dup_pct < 20 AND score >= 0),
+        kept2 AS (
+            SELECT * FROM kept1
+            QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))),
+        bg AS (
+            SELECT DISTINCT array_to_string(list_slice(t, i, i + 7),
+                                            ' ') AS gram
+            FROM (SELECT doc_id, t,
+                         unnest(generate_series(1, len(t) - 7)) AS i
+                  FROM toks WHERE doc_id % 97 = 0)),
+        hit AS (
+            SELECT DISTINCT k.doc_id
+            FROM (SELECT doc_id, t,
+                         unnest(generate_series(1, len(t) - 7)) AS i
+                  FROM toks) s
+            JOIN kept2 k USING (doc_id)
+            WHERE array_to_string(list_slice(s.t, s.i, s.i + 7), ' ')
+                  IN (SELECT gram FROM bg)),
+        kept3 AS (
+            SELECT k.doc_id, k.n_tokens FROM kept2 k
+            WHERE k.doc_id % 97 <> 0
+              AND k.doc_id NOT IN (SELECT doc_id FROM hit)),
+        packed AS (
+            SELECT doc_id, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS before
+            FROM kept3)
+        SELECT doc_id, n_tokens,
+               CAST(before // 2048 AS BIGINT) AS chunk_id,
+               CAST(before % 2048 AS BIGINT) AS chunk_offset
+        FROM packed
     """
     return d

@@ -71,7 +71,7 @@ QUERY_NAMES = [
     "source_mixture_sample",
     "incremental_dedup", "quality_classifier", "tfidf_search",
     "above_median_length", "image_pixel_stats", "cross_doc_repetition",
-    "bpe_train", "mixture_plan",
+    "bpe_train", "mixture_plan", "curation_pipeline",
 ]
 
 

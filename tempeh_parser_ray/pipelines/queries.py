@@ -2093,3 +2093,141 @@ def mixture_plan(sf_dir: str) -> pa.Table:
         "rate_ppm": pa.array(rates, pa.int64()),
     })
     return out.sort_by([("source", "ascending")])
+
+
+def curation_pipeline(sf_dir: str) -> "ray.data.Dataset":
+    """FLAGSHIP COMPOSITE: the full corpus-curation chain as one
+    streaming composition — quality gate (token count, Gopher
+    repetition, hashed-linear classifier; ONE tokenize pass computes
+    all three) -> exact dedup (md5 winner = min doc_id) -> benchmark
+    decontamination (8-gram overlap) -> training-sequence packing.
+    Input is documents UNION exact clones of ``doc_id%6==0`` at
+    ``+500000`` so the dedup stage demonstrably drops rows.
+
+    Scale shape: every filter is map-side; the only exchanges are the
+    winner ``groupby(fp).min``, the bench-key distinct, and the packing
+    scan's bounded aggregates. Winner ids and bench gram keys broadcast
+    as sorted int64 arrays (searchsorted membership, per-worker
+    cached) — the same size-adaptive pattern as ``incremental_dedup``
+    / ``decontaminate``, whose join fallbacks are the documented
+    at-scale path past the broadcast limits. Text never shuffles.
+    Oracle: one staged-CTE SQL mirroring every stage."""
+    import hashlib
+
+    import numpy as np
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+
+    def clones(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").cast(pa.int64())
+        keep = pc.equal(pc.subtract(
+            ids, pc.multiply(pc.divide(ids, 6), 6)), 0)
+        t = batch.filter(keep)
+        return pa.table({
+            "doc_id": pc.add(t.column("doc_id").cast(pa.int64()), 500000),
+            "text": t.column("text"),
+        })
+
+    corpus = docs.union(docs.map_batches(clones, batch_format="pyarrow"))
+
+    def feats(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n_toks: list[int] = []
+        dup_pct: list[int] = []
+        scores: list[int] = []
+        fps: list[str] = []
+        for t in texts:
+            toks = _ts.tokenize(t)
+            n = len(toks)
+            n_toks.append(n)
+            g = n - 2
+            if g <= 0:
+                dup_pct.append(0)
+            else:
+                nd = len({tuple(toks[j:j + 3]) for j in range(g)})
+                dup_pct.append(100 * (g - nd) // g)
+            scores.append(sum(map(_ts._token_weight, toks)))
+            fps.append(hashlib.md5((t or "").encode()).hexdigest())
+        out = pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "text": batch.column("text"),
+            "n_tokens": pa.array(n_toks, pa.int64()),
+            "dup_pct": pa.array(dup_pct, pa.int64()),
+            "score": pa.array(scores, pa.int64()),
+            "fp": pa.array(fps, pa.string()),
+        })
+        keep = pc.and_(pc.and_(
+            pc.greater_equal(out.column("n_tokens"), 24),
+            pc.less(out.column("dup_pct"), 20)),
+            pc.greater_equal(out.column("score"), 0))
+        return out.filter(keep)
+
+    kept1 = corpus.map_batches(feats, batch_format="pyarrow").materialize()
+
+    winners_ds = kept1.map_batches(
+        lambda b: b.select(["fp", "doc_id"]),
+        batch_format="pyarrow").groupby("fp").aggregate(
+        ray.data.aggregate.Min("doc_id"))
+    win_parts = list(winners_ds.iter_batches(batch_format="pyarrow",
+                                             batch_size=None))
+    win_ids = np.sort(pa.concat_tables(win_parts).column(
+        "min(doc_id)").to_numpy(zero_copy_only=False).astype(np.int64)
+        ) if win_parts else np.zeros(0, np.int64)
+    win_ref = ray.put(win_ids)
+
+    W = 8  # decontamination gram width
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        grams: set[str] = set()
+        for i, t in zip(ids, texts):
+            if i % 97:
+                continue
+            toks = _ts.tokenize(t)
+            grams.update(" ".join(toks[j:j + W])
+                         for j in range(len(toks) - W + 1))
+        fp = pd.util.hash_array(
+            np.asarray(sorted(grams), dtype=object)).astype(np.int64)
+        return pa.table({"gfp": pa.array(fp, pa.int64())})
+
+    bench_ds = corpus.map_batches(
+        bench_grams, batch_format="pyarrow").groupby(
+        "gfp").count().drop_columns(["count()"])
+    b_parts = list(bench_ds.iter_batches(batch_format="pyarrow",
+                                         batch_size=None))
+    bench_keys = np.sort(pa.concat_tables(b_parts).column(
+        "gfp").to_numpy(zero_copy_only=False).astype(np.int64)
+        ) if b_parts else np.zeros(0, np.int64)
+    bench_ref = ray.put(bench_keys)
+
+    def survive(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        wins = _bcast.cached_get(win_ref)
+        bkeys = _bcast.cached_get(bench_ref)
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(wins, ids)
+        is_win = (pos < len(wins)) & (
+            wins[np.minimum(pos, max(len(wins) - 1, 0))] == ids) \
+            if len(wins) else np.zeros(len(ids), bool)
+        keep = is_win & (ids % 97 != 0)
+        texts = batch.column("text").to_pylist()
+        for k in np.nonzero(keep)[0]:
+            toks = _ts.tokenize(texts[k])
+            grams = list({" ".join(toks[j:j + W])
+                          for j in range(len(toks) - W + 1)})
+            if not grams or not len(bkeys):
+                continue
+            gfp = pd.util.hash_array(
+                np.asarray(grams, dtype=object)).astype(np.int64)
+            p = np.searchsorted(bkeys, gfp)
+            hit = (p < len(bkeys)) & (
+                bkeys[np.minimum(p, len(bkeys) - 1)] == gfp)
+            if hit.any():
+                keep[k] = False
+        return batch.filter(pa.array(keep)).select(["doc_id", "text"])
+
+    kept3 = kept1.map_batches(survive, batch_format="pyarrow")
+    return _cur.sequence_packing(kept3, capacity=PACK_CAPACITY)
