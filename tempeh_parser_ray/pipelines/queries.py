@@ -2162,6 +2162,12 @@ def curation_pipeline(sf_dir: str) -> "ray.data.Dataset":
             pc.greater_equal(out.column("score"), 0))
         return out.filter(keep)
 
+    # kept1 feeds two consumers (winner aggregate + survivor pass).
+    # materialize() pins the surviving TEXT in the object store — right
+    # at bench scale (spills if needed, tokenizes once). At 100 TB
+    # prefer re-running this map-only pass per consumer instead: a
+    # second streaming tokenize costs CPU; pinning ~60% of corpus
+    # bytes costs cluster-wide spill I/O.
     kept1 = corpus.map_batches(feats, batch_format="pyarrow").materialize()
 
     winners_ds = kept1.map_batches(
