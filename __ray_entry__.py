@@ -132,6 +132,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_plan": _q.mixture_plan,
         # flagship composite: quality -> dedup -> decontam -> pack
         "curation_pipeline": _q.curation_pipeline,
+        # real dependency-free audio (WAV PCM16) + video (MP4 mvhd) decode
+        "audio_pcm_stats": _q.audio_pcm_stats,
+        "video_duration": _q.video_duration,
     }
 
 
@@ -1209,5 +1212,32 @@ def oracle_sql() -> dict[str, str]:
                CAST(before // 2048 AS BIGINT) AS chunk_id,
                CAST(before % 2048 AS BIGINT) AS chunk_offset
         FROM packed
+    """
+    d["audio_pcm_stats"] = """
+        WITH params AS (
+            SELECT doc_id AS media_id,
+                   CAST(8000 + (doc_id % 4) * 4000 AS BIGINT)
+                       AS sample_rate,
+                   100 + doc_id % 157 AS n FROM documents),
+        s AS (
+            SELECT media_id,
+                   ABS((i*37 + media_id*11) % 4096 - 2048) AS a
+            FROM params, range(257) r(i) WHERE i < n)
+        SELECT p.media_id, p.sample_rate,
+               CAST(p.n AS BIGINT) AS n_samples,
+               CAST(SUM(s.a) AS BIGINT) AS sum_abs,
+               CAST(MAX(s.a) AS BIGINT) AS peak,
+               CAST(SUM(s.a * s.a) AS BIGINT) AS sum_sq
+        FROM params p JOIN s USING (media_id)
+        GROUP BY p.media_id, p.sample_rate, p.n
+    """
+    d["video_duration"] = """
+        SELECT doc_id AS media_id,
+               CAST(600 + (doc_id % 7) * 1000 AS BIGINT) AS timescale,
+               CAST(doc_id * 997 + 5 AS BIGINT) AS duration,
+               CAST(1000 * (doc_id * 997 + 5)
+                    // (600 + (doc_id % 7) * 1000) AS BIGINT)
+                   AS duration_ms
+        FROM documents
     """
     return d

@@ -477,3 +477,122 @@ def encode_bmp24(img: np.ndarray) -> bytes:
               + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
                             len(data), 2835, 2835, 0, 0))
     return header + data
+
+
+# --- REAL dependency-free audio codec (WAV PCM16) ------------------------
+
+
+def parse_wav_pcm16(blob: bytes) -> Optional[tuple[int, int, np.ndarray]]:
+    """REAL WAV decode, no audio library: RIFF/WAVE container walk ->
+    (sample_rate, n_channels, int16 sample array) for PCM
+    (audio-format 1) 16-bit payloads; ``None`` for anything else
+    (compressed / float WAV falls back to the byte-feature stub)."""
+    n = len(blob)
+    if n < 44 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return None
+    rate = channels = bits = fmt = None
+    data: Optional[bytes] = None
+    p = 12
+    while p + 8 <= n:
+        cid = blob[p:p + 4]
+        ln = int.from_bytes(blob[p + 4:p + 8], "little")
+        body = blob[p + 8:p + 8 + ln]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            data = body
+        p += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if fmt != 1 or bits != 16 or not channels or not rate \
+            or data is None:
+        return None
+    samples = np.frombuffer(
+        data[:len(data) - (len(data) % 2)], dtype="<i2")
+    return rate, channels, samples
+
+
+def encode_wav_pcm16(samples: np.ndarray, *, rate: int = 16_000,
+                     channels: int = 1) -> bytes:
+    """Minimal REAL WAV writer (PCM16 little-endian) for deterministic
+    test/synthetic payloads."""
+    import struct
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                      rate * channels * 2, channels * 2, 16)
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+# --- REAL dependency-free video metadata (MP4 mvhd) ----------------------
+
+
+def parse_mp4_mvhd(blob: bytes) -> Optional[tuple[int, int, int]]:
+    """REAL MP4 metadata decode: walk the top-level box tree to
+    ``moov/mvhd`` and return (timescale, duration, duration_ms).
+    Handles mvhd version 0 (32-bit) and 1 (64-bit). ``None`` when the
+    payload is not an ISO-BMFF container (no ftyp/moov)."""
+    n = len(blob)
+
+    def walk(lo: int, hi: int, name: bytes) -> Optional[tuple[int, int]]:
+        p = lo
+        while p + 8 <= hi:
+            ln = int.from_bytes(blob[p:p + 4], "big")
+            typ = blob[p + 4:p + 8]
+            if ln == 1:  # 64-bit largesize
+                if p + 16 > hi:
+                    return None
+                ln = int.from_bytes(blob[p + 8:p + 16], "big")
+                body = p + 16
+            else:
+                body = p + 8
+            if ln < 8 or p + ln > hi:
+                return None
+            if typ == name:
+                return body, p + ln
+            p += ln
+        return None
+
+    if walk(0, n, b"ftyp") is None:
+        return None
+    moov = walk(0, n, b"moov")
+    if moov is None:
+        return None
+    mvhd = walk(moov[0], moov[1], b"mvhd")
+    if mvhd is None:
+        return None
+    b0 = mvhd[0]
+    version = blob[b0]
+    if version == 1:
+        timescale = int.from_bytes(blob[b0 + 20:b0 + 24], "big")
+        duration = int.from_bytes(blob[b0 + 24:b0 + 32], "big")
+    else:
+        timescale = int.from_bytes(blob[b0 + 12:b0 + 16], "big")
+        duration = int.from_bytes(blob[b0 + 16:b0 + 20], "big")
+    if not timescale:
+        return None
+    return timescale, duration, 1000 * duration // timescale
+
+
+def encode_mp4_stub(*, timescale: int, duration: int,
+                    version: int = 0) -> bytes:
+    """Minimal REAL ISO-BMFF skeleton (ftyp + moov/mvhd) carrying the
+    given timescale/duration, for deterministic test payloads."""
+    ftyp = b"ftyp" + b"isom" + (0).to_bytes(4, "big") + b"isomiso2"
+    if version == 1:
+        mvhd_body = (bytes([1, 0, 0, 0]) + b"\x00" * 16
+                     + timescale.to_bytes(4, "big")
+                     + duration.to_bytes(8, "big") + b"\x00" * 80)
+    else:
+        mvhd_body = (bytes([0, 0, 0, 0]) + b"\x00" * 8
+                     + timescale.to_bytes(4, "big")
+                     + duration.to_bytes(4, "big") + b"\x00" * 80)
+    mvhd = b"mvhd" + mvhd_body
+    # box size counts the 4-byte size field itself plus the type tag
+    # already inside each buffer
+    moov_inner = (len(mvhd) + 4).to_bytes(4, "big") + mvhd
+    moov = b"moov" + moov_inner
+    return ((len(ftyp) + 4).to_bytes(4, "big") + ftyp
+            + (len(moov) + 4).to_bytes(4, "big") + moov)

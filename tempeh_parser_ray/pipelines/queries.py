@@ -2237,3 +2237,90 @@ def curation_pipeline(sf_dir: str) -> "ray.data.Dataset":
 
     kept3 = kept1.map_batches(survive, batch_format="pyarrow")
     return _cur.sequence_packing(kept3, capacity=PACK_CAPACITY)
+
+
+def audio_pcm_stats(sf_dir: str) -> "ray.data.Dataset":
+    """REAL audio decode, no audio library: deterministic WAV PCM16
+    payloads (sample[i] = ((i*37 + id*11) % 4096) - 2048) are parsed
+    back through the dependency-free RIFF walk
+    (functions/multimodal.py:parse_wav_pcm16) and reduced to
+    integer-exact sample statistics — the SQL oracle reproduces every
+    value from the closed form, verifying the container walk, the
+    int16 little-endian decode, and the stats math bit-for-bit."""
+    import numpy as np
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        blobs = []
+        for d in ids:
+            n = 100 + d % 157
+            s = ((np.arange(n) * 37 + d * 11) % 4096 - 2048).astype(
+                np.int16)
+            blobs.append(_mm.encode_wav_pcm16(
+                s, rate=8000 + (d % 4) * 4000, channels=1))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "media": pa.array(blobs, pa.binary()),
+        })
+
+    def decode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        rates, counts, sum_abs, peaks, sum_sq = [], [], [], [], []
+        for blob in batch.column("media").to_pylist():
+            rate, _ch, s = _mm.parse_wav_pcm16(blob)
+            a = np.abs(s.astype(np.int64))
+            rates.append(rate)
+            counts.append(len(s))
+            sum_abs.append(int(a.sum()))
+            peaks.append(int(a.max()) if len(a) else 0)
+            sum_sq.append(int((a * a).sum()))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "sample_rate": pa.array(rates, pa.int64()),
+            "n_samples": pa.array(counts, pa.int64()),
+            "sum_abs": pa.array(sum_abs, pa.int64()),
+            "peak": pa.array(peaks, pa.int64()),
+            "sum_sq": pa.array(sum_sq, pa.int64()),
+        })
+
+    return _documents(sf_dir, ["doc_id"]).map_batches(
+        gen, batch_format="pyarrow").map_batches(
+        decode, batch_format="pyarrow")
+
+
+def video_duration(sf_dir: str) -> "ray.data.Dataset":
+    """REAL video-metadata decode, no media library: deterministic
+    ISO-BMFF (MP4) payloads — mvhd version alternating 0/1 (32/64-bit
+    duration fields) — parsed back through the dependency-free box
+    walk (functions/multimodal.py:parse_mp4_mvhd); duration_ms is the
+    integer closed form ``1000 * duration // timescale``."""
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        blobs = [_mm.encode_mp4_stub(
+            timescale=600 + (d % 7) * 1000,
+            duration=d * 997 + 5,
+            version=d % 2) for d in ids]
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "media": pa.array(blobs, pa.binary()),
+        })
+
+    def decode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        tss, durs, mss = [], [], []
+        for blob in batch.column("media").to_pylist():
+            ts, dur, ms = _mm.parse_mp4_mvhd(blob)
+            tss.append(ts)
+            durs.append(dur)
+            mss.append(ms)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "timescale": pa.array(tss, pa.int64()),
+            "duration": pa.array(durs, pa.int64()),
+            "duration_ms": pa.array(mss, pa.int64()),
+        })
+
+    return _documents(sf_dir, ["doc_id"]).map_batches(
+        gen, batch_format="pyarrow").map_batches(
+        decode, batch_format="pyarrow")

@@ -77,3 +77,38 @@ def test_decode_image_batch_uses_real_pixels():
     feats = out.column("byte_features").to_pylist()[0]
     # all pixels are 200 -> the whole histogram mass sits in bin 12
     assert feats[12] == 1.0
+
+
+# --- WAV PCM16 + MP4 mvhd (real dependency-free audio/video decode) -----
+
+
+def test_wav_pcm16_round_trip():
+    rng = np.random.RandomState(5)
+    s = rng.randint(-32768, 32768, size=1234, dtype=np.int16)
+    blob = mm.encode_wav_pcm16(s, rate=44100, channels=2)
+    rate, ch, dec = mm.parse_wav_pcm16(blob)
+    assert (rate, ch) == (44100, 2)
+    assert (dec == s).all()
+
+
+def test_wav_rejects_non_pcm16():
+    s = np.zeros(10, np.int16)
+    blob = bytearray(mm.encode_wav_pcm16(s))
+    blob[20] = 3  # IEEE float audio format
+    assert mm.parse_wav_pcm16(bytes(blob)) is None
+    assert mm.parse_wav_pcm16(b"RIFFxxxxWAVE") is None
+    assert mm.parse_wav_pcm16(b"not audio") is None
+
+
+def test_mp4_mvhd_both_versions():
+    for v in (0, 1):
+        blob = mm.encode_mp4_stub(timescale=90000, duration=2700001,
+                                  version=v)
+        ts, dur, ms = mm.parse_mp4_mvhd(blob)
+        assert (ts, dur) == (90000, 2700001)
+        assert ms == 1000 * 2700001 // 90000
+    assert mm.parse_mp4_mvhd(b"no boxes here") is None
+    # moov without ftyp is not a valid payload for us
+    only_moov = mm.encode_mp4_stub(timescale=1000, duration=1)
+    ftyp_len = int.from_bytes(only_moov[:4], "big")
+    assert mm.parse_mp4_mvhd(only_moov[ftyp_len:]) is None
