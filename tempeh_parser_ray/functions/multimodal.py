@@ -1,13 +1,20 @@
-"""Multimodal (image/audio/video) column plumbing.
+"""Multimodal (image/audio/video) column plumbing + REAL
+dependency-free codecs.
 
 Media payloads are opaque ``binary`` columns with typed metadata; every
 transform is an actor-pool ``map_batches`` stage whose Ray-side plumbing
 (schema, batch sizing, actor signature, output layout) is real and
-tested. The actual codec calls are STUBBED — this container ships no
-image/audio libraries — behind ``try: import PIL`` gates: with the
-library absent, ``strict=True`` raises ``NotImplementedError`` and the
-default mode computes deterministic byte-level features (histograms,
-chunk offsets) that stand in for decoded features.
+tested. The codec layer is REAL wherever the published formats need no
+external library — container-header decode for PNG/GIF/JPEG/BMP/WebP
+dims, full PIXEL decode for 8-bit PNG (stdlib zlib + all five row
+unfilters) and uncompressed BMP24, nearest-neighbor resize, WAV PCM16
+sample decode (RIFF walk + int16 LE), and MP4 ``moov/mvhd`` duration
+(versions 0/1) — each verified bit-for-bit against closed-form SQL
+oracles plus encode->decode round-trip pytests. Only entropy-coded
+pixel layers (JPEG DCT, GIF LZW, WebP VP8) still require a codec
+library: those paths fall back to deterministic byte-level features
+behind the ``try: import PIL`` gate (``strict=True`` raises
+``NotImplementedError``).
 
 Batch-size guidance baked into the stage defaults: media batches should
 be sized by BYTES not rows (reuse ``stages.rebatch`` with the media
