@@ -1084,10 +1084,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS media_id,
                    4 + doc_id % 13 AS width,
                    3 + doc_id % 11 AS height,
-                   CASE WHEN doc_id % 2 = 1 THEN 3
-                        ELSE CASE doc_id % 3 WHEN 0 THEN 1
+                   CASE WHEN doc_id % 3 = 0 THEN
+                        CASE (doc_id // 3) % 3 WHEN 0 THEN 1
                              WHEN 1 THEN 3 ELSE 4 END
-                   END AS channels
+                   ELSE 3 END AS channels
             FROM documents),
         px AS (
             SELECT media_id,

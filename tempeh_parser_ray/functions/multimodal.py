@@ -10,9 +10,9 @@ dims, full PIXEL decode for 8-bit PNG (stdlib zlib + all five row
 unfilters) and uncompressed BMP24, nearest-neighbor resize, WAV PCM16
 sample decode (RIFF walk + int16 LE), and MP4 ``moov/mvhd`` duration
 (versions 0/1) — each verified bit-for-bit against closed-form SQL
-oracles plus encode->decode round-trip pytests. Only entropy-coded
-pixel layers (JPEG DCT, GIF LZW, WebP VP8) still require a codec
-library: those paths fall back to deterministic byte-level features
+oracles plus encode->decode round-trip pytests. GIF pixels decode too (an
+in-repo LZW inflate); only transform-coded layers (JPEG DCT, WebP
+VP8) still require a codec library: those paths fall back to deterministic byte-level features
 behind the ``try: import PIL`` gate (``strict=True`` raises
 ``NotImplementedError``).
 
@@ -358,7 +358,8 @@ def _png_unfilter(raw: bytes, w: int, h: int, c: int) -> np.ndarray:
 
 def decode_image_pixels(blob: bytes) -> Optional[np.ndarray]:
     """REAL pixel decode -> (h, w, channels) uint8, or ``None`` when the
-    payload is not an 8-bit non-interlaced gray/RGB/RGBA PNG or an
+    payload is not an 8-bit non-interlaced gray/RGB/RGBA PNG, a
+    global-palette non-interlaced GIF (real LZW inflate below), or an
     uncompressed bottom-up 24-bit BMP (callers fall back to the
     header/stub path)."""
     n = len(blob)
@@ -385,6 +386,8 @@ def decode_image_pixels(blob: bytes) -> Optional[np.ndarray]:
             return _png_unfilter(zlib.decompress(idat), w, h, c)
         except (zlib.error, ValueError):
             return None
+    if n >= 13 and blob[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_pixels(blob)
     if n >= 54 and blob[:2] == b"BM":
         off = int.from_bytes(blob[10:14], "little")
         w = int.from_bytes(blob[18:22], "little", signed=True)
@@ -603,3 +606,190 @@ def encode_mp4_stub(*, timescale: int, duration: int,
     moov = b"moov" + moov_inner
     return ((len(ftyp) + 4).to_bytes(4, "big") + ftyp
             + (len(moov) + 4).to_bytes(4, "big") + moov)
+
+
+# --- REAL dependency-free GIF codec (LZW) --------------------------------
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-flavor LZW: LSB-first bit packing, CLEAR/EOI codes, dict
+    grows to 4095 then freezes until CLEAR."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out: list[int] = []
+    # bit reader
+    bitpos = 0
+    nbits = len(data) * 8
+
+    def read(width: int) -> int:
+        nonlocal bitpos
+        if bitpos + width > nbits:
+            return eoi
+        v = 0
+        for i in range(width):
+            byte = data[(bitpos + i) >> 3]
+            v |= ((byte >> ((bitpos + i) & 7)) & 1) << i
+        bitpos += width
+        return v
+
+    table: list[list[int]] = []
+
+    def reset():
+        nonlocal table, width
+        table = [[i] for i in range(clear)] + [[], []]
+        width = min_code_size + 1
+
+    width = min_code_size + 1
+    reset()
+    prev: list[int] | None = None
+    while True:
+        code = read(width)
+        if code == clear:
+            reset()
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table) and table[code]:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + [prev[0]]
+        else:
+            break  # corrupt stream: stop gracefully
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + [entry[0]])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out
+
+
+def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    """Greedy LZW compressor matching ``_lzw_decode``'s growth rules."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out_bits: list[int] = []
+    width = min_code_size + 1
+
+    def emit(code: int):
+        nonlocal width
+        for i in range(width):
+            out_bits.append((code >> i) & 1)
+
+    table: dict[tuple[int, ...], int] = {
+        (i,): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    cur: tuple[int, ...] = ()
+    for sym in indices:
+        cand = cur + (sym,)
+        if cand in table:
+            cur = cand
+            continue
+        emit(table[cur])
+        # decoder adds an entry now; mirror its width bump
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                # decoder bumps width when ITS table hits 1<<width;
+                # its table is one entry behind ours at read time
+                width += 1
+        else:
+            emit(clear)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        cur = (sym,)
+    if cur:
+        emit(table[cur])
+    emit(eoi)
+    by = bytearray()
+    for i in range(0, len(out_bits), 8):
+        b = 0
+        for j, bit in enumerate(out_bits[i:i + 8]):
+            b |= bit << j
+        by.append(b)
+    return bytes(by)
+
+
+def decode_gif_pixels(blob: bytes) -> Optional[np.ndarray]:
+    """REAL GIF pixel decode, no image library: logical screen
+    descriptor -> global color table -> first image descriptor ->
+    LZW-decompressed indices -> (h, w, 3) RGB. ``None`` for
+    interlaced/local-palette images (rare in our corpus; they fall
+    back to header-only)."""
+    n = len(blob)
+    if n < 13 or blob[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    flags = blob[10]
+    if not flags & 0x80:
+        return None  # no global color table
+    gct_size = 2 << (flags & 7)
+    p = 13
+    gct = np.frombuffer(blob, np.uint8, count=gct_size * 3,
+                        offset=p).reshape(gct_size, 3)
+    p += gct_size * 3
+    while p < n:
+        b0 = blob[p]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            p += 2
+            while p < n and blob[p]:
+                p += 1 + blob[p]
+            p += 1
+        elif b0 == 0x2C:  # image descriptor
+            w = int.from_bytes(blob[p + 5:p + 7], "little")
+            h = int.from_bytes(blob[p + 7:p + 9], "little")
+            iflags = blob[p + 9]
+            if iflags & 0xC0:  # local palette or interlace
+                return None
+            p += 10
+            min_code = blob[p]
+            p += 1
+            data = bytearray()
+            while p < n and blob[p]:
+                ln = blob[p]
+                data += blob[p + 1:p + 1 + ln]
+                p += 1 + ln
+            idx = _lzw_decode(bytes(data), min_code)
+            if len(idx) < w * h:
+                return None
+            arr = np.asarray(idx[:w * h], np.int64)
+            if (arr >= gct_size).any():
+                return None
+            return gct[arr].reshape(h, w, 3).copy()
+        elif b0 == 0x3B:
+            return None
+        else:
+            return None
+    return None
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """Minimal REAL GIF87a writer (single frame, 256-entry global
+    palette built from the image's distinct colors — caller must use
+    <= 256 distinct RGB colors)."""
+    import struct
+    h, w, _ = img.shape
+    flat = img.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError("encode_gif needs <= 256 distinct colors")
+    bits = max(1, int(np.ceil(np.log2(max(len(palette), 2)))))
+    gct_size = 1 << bits
+    pal = np.zeros((gct_size, 3), np.uint8)
+    pal[:len(palette)] = palette
+    min_code = max(2, bits)
+    lzw = _lzw_encode([int(i) for i in inverse], min_code)
+    out = bytearray()
+    out += b"GIF87a" + struct.pack("<HHBBB", w, h,
+                                   0x80 | (bits - 1), 0, 0)
+    out += pal.tobytes()
+    out += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out += bytes([min_code])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3B"
+    return bytes(out)

@@ -1982,16 +1982,20 @@ def image_pixel_stats(sf_dir: str) -> "ray.data.Dataset":
         blobs: list[bytes] = []
         for d in ids:
             w, h = 4 + d % 13, 3 + d % 11
-            c = 3 if d % 2 == 1 else (1, 3, 4)[d % 3]
+            fmt = d % 3  # 0: PNG, 1: BMP, 2: GIF (real LZW)
+            c = (1, 3, 4)[(d // 3) % 3] if fmt == 0 else 3
             x = np.arange(w)[None, :, None]
             y = np.arange(h)[:, None, None]
             ch = np.arange(c)[None, None, :]
             img = ((x * 3 + y * 7 + ch * 11 + d) % 256).astype(np.uint8)
-            if d % 2 == 1:
-                blobs.append(_mm.encode_bmp24(img))
-            else:
+            if fmt == 0:
                 blobs.append(_mm.encode_png(
                     img if c > 1 else img[:, :, 0], filter_mode="cycle"))
+            elif fmt == 1:
+                blobs.append(_mm.encode_bmp24(img))
+            else:
+                # w*h <= 208 distinct colors: fits a GIF global palette
+                blobs.append(_mm.encode_gif(img))
         return pa.table({
             "media_id": pa.array(ids, pa.int64()),
             "media": pa.array(blobs, pa.binary()),

@@ -112,3 +112,37 @@ def test_mp4_mvhd_both_versions():
     only_moov = mm.encode_mp4_stub(timescale=1000, duration=1)
     ftyp_len = int.from_bytes(only_moov[:4], "big")
     assert mm.parse_mp4_mvhd(only_moov[ftyp_len:]) is None
+
+
+# --- GIF (real LZW) ------------------------------------------------------
+
+
+def test_gif_round_trip_small_and_growth():
+    rng = np.random.RandomState(9)
+    # few colors (narrow codes) and many colors (dict growth + width bumps)
+    for n_colors, shape in [(4, (5, 6)), (200, (31, 29))]:
+        pal = rng.randint(0, 256, size=(n_colors, 3), dtype=np.uint8)
+        idx = rng.randint(0, n_colors, size=shape)
+        img = pal[idx]
+        blob = mm.encode_gif(img)
+        dec = mm.decode_gif_pixels(blob)
+        assert dec is not None and dec.shape == shape + (3,)
+        assert (dec == img).all()
+
+
+def test_gif_via_generic_pixel_decoder():
+    img = np.full((3, 4, 3), 77, np.uint8)
+    blob = mm.encode_gif(img)
+    dec = mm.decode_image_pixels(blob)
+    assert (dec == img).all()
+    assert mm.parse_image_header(blob)[:2] == (4, 3)
+
+
+def test_gif_rejects_interlaced_and_local_palette():
+    img = np.zeros((2, 2, 3), np.uint8)
+    blob = bytearray(mm.encode_gif(img))
+    # image descriptor flags byte: offset = 13 + gct + 9
+    gct = 2 << (blob[10] & 7)
+    flag_off = 13 + gct * 3 + 9
+    blob[flag_off] = 0x40  # interlaced
+    assert mm.decode_gif_pixels(bytes(blob)) is None
