@@ -74,3 +74,34 @@ def test_incremental_dedup_end_to_end(ray_session):
         flags = out.column("is_dup").to_pylist()
         assert out.column("doc_id").to_pylist() == list(range(1000, 1100))
         assert flags == [1] * 50 + [0] * 50
+
+
+def test_incremental_dedup_equals_bruteforce_random(ray_session):
+    """Randomized: both paths vs a Python-set reference over corpora
+    with planted overlaps, exercising Bloom fp-rate pressure (small m)
+    — false positives must never leak into the output."""
+    import numpy as np
+    import ray
+    rng = np.random.RandomState(42)
+    for trial in range(3):
+        snap_texts = [f"s{trial} {i}" for i in range(rng.randint(5, 60))]
+        inc_texts = [
+            (snap_texts[rng.randint(len(snap_texts))]
+             if rng.rand() < 0.4 else f"i{trial} {j}")
+            for j in range(rng.randint(5, 80))]
+        snap = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(snap_texts)), pa.int64()),
+            "text": pa.array(snap_texts)})).repartition(3)
+        inc_ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(100, 100 + len(inc_texts)),
+                               pa.int64()),
+            "text": pa.array(inc_texts)})).repartition(4)
+        want = {100 + j: int(t in set(snap_texts))
+                for j, t in enumerate(inc_texts)}
+        for kw in ({}, {"snapshot_broadcast_limit": 0, "m_bits": 1 << 8}):
+            out = pa.concat_tables(inc.incremental_dedup(
+                snap, inc_ds, k=3, join_parts=2, **kw).iter_batches(
+                batch_format="pyarrow", batch_size=None))
+            got = dict(zip(out.column("doc_id").to_pylist(),
+                           out.column("is_dup").to_pylist()))
+            assert got == want, (trial, kw)
