@@ -728,6 +728,8 @@ def decode_gif_pixels(blob: bytes) -> Optional[np.ndarray]:
         return None  # no global color table
     gct_size = 2 << (flags & 7)
     p = 13
+    if n < p + gct_size * 3:
+        return None  # truncated inside the global color table
     gct = np.frombuffer(blob, np.uint8, count=gct_size * 3,
                         offset=p).reshape(gct_size, 3)
     p += gct_size * 3
@@ -739,6 +741,8 @@ def decode_gif_pixels(blob: bytes) -> Optional[np.ndarray]:
                 p += 1 + blob[p]
             p += 1
         elif b0 == 0x2C:  # image descriptor
+            if p + 11 > n:
+                return None  # truncated descriptor
             w = int.from_bytes(blob[p + 5:p + 7], "little")
             h = int.from_bytes(blob[p + 7:p + 9], "little")
             iflags = blob[p + 9]
@@ -746,6 +750,8 @@ def decode_gif_pixels(blob: bytes) -> Optional[np.ndarray]:
                 return None
             p += 10
             min_code = blob[p]
+            if min_code > 11:
+                return None  # corrupt: GIF code width caps at 12 bits
             p += 1
             data = bytearray()
             while p < n and blob[p]:

@@ -146,3 +146,44 @@ def test_gif_rejects_interlaced_and_local_palette():
     flag_off = 13 + gct * 3 + 9
     blob[flag_off] = 0x40  # interlaced
     assert mm.decode_gif_pixels(bytes(blob)) is None
+
+
+# --- hostile-input robustness (decoders must never raise) ----------------
+
+
+def test_decoders_survive_random_bytes():
+    rng = np.random.RandomState(1234)
+    decoders = [mm.decode_image_pixels, mm.decode_gif_pixels,
+                mm.parse_wav_pcm16, mm.parse_mp4_mvhd,
+                mm.parse_image_header]
+    for _ in range(500):
+        blob = bytes(rng.randint(0, 256, size=rng.randint(0, 200),
+                                 dtype=np.uint8))
+        for dec in decoders:
+            dec(blob)  # any return is fine; raising is not
+
+
+def test_decoders_survive_truncated_valid_payloads():
+    img = np.arange(6 * 7 * 3, dtype=np.uint8).reshape(6, 7, 3)
+    s = np.arange(50, dtype=np.int16)
+    valid = [
+        mm.encode_png(img, filter_mode="cycle"),
+        mm.encode_bmp24(img),
+        mm.encode_gif((img // 16) * 16),
+        mm.encode_wav_pcm16(s),
+        mm.encode_mp4_stub(timescale=1000, duration=77),
+    ]
+    decoders = [mm.decode_image_pixels, mm.decode_gif_pixels,
+                mm.parse_wav_pcm16, mm.parse_mp4_mvhd,
+                mm.parse_image_header]
+    for blob in valid:
+        for cut in range(0, len(blob), 3):
+            t = blob[:cut]
+            for dec in decoders:
+                dec(t)
+        # bit-flipped copies
+        ba = bytearray(blob)
+        for pos in range(0, len(ba), 7):
+            ba[pos] ^= 0xFF
+        for dec in decoders:
+            dec(bytes(ba))
