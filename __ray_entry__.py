@@ -135,6 +135,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # real dependency-free audio (WAV PCM16) + video (MP4 mvhd) decode
         "audio_pcm_stats": _q.audio_pcm_stats,
         "video_duration": _q.video_duration,
+        # LEAD window + windowed distinct users
+        "events_lead": _q.events_lead,
+        "sliding_distinct_users": _q.sliding_distinct_users,
     }
 
 
@@ -1239,5 +1242,25 @@ def oracle_sql() -> dict[str, str]:
                     // (600 + (doc_id % 7) * 1000) AS BIGINT)
                    AS duration_ms
         FROM documents
+    """
+    d["events_lead"] = """
+        SELECT event_id, user_id, ts,
+               LEAD(event_id) OVER w AS next_event_id,
+               LEAD(ts) OVER w AS next_ts,
+               CAST(epoch_us(LEAD(ts) OVER w) - epoch_us(ts) AS BIGINT)
+                   AS gap_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+    d["sliding_distinct_users"] = """
+        WITH uh AS (
+            SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour
+            FROM events),
+        hours AS (SELECT DISTINCT hour FROM uh)
+        SELECT h.hour AS window_start,
+               CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_users
+        FROM hours h JOIN uh u
+          ON u.hour BETWEEN h.hour - INTERVAL 2 HOUR AND h.hour
+        GROUP BY h.hour ORDER BY h.hour
     """
     return d

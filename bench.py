@@ -72,7 +72,8 @@ QUERY_NAMES = [
     "incremental_dedup", "quality_classifier", "tfidf_search",
     "above_median_length", "image_pixel_stats", "cross_doc_repetition",
     "bpe_train", "mixture_plan", "curation_pipeline",
-    "audio_pcm_stats", "video_duration",
+    "audio_pcm_stats", "video_duration", "events_lead",
+    "sliding_distinct_users",
 ]
 
 

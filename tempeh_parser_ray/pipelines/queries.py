@@ -2328,3 +2328,21 @@ def video_duration(sf_dir: str) -> "ray.data.Dataset":
     return _documents(sf_dir, ["doc_id"]).map_batches(
         gen, batch_format="pyarrow").map_batches(
         decode, batch_format="pyarrow")
+
+
+def events_lead(sf_dir: str) -> "ray.data.Dataset":
+    """LEAD window per user (next event + gap) — the time-bucketed LAG
+    machinery reused by SIGN SYMMETRY (pipelines/windows.py:
+    lead_events): successor under ascending (ts, id) == predecessor of
+    the sign-flipped stream."""
+    return _win.lead_events(
+        _events(sf_dir, ["event_id", "user_id", "ts"]))
+
+
+def sliding_distinct_users(sf_dir: str) -> pa.Table:
+    """EXACT distinct users per sliding 3-hour window (RANGE semantics
+    at populated hours) — windowed DISTINCT via one (user, hour)
+    dedupe + bounded window fan-out (pipelines/windows.py), never a
+    sum of hourly distincts."""
+    return _win.sliding_distinct_users(
+        _events(sf_dir, ["user_id", "ts"]), window_hours=3)

@@ -705,3 +705,110 @@ def sliding_hourly(events: "ray.data.Dataset", *, window_hours: int = 3,
         "n_events_3h": pa.array(out_n, pa.int64()),
         "sum_value_micros_3h": pa.array(out_s, pa.int64()),
     })
+
+
+def lead_events(events: "ray.data.Dataset", *, bucket_us: int = DAY_US,
+                ) -> "ray.data.Dataset":
+    """LEAD window per user (next event + gap) BY SYMMETRY: the
+    successor of (ts, id) under ascending order is exactly the
+    predecessor of (-ts, -id) under ascending order, so the whole
+    time-bucketed LAG machinery (carries, combiners, bounded groups)
+    is reused verbatim on a sign-flipped stream and the output is
+    flipped back. The gap comes out non-negative directly:
+    ``(-t_cur) - (-t_next) = t_next - t_cur``."""
+
+    def negate(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64())
+        return pa.table({
+            "event_id": pc.negate(
+                batch.column("event_id").cast(pa.int64())),
+            "user_id": batch.column("user_id"),
+            "ts": pc.negate(ts).cast(pa.timestamp("us")),
+        })
+
+    lag = lag_events(events.map_batches(negate, batch_format="pyarrow"),
+                     bucket_us=bucket_us)
+
+    def flip(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": pc.negate(batch.column("event_id")),
+            "user_id": batch.column("user_id"),
+            "ts": pc.negate(batch.column("ts").cast(pa.int64())).cast(
+                pa.timestamp("us")),
+            "next_event_id": pc.negate(batch.column("prev_event_id")),
+            "next_ts": pc.negate(
+                batch.column("prev_ts").cast(pa.int64())).cast(
+                pa.timestamp("us")),
+            "gap_us": batch.column("gap_us"),
+        })
+
+    return lag.map_batches(flip, batch_format="pyarrow")
+
+
+HOUR_US = 3_600_000_000
+
+
+def sliding_distinct_users(events: "ray.data.Dataset", *,
+                           window_hours: int = 3) -> pa.Table:
+    """EXACT distinct users per sliding ``window_hours``-hour window,
+    evaluated at each populated hour (RANGE semantics) — the windowed
+    DISTINCT that a naive hourly pre-aggregate cannot produce (distinct
+    counts don't sum).
+
+    Shape: one ``(user, hour)`` DEDUPE groupby (the only corpus-scale
+    exchange), then each (user, hour) row fans out to the <=
+    ``window_hours`` windows it can serve, one ``(user, window)``
+    dedupe + count — rows bounded by |users| x |hours| x window, never
+    by event count. The populated-hour filter applies at the end
+    (windows anchored at unpopulated hours are not emitted)."""
+
+    def user_hours(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64())
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "hour_us": pc.multiply(
+                pc.divide(ts, HOUR_US), HOUR_US).cast(pa.int64()),
+        })
+
+    uh = events.map_batches(
+        user_hours, batch_format="pyarrow").groupby(
+        ["user_id", "hour_us"]).count().drop_columns(["count()"]
+        ).materialize()
+
+    hours = sorted({r["hour_us"] for r in uh.select_columns(
+        ["hour_us"]).groupby("hour_us").count().drop_columns(
+        ["count()"]).take_all()})
+    hours_arr = np.asarray(hours, np.int64)
+    hours_ref = ray.put(hours_arr)
+
+    def fanout(batch: pa.Table) -> pa.Table:
+        from ..functions.broadcast import cached_get
+        pop = cached_get(hours_ref)
+        users = batch.column("user_id").to_numpy(zero_copy_only=False)
+        hrs = batch.column("hour_us").to_numpy(zero_copy_only=False)
+        out_u: list[np.ndarray] = []
+        out_w: list[np.ndarray] = []
+        for k in range(window_hours):
+            w = hrs + k * HOUR_US
+            keep = np.isin(w, pop)  # window anchor must be populated
+            out_u.append(users[keep])
+            out_w.append(w[keep])
+        return pa.table({
+            "user_id": pa.array(np.concatenate(out_u), pa.int64()),
+            "window_us": pa.array(np.concatenate(out_w), pa.int64()),
+        })
+
+    counts = uh.map_batches(fanout, batch_format="pyarrow").groupby(
+        ["user_id", "window_us"]).count().drop_columns(
+        ["count()"]).groupby("window_us").count()
+    tbl = pa.Table.from_pylist(counts.take_all())
+    if tbl.num_rows == 0:
+        return pa.table({
+            "window_start": pa.array([], pa.timestamp("us")),
+            "n_users": pa.array([], pa.int64())})
+    tbl = tbl.sort_by([("window_us", "ascending")])
+    return pa.table({
+        "window_start": tbl.column("window_us").cast(
+            pa.int64()).cast(pa.timestamp("us")),
+        "n_users": tbl.column("count()").cast(pa.int64()),
+    })

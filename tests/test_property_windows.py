@@ -332,3 +332,32 @@ def test_lag_equals_bruteforce(ray_session, evs):
             assert got[eid] == (pid, ts - pts), (eid, got[eid])
         else:
             assert got[eid] == (None, None), (eid, got[eid])
+
+
+@given(lag_strategy)
+@_SET
+def test_lead_equals_bruteforce(ray_session, evs):
+    """lead_events (sign-symmetric LAG reuse) vs brute-force LEAD OVER
+    (PARTITION BY user ORDER BY ts, event_id) — the negation must
+    preserve tie-breaks and bucket-carry behavior exactly."""
+    ray = ray_session
+    rows = [(i, u, t * MIN) for i, (u, t) in enumerate(evs)]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.int64()).cast(
+            pa.timestamp("us")),
+    })
+    got = {r["event_id"]: (r["next_event_id"], r["gap_us"])
+           for r in _collect(windows.lead_events(
+               ray.data.from_arrow(tbl),
+               bucket_us=30 * MIN)).to_pylist()}
+    assert set(got) == {r[0] for r in rows}
+    for eid, u, ts in rows:
+        later = [(r[2], r[0]) for r in rows
+                 if r[1] == u and (r[2], r[0]) > (ts, eid)]
+        if later:
+            nts, nid = min(later)
+            assert got[eid] == (nid, nts - ts), (eid, got[eid])
+        else:
+            assert got[eid] == (None, None), (eid, got[eid])
