@@ -297,6 +297,17 @@ def test_partition_invariance_round3(ray_session):
                       for r in t.to_pylist())
     assert pack_rows(1) == pack_rows(9)
 
+    def lead_rows(n):
+        t = _collect(windows.lead_events(evs(n)))
+        return sorted((r["event_id"], r["next_event_id"], r["gap_us"])
+                      for r in t.to_pylist())
+    assert lead_rows(1) == lead_rows(7)
+
+    def sdu_rows(n):
+        t = windows.sliding_distinct_users(evs(n))
+        return list(map(tuple, t.to_pylist()))
+    assert sdu_rows(1) == sdu_rows(7)
+
 
 lag_strategy = st.lists(
     st.tuples(st.integers(0, 2),                 # user
