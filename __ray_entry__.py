@@ -138,6 +138,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LEAD window + windowed distinct users
         "events_lead": _q.events_lead,
         "sliding_distinct_users": _q.sliding_distinct_users,
+        # distributed label-propagation components (10^9-edge path)
+        "dedup_minhash_keep_distributed": _q.dedup_minhash_keep_distributed,
     }
 
 
@@ -1157,6 +1159,7 @@ def oracle_sql() -> dict[str, str]:
                          // p.n_tokens) END AS BIGINT) AS rate_ppm
         FROM per p, tot t ORDER BY p.source
     """
+    d["dedup_minhash_keep_distributed"] = d["dedup_minhash_keep"]
     d["curation_pipeline"] = rf"""
         WITH corpus AS (
             SELECT doc_id, text FROM documents

@@ -73,7 +73,7 @@ QUERY_NAMES = [
     "above_median_length", "image_pixel_stats", "cross_doc_repetition",
     "bpe_train", "mixture_plan", "curation_pipeline",
     "audio_pcm_stats", "video_duration", "events_lead",
-    "sliding_distinct_users",
+    "sliding_distinct_users", "dedup_minhash_keep_distributed",
 ]
 
 

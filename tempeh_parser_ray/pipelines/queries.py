@@ -2346,3 +2346,40 @@ def sliding_distinct_users(sf_dir: str) -> pa.Table:
     sum of hourly distincts."""
     return _win.sliding_distinct_users(
         _events(sf_dir, ["user_id", "ts"]), window_hours=3)
+
+
+def dedup_minhash_keep_distributed(sf_dir: str) -> pa.Table:
+    """Same contract (and oracle) as ``dedup_minhash_keep``, but the
+    connected-components stage runs FULLY DISTRIBUTED — iterative
+    min-label propagation with pointer jumping
+    (functions/dedup.py:components_by_label_propagation), the 10^9-edge
+    path where the driver never holds nodes or edges. Kept rows are
+    those whose label equals their own id (component minimum)."""
+    import numpy as np
+
+    pairs = _minhash_verified_pairs(sf_dir, threshold=0.8)
+    labels = _dedup.components_by_label_propagation(
+        ray.data.from_arrow(pairs), join_parts=_join_parts())
+    lbl = pa.concat_tables(list(labels.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    nodes = lbl.column("node").to_numpy(zero_copy_only=False)
+    labs = lbl.column("label").to_numpy(zero_copy_only=False)
+    drop = np.sort(nodes[labs != nodes].astype(np.int64))
+    drop_ref = ray.put(drop)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        dropped = _bcast.cached_get(drop_ref)
+        if not len(dropped):
+            return batch
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(dropped, ids)
+        pos[pos >= len(dropped)] = 0
+        return batch.filter(pa.array(dropped[pos] != ids))
+
+    kept = _mutated_corpus(sf_dir).map_batches(
+        keep, batch_format="pyarrow")
+    tbl = pa.concat_tables(list(kept.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    tbl = tbl.select(["doc_id", "lang", "source", "n_chars"])
+    return tbl.take(pc.sort_indices(
+        tbl, sort_keys=[("doc_id", "ascending")]))

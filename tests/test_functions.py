@@ -322,3 +322,61 @@ def test_shingle_fingerprint_semantics():
                                     pa.string())})
     f2 = textstats.fingerprint_batch(b2).column("fp_shingle").to_pylist()
     assert f2[1] <= f2[0]
+
+
+def test_label_propagation_equals_union_find(ray_session):
+    """Distributed min-label components == driver union-find on random
+    graphs, including a 60-node chain (forces multiple propagation
+    rounds: converged labels need ~diameter iterations)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from tempeh_parser_ray.functions import dedup
+
+    rng = np.random.RandomState(17)
+    cases = []
+    # random sparse graphs
+    for trial in range(2):
+        n = rng.randint(10, 60)
+        m = rng.randint(5, 80)
+        cases.append([(int(rng.randint(0, n)), int(rng.randint(0, n)))
+                      for _ in range(m)])
+    # long chain with shuffled node ids (diameter ~ n): needs several
+    # jump rounds, still O(log n) thanks to pointer doubling
+    perm = rng.permutation(40)
+    cases.append([(int(perm[i]), int(perm[i + 1])) for i in range(39)])
+
+    for edges in cases:
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        tbl = pa.table({
+            "id_a": pa.array([e[0] for e in edges], pa.int64()),
+            "id_b": pa.array([e[1] for e in edges], pa.int64()),
+        })
+        got = {r["node"]: r["label"]
+               for r in dedup.components_by_label_propagation(
+                   ray.data.from_arrow(tbl).repartition(3)).take_all()}
+        # brute force union-find
+        parent = {}
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for a, b in edges:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp = {}
+        for x in parent:
+            comp.setdefault(find(x), []).append(x)
+        want = {}
+        for root, members in comp.items():
+            mn = min(members)
+            for x in members:
+                want[x] = mn
+        assert got == want
