@@ -690,4 +690,14 @@ def components_by_label_propagation(pairs: "ray.data.Dataset",
         if potential == prev_potential:
             break
         prev_potential = potential
+    else:
+        # Exhausting max_iters without hitting the fixpoint means the
+        # labels are only partially propagated — downstream would turn
+        # that into a silently wrong keep/drop set. Fail loudly: with
+        # pointer jumping, rounds ~ log2(diameter), so 64 covers any
+        # graph that fits in a cluster; hitting this indicates a bug
+        # or an absurd max_iters override.
+        raise RuntimeError(
+            f"components_by_label_propagation did not converge in "
+            f"{max_iters} iterations (potential still decreasing)")
     return labels

@@ -209,8 +209,14 @@ def heavy_hitter_tokens(ds: "ray.data.Dataset", text_col: str,
     total = int(parts.sum("n") or 0)
 
     def cms_partial(batch: pa.Table) -> pa.Table:
-        counts = dict(zip(batch.column("token").to_pylist(),
-                          (int(x) for x in batch.column("n").to_pylist())))
+        # Ray may coalesce several partial() outputs into one block, so a
+        # token can appear more than once per batch — pre-sum before
+        # sketching or the dict would keep only the last count and the
+        # CMS would underestimate (breaking its no-false-negative bound).
+        summed = pa.TableGroupBy(
+            batch.select(["token", "n"]), "token").aggregate([("n", "sum")])
+        counts = dict(zip(summed.column("token").to_pylist(),
+                          (int(x) for x in summed.column("n_sum").to_pylist())))
         return pa.table({
             "cms": pa.array([cms_from_counts(counts).tobytes()],
                             pa.binary()),

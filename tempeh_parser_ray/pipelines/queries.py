@@ -593,7 +593,16 @@ class _SortedLookup:
         np = self._np
         k = key_arr.to_numpy(zero_copy_only=False)
         idx = np.searchsorted(self.keys, k)
-        return pa.array(self.vals[idx], pa.string())
+        # FK-integrity guard: a key missing from the dimension would
+        # otherwise raise IndexError (past the end) or silently map to
+        # a neighboring key's value.
+        idx_c = np.minimum(idx, len(self.keys) - 1)
+        if len(self.keys) == 0 or not np.array_equal(self.keys[idx_c], k):
+            missing = k[self.keys[idx_c] != k] if len(self.keys) else k
+            raise KeyError(
+                f"_SortedLookup: {len(missing)} fact key(s) missing from "
+                f"the broadcast dimension, e.g. {missing[:3].tolist()}")
+        return pa.array(self.vals[idx_c], pa.string())
 
 
 def _sorted_lookup_ref(keys, vals) -> "ray.ObjectRef":
@@ -2099,22 +2108,34 @@ def mixture_plan(sf_dir: str) -> pa.Table:
     return out.sort_by([("source", "ascending")])
 
 
-def curation_pipeline(sf_dir: str) -> "ray.data.Dataset":
+def curation_pipeline(sf_dir: str, *,
+                      broadcast_limit: int = 5_000_000
+                      ) -> "ray.data.Dataset":
     """FLAGSHIP COMPOSITE: the full corpus-curation chain as one
     streaming composition — quality gate (token count, Gopher
-    repetition, hashed-linear classifier; ONE tokenize pass computes
-    all three) -> exact dedup (md5 winner = min doc_id) -> benchmark
-    decontamination (8-gram overlap) -> training-sequence packing.
-    Input is documents UNION exact clones of ``doc_id%6==0`` at
-    ``+500000`` so the dedup stage demonstrably drops rows.
+    repetition, hashed-linear classifier) -> exact dedup (md5 winner =
+    min doc_id) -> benchmark decontamination (8-gram overlap) ->
+    training-sequence packing. Input is documents UNION exact clones
+    of ``doc_id%6==0`` at ``+500000`` so the dedup stage demonstrably
+    drops rows.
+
+    Corpus text is tokenized EXACTLY ONCE: the ``feats`` pass computes
+    the three quality features AND the per-doc 8-gram fingerprints
+    (``gfps: list<int64>``) in the same token walk; the bench-key
+    distinct and the decontamination filter both consume those carried
+    fingerprints, never re-tokenizing (pytest-pinned: one
+    ``tokenize(`` site in this function's source).
 
     Scale shape: every filter is map-side; the only exchanges are the
     winner ``groupby(fp).min``, the bench-key distinct, and the packing
-    scan's bounded aggregates. Winner ids and bench gram keys broadcast
-    as sorted int64 arrays (searchsorted membership, per-worker
-    cached) — the same size-adaptive pattern as ``incremental_dedup``
-    / ``decontaminate``, whose join fallbacks are the documented
-    at-scale path past the broadcast limits. Text never shuffles.
+    scan's bounded aggregates. Bench gram keys broadcast as a sorted
+    int64 array (bench suites are bounded by construction). The dedup
+    winner set is NOT assumed bounded — it is size-adaptive exactly
+    like :func:`functions.dedup.exact_dedup`: below ``broadcast_limit``
+    winners the sorted-id array broadcasts via ``ray.put`` and the
+    filter is a searchsorted membership; above it a distributed
+    ``left_semi`` join on ``(fp, doc_id)`` keeps the (at 100 TB,
+    billions-of-ids) winner set off the driver. Text never shuffles.
     Oracle: one staged-CTE SQL mirroring every stage."""
     import hashlib
 
@@ -2134,76 +2155,87 @@ def curation_pipeline(sf_dir: str) -> "ray.data.Dataset":
 
     corpus = docs.union(docs.map_batches(clones, batch_format="pyarrow"))
 
-    def feats(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        n_toks: list[int] = []
-        dup_pct: list[int] = []
-        scores: list[int] = []
-        fps: list[str] = []
-        for t in texts:
-            toks = _ts.tokenize(t)
-            n = len(toks)
-            n_toks.append(n)
-            g = n - 2
-            if g <= 0:
-                dup_pct.append(0)
-            else:
-                nd = len({tuple(toks[j:j + 3]) for j in range(g)})
-                dup_pct.append(100 * (g - nd) // g)
-            scores.append(sum(map(_ts._token_weight, toks)))
-            fps.append(hashlib.md5((t or "").encode()).hexdigest())
-        out = pa.table({
-            "doc_id": batch.column("doc_id").cast(pa.int64()),
-            "text": batch.column("text"),
-            "n_tokens": pa.array(n_toks, pa.int64()),
-            "dup_pct": pa.array(dup_pct, pa.int64()),
-            "score": pa.array(scores, pa.int64()),
-            "fp": pa.array(fps, pa.string()),
-        })
-        keep = pc.and_(pc.and_(
-            pc.greater_equal(out.column("n_tokens"), 24),
-            pc.less(out.column("dup_pct"), 20)),
-            pc.greater_equal(out.column("score"), 0))
-        return out.filter(keep)
-
-    # kept1 feeds two consumers (winner aggregate + survivor pass).
-    # materialize() pins the surviving TEXT in the object store — right
-    # at bench scale (spills if needed, tokenizes once). At 100 TB
-    # prefer re-running this map-only pass per consumer instead: a
-    # second streaming tokenize costs CPU; pinning ~60% of corpus
-    # bytes costs cluster-wide spill I/O.
-    kept1 = corpus.map_batches(feats, batch_format="pyarrow").materialize()
-
-    winners_ds = kept1.map_batches(
-        lambda b: b.select(["fp", "doc_id"]),
-        batch_format="pyarrow").groupby("fp").aggregate(
-        ray.data.aggregate.Min("doc_id"))
-    win_parts = list(winners_ds.iter_batches(batch_format="pyarrow",
-                                             batch_size=None))
-    win_ids = np.sort(pa.concat_tables(win_parts).column(
-        "min(doc_id)").to_numpy(zero_copy_only=False).astype(np.int64)
-        ) if win_parts else np.zeros(0, np.int64)
-    win_ref = ray.put(win_ids)
-
     W = 8  # decontamination gram width
 
-    def bench_grams(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        texts = batch.column("text").to_pylist()
-        grams: set[str] = set()
-        for i, t in zip(ids, texts):
-            if i % 97:
-                continue
-            toks = _ts.tokenize(t)
-            grams.update(" ".join(toks[j:j + W])
-                         for j in range(len(toks) - W + 1))
-        fp = pd.util.hash_array(
-            np.asarray(sorted(grams), dtype=object)).astype(np.int64)
-        return pa.table({"gfp": pa.array(fp, pa.int64())})
+    def feats(batch: pa.Table) -> pa.Table:
+        """The ONE tokenize pass: quality features + 8-gram fps.
 
-    bench_ds = corpus.map_batches(
-        bench_grams, batch_format="pyarrow").groupby(
+        Emits quality-PASSING rows (survivor candidates: text + md5
+        ``fp`` + gram fingerprints ``gfps``) plus quality-FAILING
+        bench rows (``doc_id%97==0``: gfps only, text nulled — the
+        bench set is defined over the raw corpus, before the quality
+        gate). Every downstream stage consumes these columns; nothing
+        tokenizes again."""
+        import pandas as pd
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keep_i: list[int] = []
+        out_text: list = []
+        out_pass: list[bool] = []
+        out_fp: list[str] = []
+        out_gfps: list[np.ndarray] = []
+        empty = np.zeros(0, np.int64)
+        for k, (i, t) in enumerate(zip(ids, texts)):
+            toks = _ts.tokenize(t)
+            n = len(toks)
+            g = n - 2
+            if g <= 0:
+                dup = 0
+            else:
+                nd = len({tuple(toks[j:j + 3]) for j in range(g)})
+                dup = 100 * (g - nd) // g
+            score = sum(map(_ts._token_weight, toks))
+            ok = n >= 24 and dup < 20 and score >= 0
+            is_bench = (i % 97 == 0)
+            if not ok and not is_bench:
+                continue
+            grams = {" ".join(toks[j:j + W])
+                     for j in range(len(toks) - W + 1)}
+            gfp = pd.util.hash_array(np.asarray(
+                sorted(grams), dtype=object)).astype(np.int64) \
+                if grams else empty
+            keep_i.append(k)
+            out_text.append(t if ok else None)
+            out_pass.append(ok)
+            out_fp.append(hashlib.md5((t or "").encode()).hexdigest()
+                          if ok else "")
+            out_gfps.append(gfp)
+        return pa.table({
+            "doc_id": pa.array(ids[keep_i], pa.int64()),
+            "text": pa.array(out_text, pa.string()),
+            "qpass": pa.array(out_pass, pa.bool_()),
+            "fp": pa.array(out_fp, pa.string()),
+            # packed little-endian int64 bytes, NOT list<int64>: binary
+            # survives an acero join as a payload column (list does
+            # not), and is denser on the wire
+            "gfps": pa.array([g.tobytes() for g in out_gfps],
+                             pa.binary()),
+        })
+
+    # feats_out feeds three consumers (bench-key distinct, winner
+    # aggregate, survivor pass). materialize() pins the surviving TEXT
+    # + gram fps in the object store — right at bench scale (spills if
+    # needed, tokenizes once). At 100 TB prefer re-running this
+    # map-only pass per consumer instead: a second streaming tokenize
+    # costs CPU; pinning ~60% of corpus bytes costs cluster-wide
+    # spill I/O.
+    feats_out = corpus.map_batches(
+        feats, batch_format="pyarrow").materialize()
+
+    def explode_bench(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").cast(pa.int64())
+        m = pc.equal(pc.subtract(
+            ids, pc.multiply(pc.divide(ids, 97), 97)), 0)
+        bufs = batch.filter(m).column("gfps").to_pylist()
+        flat = np.frombuffer(b"".join(bufs), dtype=np.int64) \
+            if bufs else np.zeros(0, np.int64)
+        return pa.table({"gfp": pa.array(flat, pa.int64())})
+
+    # bench gram keys: bounded by construction (benchmark suites are
+    # small), so the post-distinct collect is safe at any corpus size.
+    bench_ds = feats_out.map_batches(
+        explode_bench, batch_format="pyarrow").groupby(
         "gfp").count().drop_columns(["count()"])
     b_parts = list(bench_ds.iter_batches(batch_format="pyarrow",
                                          batch_size=None))
@@ -2212,31 +2244,64 @@ def curation_pipeline(sf_dir: str) -> "ray.data.Dataset":
         ) if b_parts else np.zeros(0, np.int64)
     bench_ref = ray.put(bench_keys)
 
+    kept1 = feats_out.map_batches(
+        lambda b: b.filter(b.column("qpass")), batch_format="pyarrow")
+
+    winners = kept1.map_batches(
+        lambda b: b.select(["fp", "doc_id"]),
+        batch_format="pyarrow").groupby("fp").aggregate(
+        ray.data.aggregate.Min("doc_id")).materialize()
+
+    # size-adaptive winner filter (exact_dedup's branch): broadcast the
+    # sorted winner-id array below the limit (doc_ids are unique by
+    # construction here, so id membership == the (fp, id) pair test);
+    # above it, a distributed left_semi join on (fp, doc_id) — the
+    # winner set never lands on the driver.
+    if winners.count() <= broadcast_limit:
+        win_parts = list(winners.iter_batches(batch_format="pyarrow",
+                                              batch_size=None))
+        win_ids = np.sort(pa.concat_tables(win_parts).column(
+            "min(doc_id)").to_numpy(zero_copy_only=False).astype(
+            np.int64)) if win_parts else np.zeros(0, np.int64)
+        win_ref = ray.put(win_ids)
+    else:
+        win_ref = None
+        winner_keys = winners.map_batches(
+            lambda b: pa.table({
+                "fp": b.column("fp"),
+                "doc_id": b.column("min(doc_id)").cast(pa.int64())}),
+            batch_format="pyarrow")
+        kept1 = kept1.join(winner_keys, join_type="left_semi",
+                           num_partitions=16, on=("fp", "doc_id"))
+
     def survive(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-        wins = _bcast.cached_get(win_ref)
+        """Winner + non-bench + decontamination filter — consumes the
+        gram fps carried from ``feats``; fully vectorized (flatten the
+        list column once, one searchsorted, cumsum segment-reduce)."""
         bkeys = _bcast.cached_get(bench_ref)
         ids = batch.column("doc_id").to_numpy(
             zero_copy_only=False).astype(np.int64)
-        pos = np.searchsorted(wins, ids)
-        is_win = (pos < len(wins)) & (
-            wins[np.minimum(pos, max(len(wins) - 1, 0))] == ids) \
-            if len(wins) else np.zeros(len(ids), bool)
-        keep = is_win & (ids % 97 != 0)
-        texts = batch.column("text").to_pylist()
-        for k in np.nonzero(keep)[0]:
-            toks = _ts.tokenize(texts[k])
-            grams = list({" ".join(toks[j:j + W])
-                          for j in range(len(toks) - W + 1)})
-            if not grams or not len(bkeys):
-                continue
-            gfp = pd.util.hash_array(
-                np.asarray(grams, dtype=object)).astype(np.int64)
-            p = np.searchsorted(bkeys, gfp)
-            hit = (p < len(bkeys)) & (
-                bkeys[np.minimum(p, len(bkeys) - 1)] == gfp)
-            if hit.any():
-                keep[k] = False
+        keep = ids % 97 != 0
+        if win_ref is not None:
+            wins = _bcast.cached_get(win_ref)
+            if len(wins):
+                pos = np.minimum(np.searchsorted(wins, ids),
+                                 len(wins) - 1)
+                keep &= wins[pos] == ids
+            else:
+                keep &= False
+        bufs = batch.column("gfps").to_pylist()
+        flat = np.frombuffer(b"".join(bufs), dtype=np.int64) \
+            if bufs else np.zeros(0, np.int64)
+        if len(bkeys) and len(flat):
+            lens = np.fromiter((len(b) >> 3 for b in bufs),
+                               dtype=np.int64, count=len(bufs))
+            offs = np.concatenate(([0], np.cumsum(lens)))
+            p = np.minimum(np.searchsorted(bkeys, flat), len(bkeys) - 1)
+            hit = (bkeys[p] == flat).astype(np.int64)
+            hc = np.concatenate(([0], np.cumsum(hit)))
+            contaminated = (hc[offs[1:]] - hc[offs[:-1]]) > 0
+            keep &= ~contaminated
         return batch.filter(pa.array(keep)).select(["doc_id", "text"])
 
     kept3 = kept1.map_batches(survive, batch_format="pyarrow")

@@ -329,9 +329,15 @@ def range_join_events(events: "ray.data.Dataset", *,
         micros = pc.round(pc.multiply(
             t.column("value").cast(pa.float64()), 1_000_000.0)).cast(
             pa.int64())
+        # ONE division convention for base and ghost buckets: numpy
+        # floor division (pc.divide truncates toward zero, which would
+        # disagree for negative timestamps and strand ghosts in the
+        # wrong bucket, losing boundary matches).
+        ts_np = ts.to_numpy(zero_copy_only=False)
+        bucket_np = ts_np // bucket_us if len(ts_np) else ts_np
         base = pa.table({
             "user_id": t.column("user_id"),
-            "bucket": pc.divide(ts, bucket_us).cast(pa.int64()),
+            "bucket": pa.array(bucket_np, pa.int64()),
             "ts_us": ts,
             "event_id": t.column("event_id"),
             # int64 so the per-group collect rows stay pure-int64
@@ -342,10 +348,8 @@ def range_join_events(events: "ray.data.Dataset", *,
         # ghost rights into the NEXT bucket: only rights within
         # window_us of their bucket's end can serve an adjacent
         # bucket's lefts
-        ts_np = ts.to_numpy(zero_copy_only=False)
         right_np = side.to_numpy(zero_copy_only=False).astype(bool)
         if len(ts_np):
-            bucket_np = ts_np // bucket_us
             ghost = right_np & (
                 ts_np >= (bucket_np + 1) * bucket_us - window_us)
         else:

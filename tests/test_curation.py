@@ -236,3 +236,33 @@ def test_word_frequencies_distributed(ray_session):
     wf = {r["word"]: r["sum(n)"]
           for r in ts.word_frequencies(docs).take_all()}
     assert wf == {"a": 3, "b": 2, "c": 1}
+
+
+# --- curation_pipeline composite ------------------------------------------
+
+
+def test_curation_pipeline_join_path_equals_broadcast(ray_session):
+    """The size-adaptive winner filter: forcing the distributed
+    left_semi-join path (broadcast_limit=0) must produce exactly the
+    broadcast path's rows — pinning the at-scale branch the composite
+    takes when the winner set would not fit on the driver."""
+    from tempeh_parser_ray.pipelines import queries as q
+    sf = "/root/testdata/sf0.001"
+    a = _collect(q.curation_pipeline(sf)).sort_by(
+        [("doc_id", "ascending")])
+    b = _collect(q.curation_pipeline(sf, broadcast_limit=0)).sort_by(
+        [("doc_id", "ascending")])
+    assert a.num_rows > 0
+    assert a.equals(b)
+
+
+def test_curation_pipeline_single_tokenize():
+    """Structural pin for the one-tokenize-pass claim: the composite's
+    source must call tokenize() exactly once (inside feats); the
+    bench-key and decontamination stages consume the carried gram
+    fingerprints instead of re-tokenizing survivors."""
+    import inspect
+
+    from tempeh_parser_ray.pipelines import queries as q
+    src = inspect.getsource(q.curation_pipeline)
+    assert src.count("_ts.tokenize(") == 1
