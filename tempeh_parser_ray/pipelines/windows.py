@@ -99,6 +99,69 @@ def _combine_tail_partials(batch: pa.Table) -> pa.Table:
     })
 
 
+def _bucket_summary_agg(name: str):
+    """Per-USER grouped aggregate producing the full bucket-summary
+    list in ONE exchange: state is ``{bucket: (tail_ts, tail_id,
+    n_left)}`` — one entry per POPULATED bucket, i.e. exactly the
+    bounded per-user row list the former two-stage shape ((user,
+    bucket) groupby -> per-user collect) shipped, minus one exchange.
+    Accumulation is vectorized per block (lexsort + run bounds);
+    merges are per-bucket lexmax(tail) / sum(n_left). finalize emits
+    ``[[bucket, tail_ts, tail_id, n_left], ...]`` sorted by bucket
+    (the layout the carry pass consumes)."""
+    from ray.data.block import BlockAccessor
+
+    def acc_block(acc, block):
+        t = BlockAccessor.for_block(block).to_arrow()
+        if t.num_rows == 0:
+            return acc
+        b = t.column("bucket").to_numpy(zero_copy_only=False)
+        rts = t.column("r_ts").to_numpy(zero_copy_only=False)
+        rid = t.column("r_id").to_numpy(zero_copy_only=False)
+        nl = t.column("n_left").to_numpy(zero_copy_only=False)
+        order = np.lexsort((rid, rts, b))
+        b, rts, rid, nl = b[order], rts[order], rid[order], nl[order]
+        change = b[1:] != b[:-1]
+        starts = np.nonzero(np.concatenate(([True], change)))[0]
+        lasts = np.nonzero(np.concatenate((change, [True])))[0]
+        sums = np.add.reduceat(nl, starts)
+        d = dict(acc) if acc else {}
+        for s, l, n in zip(starts, lasts, sums):
+            bk = int(b[l])
+            cand = (int(rts[l]), int(rid[l]))
+            cur = d.get(bk)
+            if cur is None:
+                d[bk] = (cand[0], cand[1], int(n))
+            else:
+                best = cand if cand > (cur[0], cur[1]) else (cur[0],
+                                                             cur[1])
+                d[bk] = (best[0], best[1], cur[2] + int(n))
+        return d
+
+    def merge(a, b):
+        if not a:
+            return b or {}
+        if not b:
+            return a
+        d = dict(a)
+        for bk, (ts, i, n) in b.items():
+            cur = d.get(bk)
+            if cur is None:
+                d[bk] = (ts, i, n)
+            else:
+                best = (ts, i) if (ts, i) > (cur[0], cur[1]) \
+                    else (cur[0], cur[1])
+                d[bk] = (best[0], best[1], cur[2] + n)
+        return d
+
+    return ray.data.aggregate.AggregateFn(
+        init=lambda k: {},
+        accumulate_block=acc_block,
+        merge=merge,
+        finalize=lambda d: [[bk, *d[bk]] for bk in sorted(d or {})],
+        name=name)
+
+
 def _combine_meta_partials(batch: pa.Table) -> pa.Table:
     """Map-side combiner for the as-of bucket-summary groupby: per
     (user, bucket) per block, the local right-tail lexmax (sentinel
@@ -136,10 +199,13 @@ def asof_last_event(events: "ray.data.Dataset", *,
     specifies — no group ever holds a user's full history):
 
     1. project to ``(user, bucket, ts, event_id, is_right)`` rows;
-    2. bucket-summary pass: ``groupby(user, bucket)`` with two O(1)
-       pure aggregates — the right "tail" (lexmax ``(ts, id)`` right)
-       and the left count;
-    3. per-user carry pass over the BOUNDED bucket-summary list (one
+    2. bucket-summary pass: block-local combine to one row per
+       (user, bucket) per block, then ONE ``groupby(user)`` whose
+       aggregate state is the per-user ``{bucket: (right-tail lexmax,
+       left count)}`` map — one entry per POPULATED bucket, the same
+       bounded list the former two-exchange shape ((user, bucket)
+       groupby then per-user collect) shipped, one exchange fewer;
+    3. per-user carry pass over that BOUNDED bucket-summary list (one
        row per populated bucket): for every bucket containing lefts,
        emit the latest right tail from any STRICTLY EARLIER bucket as
        a carry pseudo-right assigned to that bucket (this is the
@@ -191,33 +257,10 @@ def asof_last_event(events: "ray.data.Dataset", *,
             "n_left": pa.array((~is_r).astype(np.int64), pa.int64()),
         })
 
-    meta = proj.map_batches(
+    per_user = proj.map_batches(
         meta_rows, batch_format="pyarrow").map_batches(
         _combine_meta_partials, batch_format="pyarrow").groupby(
-        ["user_id", "bucket"]).aggregate(
-        _lexmax_pair_agg("r_ts", "r_id", "tail"),
-        ray.data.aggregate.Sum("n_left"))
-
-    def flatten_meta(batch: pa.Table) -> pa.Table:
-        # tail -> two flat int64 columns (-1 sentinel = no rights in
-        # bucket) so the per-user collect rows stay pure-int (native
-        # Arrow list column, no pickled-object fallback)
-        tails = batch.column("tail").to_pylist()
-        return pa.table({
-            "user_id": batch.column("user_id"),
-            "bucket": batch.column("bucket"),
-            "tail_ts": pa.array(
-                [t[0] if t else -1 for t in tails], pa.int64()),
-            "tail_id": pa.array(
-                [t[1] if t else -1 for t in tails], pa.int64()),
-            "n_left": batch.column("sum(n_left)").cast(pa.int64()),
-        })
-
-    per_user = meta.map_batches(
-        flatten_meta, batch_format="pyarrow").groupby(
-        "user_id").aggregate(
-        collect_columns_agg(["bucket", "tail_ts", "tail_id", "n_left"],
-                            "meta"))
+        "user_id").aggregate(_bucket_summary_agg("meta"))
 
     def carries(batch: pa.Table) -> pa.Table:
         out_u: list[int] = []
@@ -226,7 +269,7 @@ def asof_last_event(events: "ray.data.Dataset", *,
         out_id: list[int] = []
         for uid, rows in zip(batch.column("user_id").to_pylist(),
                              batch.column("meta").to_pylist()):
-            rows = sorted(rows, key=lambda r: r[0])
+            # finalize already sorts by bucket; keep rows as-is
             tail_buckets = [r[0] for r in rows if r[1] >= 0]
             tails = [(r[1], r[2]) for r in rows if r[1] >= 0]
             for b, _tts, _tid, n_left in rows:
