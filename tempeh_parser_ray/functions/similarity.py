@@ -89,15 +89,34 @@ def knn_cosine_brute(embeddings: "ray.data.Dataset",
         })
 
     partials = embeddings.map_batches(partial_topk, batch_format="pyarrow")
-    # final exact top-k over the (tiny) partial set, driver-side
-    df = partials.to_pandas()
-    df = df.sort_values(["query_id", "cosine_sim", "neighbor_id"],
-                        ascending=[True, False, True])
-    df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    df["rank"] = df.groupby("query_id").cumcount() + 1
-    return pa.Table.from_pandas(
-        df[["query_id", "neighbor_id", "rank", "cosine_sim"]],
-        preserve_index=False)
+    # final exact top-k over the (tiny) partial set, driver-side —
+    # numpy lexsort + run-bounds rank (no pandas round-trip)
+    parts = list(partials.iter_batches(batch_format="pyarrow",
+                                       batch_size=None))
+    t = pa.concat_tables(parts) if parts else pa.table({
+        "query_id": pa.array([], pa.int64()),
+        "neighbor_id": pa.array([], pa.int64()),
+        "cosine_sim": pa.array([], pa.float64())})
+    qs = t.column("query_id").to_numpy(zero_copy_only=False)
+    ns = t.column("neighbor_id").to_numpy(zero_copy_only=False)
+    ss = t.column("cosine_sim").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ns, -ss, qs))
+    qs, ns, ss = qs[order], ns[order], ss[order]
+    if len(qs):
+        change = qs[1:] != qs[:-1]
+        starts = np.nonzero(np.concatenate(([True], change)))[0]
+        run_id = np.cumsum(np.concatenate(([0], change)))
+        rank = np.arange(len(qs)) - starts[run_id]
+        m = rank < k
+        qs, ns, ss, rank = qs[m], ns[m], ss[m], rank[m] + 1
+    else:
+        rank = np.zeros(0, np.int64)
+    return pa.table({
+        "query_id": pa.array(qs, pa.int64()),
+        "neighbor_id": pa.array(ns, pa.int64()),
+        "rank": pa.array(rank, pa.int64()),
+        "cosine_sim": pa.array(ss, pa.float64()),
+    })
 
 
 # --- LSH-bucketed variant (scale path) ---------------------------------
@@ -306,11 +325,14 @@ def embedding_near_dup_pairs(embeddings: "ray.data.Dataset",
         return out_schema.empty_table()
     out = pa.concat_tables(batches)
     # drop cross-table duplicate pairs (identical verified values) and
-    # order deterministically — the surviving table is the small side
-    df = out.to_pandas().drop_duplicates(["id_a", "id_b"])
-    df = df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
-    return pa.Table.from_pandas(df, preserve_index=False,
-                                schema=out_schema)
+    # order deterministically — the surviving table is the small side;
+    # numpy lexsort + adjacent-unique (no pandas round-trip)
+    a = out.column("id_a").to_numpy(zero_copy_only=False)
+    b = out.column("id_b").to_numpy(zero_copy_only=False)
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    first = np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+    return out.take(pa.array(order[first])).cast(out_schema)
 
 
 # --- IVF variant (coarse-quantizer scale path) --------------------------

@@ -1747,19 +1747,30 @@ def stratified_sample_by_lang(sf_dir: str) -> pa.Table:
     import hashlib as _hl
 
     def keyed(batch: pa.Table) -> pa.Table:
+        import numpy as np
         ids = batch.column("doc_id").to_pylist()
-        key = [f"{_hl.md5(str(i).encode()).hexdigest()}|{i:020d}"
-               for i in ids]
-        t = pa.table({
-            "lang": batch.column("lang"),
-            "key": pa.array(key, pa.string()),
+        keys = np.asarray(
+            [f"{_hl.md5(str(i).encode()).hexdigest()}|{i:020d}"
+             for i in ids], dtype=object)
+        langs = np.asarray(batch.column("lang").to_pylist(),
+                           dtype=object)
+        if not len(keys):
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "key": pa.array([], pa.string())})
+        # map-side combiner, Arrow/numpy-native (no pandas round-trip):
+        # lexsort by (lang, key), then rank-within-run < k via run
+        # starts — each block contributes at most k rows per lang
+        order = np.lexsort((keys, langs))
+        langs, keys = langs[order], keys[order]
+        change = langs[1:] != langs[:-1]
+        starts = np.nonzero(np.concatenate(([True], change)))[0]
+        run_id = np.cumsum(np.concatenate(([0], change)))
+        rank = np.arange(len(langs)) - starts[run_id]
+        m = rank < STRAT_K
+        return pa.table({
+            "lang": pa.array(langs[m], pa.string()),
+            "key": pa.array(keys[m], pa.string()),
         })
-        # map-side combiner: keep only each lang's local top-k
-        import pandas as pd
-        df = t.to_pandas()
-        df = df.sort_values("key").groupby(
-            "lang", sort=False).head(STRAT_K)
-        return pa.Table.from_pandas(df, preserve_index=False)
 
     agg = _documents(sf_dir, ["doc_id", "lang"]).map_batches(
         keyed, batch_format="pyarrow").groupby("lang").aggregate(
