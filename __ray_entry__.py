@@ -1089,23 +1089,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS media_id,
                    4 + doc_id % 13 AS width,
                    3 + doc_id % 11 AS height,
-                   CASE WHEN doc_id % 3 = 0 THEN
-                        CASE (doc_id // 3) % 3 WHEN 0 THEN 1
+                   doc_id % 4 AS fmt,
+                   CASE WHEN doc_id % 4 = 0 THEN
+                        CASE (doc_id // 4) % 3 WHEN 0 THEN 1
                              WHEN 1 THEN 3 ELSE 4 END
+                        WHEN doc_id % 4 = 3 THEN 1
                    ELSE 3 END AS channels
             FROM documents),
         px AS (
             SELECT media_id,
-                   SUM((x*3 + y*7 + ch*11 + media_id) % 256)
-                       AS pixel_sum
+                   SUM(CASE WHEN fmt = 3
+                       THEN ((x//8)*5 + (y//8)*9 + media_id*3) % 256
+                       ELSE (x*3 + y*7 + ch*11 + media_id) % 256
+                       END) AS pixel_sum
             FROM params, range(16) rx(x), range(13) ry(y),
                  range(4) rc(ch)
             WHERE x < width AND y < height AND ch < channels
             GROUP BY media_id),
         rz AS (
             SELECT media_id,
-                   SUM((((x*width)//8)*3 + ((y*height)//8)*7
-                        + ch*11 + media_id) % 256) AS resized_sum
+                   SUM(CASE WHEN fmt = 3
+                       THEN ((((x*width)//8)//8)*5
+                             + (((y*height)//8)//8)*9
+                             + media_id*3) % 256
+                       ELSE (((x*width)//8)*3 + ((y*height)//8)*7
+                             + ch*11 + media_id) % 256
+                       END) AS resized_sum
             FROM params, range(8) rx(x), range(8) ry(y), range(4) rc(ch)
             WHERE ch < channels
             GROUP BY media_id)

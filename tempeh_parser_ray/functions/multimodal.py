@@ -10,11 +10,14 @@ dims, full PIXEL decode for 8-bit PNG (stdlib zlib + all five row
 unfilters) and uncompressed BMP24, nearest-neighbor resize, WAV PCM16
 sample decode (RIFF walk + int16 LE), and MP4 ``moov/mvhd`` duration
 (versions 0/1) — each verified bit-for-bit against closed-form SQL
-oracles plus encode->decode round-trip pytests. GIF pixels decode too (an
-in-repo LZW inflate); only transform-coded layers (JPEG DCT, WebP
-VP8) still require a codec library: those paths fall back to deterministic byte-level features
-behind the ``try: import PIL`` gate (``strict=True`` raises
-``NotImplementedError``).
+oracles plus encode->decode round-trip pytests. GIF pixels decode too
+(an in-repo LZW inflate), and baseline sequential grayscale JPEG gets
+a REAL transform decode (marker parse, canonical Huffman, dequantize,
+dezigzag, 2-D IDCT — see the JPEG section at the bottom). Only WebP
+VP8(L) pixels and out-of-tier JPEG (progressive/color/subsampled)
+still require a codec library: those paths fall back to deterministic
+byte-level features behind the ``try: import PIL`` gate
+(``strict=True`` raises ``NotImplementedError``).
 
 Batch-size guidance baked into the stage defaults: media batches should
 be sized by BYTES not rows (reuse ``stages.rebatch`` with the media
@@ -359,10 +362,13 @@ def _png_unfilter(raw: bytes, w: int, h: int, c: int) -> np.ndarray:
 def decode_image_pixels(blob: bytes) -> Optional[np.ndarray]:
     """REAL pixel decode -> (h, w, channels) uint8, or ``None`` when the
     payload is not an 8-bit non-interlaced gray/RGB/RGBA PNG, a
-    global-palette non-interlaced GIF (real LZW inflate below), or an
-    uncompressed bottom-up 24-bit BMP (callers fall back to the
-    header/stub path)."""
+    global-palette non-interlaced GIF (real LZW inflate below), an
+    uncompressed bottom-up 24-bit BMP, or a baseline sequential
+    grayscale JPEG (full Huffman + IDCT decode below; callers fall
+    back to the header/stub path)."""
     n = len(blob)
+    if n >= 4 and blob[:2] == b"\xff\xd8":
+        return decode_jpeg_gray(blob)
     if n > 45 and blob[:8] == b"\x89PNG\r\n\x1a\n":
         w = int.from_bytes(blob[16:20], "big")
         h = int.from_bytes(blob[20:24], "big")
@@ -799,3 +805,333 @@ def encode_gif(img: np.ndarray) -> bytes:
         out += bytes([len(chunk)]) + chunk
     out += b"\x00\x3B"
     return bytes(out)
+
+
+# --- baseline JPEG (grayscale, sequential DCT) ---------------------------
+#
+# REAL dependency-free baseline-JPEG codec closing the transform-coded
+# tier: full marker parse (DQT/DHT/SOF0/SOS), canonical Huffman decode
+# (DC categories + AC run/size RLE with EOB/ZRL), dequantize, dezigzag,
+# orthonormal 2-D IDCT, level shift + clamp. Scope: 8-bit grayscale
+# single-scan sequential (1x1 sampling) — progressive (SOF2), multi-
+# component color, and restart markers return None (callers fall back
+# to the header/stub path). The paired encoder emits spec-valid JFIF
+# streams (byte stuffing, canonical DHT, edge-replicated padding) so
+# round-trip and closed-form-oracle tests need no image library.
+# Per ITU T.81; per-8x8-constant blocks with an all-ones quant table
+# round-trip BIT-EXACTLY (all AC coefficients are exact zeros and the
+# DC path is integer), which is what the SQL oracle pins.
+
+def _gen_zigzag() -> np.ndarray:
+    order = []
+    for s in range(15):
+        rs = range(s, -1, -1) if s % 2 == 0 else range(s + 1)
+        for r in rs:
+            c = s - r
+            if r < 8 and c < 8:
+                order.append(r * 8 + c)
+    return np.asarray(order, np.int64)
+
+
+_JPEG_ZZ = _gen_zigzag()
+
+_DCT_M = (np.cos((2 * np.arange(8)[None, :] + 1)
+                 * np.arange(8)[:, None] * np.pi / 16) / 2)
+_DCT_M[0] /= np.sqrt(2)
+
+# fixed-length canonical Huffman tables covering every baseline symbol:
+# 12 DC categories at 4 bits, all 162 AC (run,size) symbols (EOB, ZRL,
+# run 0-15 x size 1-10) at 8 bits — valid per-spec DHT payloads that
+# keep the table constants short and typo-proof (the DECODER builds its
+# tables from the DHT segment generically, so it accepts any stream)
+_JPEG_DC_BITS = [0] * 17
+_JPEG_DC_BITS[4] = 12
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0] * 17
+_JPEG_AC_BITS[8] = 162
+_JPEG_AC_VALS = [0x00, 0xF0] + [(r << 4) | s
+                                for r in range(16) for s in range(1, 11)]
+
+
+def _jpeg_canonical(bits: list, vals: list) -> dict:
+    """vals-order canonical code assignment: symbol -> (code, length)."""
+    codes: dict = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, val: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (val & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:          # byte stuffing
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)
+
+
+class _JpegBitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def read(self, nbits: int) -> int:
+        while self.n < nbits:
+            if self.pos >= len(self.data):
+                raise EOFError("jpeg entropy data exhausted")
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.n += 8
+        out = (self.acc >> (self.n - nbits)) & ((1 << nbits) - 1)
+        self.n -= nbits
+        self.acc &= (1 << self.n) - 1
+        return out
+
+
+def _jpeg_size_cat(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def encode_jpeg_gray(img: np.ndarray, *,
+                     q_table: Optional[np.ndarray] = None) -> bytes:
+    """REAL baseline-JPEG encoder for 8-bit grayscale: FDCT + quantize
+    (default all-ones table — numerically lossless for per-8x8-constant
+    blocks) + zigzag + DC-diff/AC-RLE Huffman with byte stuffing."""
+    import struct
+    img = np.asarray(img, np.uint8)
+    if img.ndim == 3:
+        img = img[:, :, 0]
+    h, w = img.shape
+    q = (np.ones((8, 8), np.int64) if q_table is None
+         else np.asarray(q_table, np.int64))
+    pad = np.pad(img, ((0, (-h) % 8), (0, (-w) % 8)), mode="edge")
+    ph, pw = pad.shape
+
+    dc_codes = _jpeg_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _JpegBitWriter()
+    prev_dc = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            block = pad[by:by + 8, bx:bx + 8].astype(np.float64)
+            f = _DCT_M @ (block - 128.0) @ _DCT_M.T
+            zz = np.round(f / q).astype(np.int64).flatten()[_JPEG_ZZ]
+            np.clip(zz[1:], -1023, 1023, out=zz[1:])  # AC size <= 10
+            diff = int(zz[0]) - prev_dc
+            prev_dc = int(zz[0])
+            s = _jpeg_size_cat(diff)
+            code, ln = dc_codes[s]
+            bw.write(code, ln)
+            if s:
+                bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    code, ln = ac_codes[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                s = _jpeg_size_cat(v)
+                code, ln = ac_codes[(run << 4) | s]
+                bw.write(code, ln)
+                bw.write(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if run:
+                code, ln = ac_codes[0x00]
+                bw.write(code, ln)
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0x00)
+    out += bytes(int(x) for x in q.flatten()[_JPEG_ZZ])
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1)
+    out += bytes([1, 0x11, 0])
+    for cls, bits, vals in ((0x00, _JPEG_DC_BITS, _JPEG_DC_VALS),
+                            (0x10, _JPEG_AC_BITS, _JPEG_AC_VALS)):
+        out += b"\xff\xc4" + struct.pack(
+            ">HB", 2 + 1 + 16 + len(vals), cls)
+        out += bytes(bits[1:17]) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+    out += bytes([1, 0x00, 0, 63, 0])
+    out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_jpeg_gray(blob: bytes) -> Optional[np.ndarray]:
+    """REAL baseline-JPEG pixel decode -> (h, w, 1) uint8, or ``None``
+    for anything outside the supported tier (progressive/color/
+    subsampled/restart-interval streams, truncated or hostile bytes)."""
+    try:
+        return _decode_jpeg_gray(blob)
+    except (EOFError, IndexError, KeyError, ValueError,
+            OverflowError, ZeroDivisionError):
+        return None
+
+
+def _decode_jpeg_gray(blob: bytes) -> Optional[np.ndarray]:
+    n = len(blob)
+    if n < 4 or blob[:2] != b"\xff\xd8":
+        return None
+    qtables: dict = {}
+    hufftables: dict = {}   # (class, id) -> {(length, code): symbol}
+    h = w = -1
+    comp_tq = 0
+    p = 2
+    data_start = -1
+    while p + 4 <= n:
+        if blob[p] != 0xFF:
+            return None
+        marker = blob[p + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            p += 2
+            continue
+        seg_len = int.from_bytes(blob[p + 2:p + 4], "big")
+        seg = blob[p + 4:p + 2 + seg_len]
+        if len(seg) != seg_len - 2:
+            return None
+        if marker == 0xDB:                       # DQT
+            q = 0
+            while q < len(seg):
+                pq, tq = seg[q] >> 4, seg[q] & 0x0F
+                if pq != 0:                      # 16-bit tables: out of tier
+                    return None
+                tbl = np.zeros(64, np.int64)
+                tbl[_JPEG_ZZ] = np.frombuffer(
+                    seg[q + 1:q + 65], np.uint8).astype(np.int64)
+                qtables[tq] = tbl.reshape(8, 8)
+                q += 65
+        elif marker == 0xC4:                     # DHT
+            q = 0
+            while q < len(seg):
+                cls, tid = seg[q] >> 4, seg[q] & 0x0F
+                bits = [0] + list(seg[q + 1:q + 17])
+                nv = sum(bits)
+                vals = list(seg[q + 17:q + 17 + nv])
+                if len(vals) != nv:
+                    return None
+                table = {}
+                code = 0
+                k = 0
+                for length in range(1, 17):
+                    for _ in range(bits[length]):
+                        table[(length, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                hufftables[(cls, tid)] = table
+                q += 17 + nv
+        elif marker == 0xC0:                     # SOF0 baseline
+            if seg[0] != 8:
+                return None
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            if seg[5] != 1 or seg[7] != 0x11:    # 1 component, 1x1
+                return None
+            comp_tq = seg[8]
+        elif 0xC1 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            return None                          # progressive & friends
+        elif marker == 0xDA:                     # SOS
+            if seg[0] != 1:
+                return None
+            dc_tid, ac_tid = seg[2] >> 4, seg[2] & 0x0F
+            data_start = p + 2 + seg_len
+            break
+        elif marker == 0xDD:                     # DRI: out of tier
+            return None
+        p += 2 + seg_len
+    if data_start < 0 or h <= 0 or w <= 0:
+        return None
+    dc_tab = hufftables[(0, dc_tid)]
+    ac_tab = hufftables[(1, ac_tid)]
+    qt = qtables[comp_tq]
+
+    # unstuff entropy bytes up to the next real marker
+    data = bytearray()
+    p = data_start
+    while p < n:
+        b = blob[p]
+        if b == 0xFF:
+            nxt = blob[p + 1] if p + 1 < n else 0xD9
+            if nxt == 0x00:
+                data.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:              # RSTn: out of tier
+                return None
+            break
+        data.append(b)
+        p += 1
+
+    def huff_decode(rd: "_JpegBitReader", table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | rd.read(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid huffman code")
+
+    rd = _JpegBitReader(bytes(data))
+    nby, nbx = (h + 7) // 8, (w + 7) // 8
+    out = np.zeros((nby * 8, nbx * 8), np.uint8)
+    prev_dc = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            zz = np.zeros(64, np.int64)
+            s = huff_decode(rd, dc_tab)
+            if s > 11:                           # hostile DHT symbol
+                raise ValueError("bad DC category")
+            if s:
+                v = rd.read(s)
+                if v < (1 << (s - 1)):
+                    v -= (1 << s) - 1
+                prev_dc += v
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                sym = huff_decode(rd, ac_tab)
+                if sym == 0x00:                  # EOB
+                    break
+                if sym == 0xF0:                  # ZRL
+                    k += 16
+                    continue
+                run, size = sym >> 4, sym & 0x0F
+                k += run
+                if k > 63 or size == 0 or size > 10:
+                    raise ValueError("bad AC run/size")
+                v = rd.read(size)
+                if v < (1 << (size - 1)):
+                    v -= (1 << size) - 1
+                zz[k] = v
+                k += 1
+            coef = np.zeros(64, np.float64)
+            coef[_JPEG_ZZ] = zz * qt.flatten()[_JPEG_ZZ]
+            block = _DCT_M.T @ coef.reshape(8, 8) @ _DCT_M + 128.0
+            out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = np.clip(
+                np.round(block), 0, 255).astype(np.uint8)
+    return out[:h, :w, None]

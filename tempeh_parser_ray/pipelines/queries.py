@@ -1987,14 +1987,18 @@ def above_median_length(sf_dir: str) -> pa.Table:
 
 def image_pixel_stats(sf_dir: str) -> "ray.data.Dataset":
     """REAL pixel-level decode + resize, no image library: deterministic
-    small images (even doc_ids: PNG written with all five row filters
-    cycling; odd: bottom-up 24-bit BMP) are decoded back to pixel
+    small images (format cycles by ``doc_id % 4``: PNG written with all
+    five row filters cycling, bottom-up 24-bit BMP, GIF via the in-repo
+    LZW pair, and baseline grayscale JPEG — real Huffman + IDCT; the
+    JPEG images are per-8x8-block constant so the all-ones-quant
+    transform path round-trips bit-exactly) are decoded back to pixel
     arrays by the dependency-free codec (functions/multimodal.py:
     ``decode_image_pixels``) and resized 8x8 nearest-neighbor
     (``resize_nearest``). ``pixel_sum`` / ``resized_sum`` are
     integer-exact closed forms of (doc_id, x, y, ch), so the SQL oracle
     verifies the ENTIRE pixel path — inflate, unfilter (incl. Paeth),
-    BGR/bottom-up unswizzle, and the resize index math — bit-for-bit."""
+    BGR/bottom-up unswizzle, LZW, JPEG entropy+DCT, and the resize
+    index math — bit-for-bit."""
     import numpy as np
 
     def gen(batch: pa.Table) -> pa.Table:
@@ -2002,8 +2006,15 @@ def image_pixel_stats(sf_dir: str) -> "ray.data.Dataset":
         blobs: list[bytes] = []
         for d in ids:
             w, h = 4 + d % 13, 3 + d % 11
-            fmt = d % 3  # 0: PNG, 1: BMP, 2: GIF (real LZW)
-            c = (1, 3, 4)[(d // 3) % 3] if fmt == 0 else 3
+            fmt = d % 4  # 0: PNG, 1: BMP, 2: GIF, 3: JPEG (all REAL)
+            if fmt == 3:
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                gray = (((x // 8) * 5 + (y // 8) * 9 + d * 3)
+                        % 256).astype(np.uint8)
+                blobs.append(_mm.encode_jpeg_gray(gray))
+                continue
+            c = (1, 3, 4)[(d // 4) % 3] if fmt == 0 else 3
             x = np.arange(w)[None, :, None]
             y = np.arange(h)[:, None, None]
             ch = np.arange(c)[None, None, :]

@@ -187,3 +187,83 @@ def test_decoders_survive_truncated_valid_payloads():
             ba[pos] ^= 0xFF
         for dec in decoders:
             dec(bytes(ba))
+
+
+# --- baseline JPEG ---------------------------------------------------------
+
+
+def test_jpeg_exact_round_trip_block_constant():
+    """Per-8x8-block-constant grayscale with the all-ones quant table
+    round-trips BIT-EXACTLY (all AC coefficients are exact zeros; the
+    DC path is integer) — the property the image_pixel_stats oracle
+    pins end-to-end."""
+    for d in range(60):
+        w, h = 4 + d % 13, 3 + d % 11
+        x = np.arange(w)[None, :]
+        y = np.arange(h)[:, None]
+        img = (((x // 8) * 5 + (y // 8) * 9 + d * 3) % 256).astype(
+            np.uint8)
+        dec = mm.decode_jpeg_gray(mm.encode_jpeg_gray(img))
+        assert dec is not None and dec.shape == (h, w, 1)
+        assert np.array_equal(dec[:, :, 0], img)
+
+
+def test_jpeg_lossy_round_trip_tolerance():
+    """Arbitrary images exercise the FULL entropy path (AC run/size
+    symbols, ZRL, byte stuffing, multi-block DC prediction); with the
+    all-ones quant table the only loss is FDCT/IDCT rounding, so the
+    reconstruction must stay within 2 levels everywhere."""
+    rng = np.random.RandomState(11)
+    for _ in range(8):
+        h, w = int(rng.randint(5, 50)), int(rng.randint(5, 50))
+        img = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        dec = mm.decode_jpeg_gray(mm.encode_jpeg_gray(img))
+        assert dec is not None and dec.shape == (h, w, 1)
+        err = np.abs(dec[:, :, 0].astype(int) - img.astype(int)).max()
+        assert err <= 2
+
+
+def test_jpeg_nontrivial_quant_table():
+    """A non-uniform quant table changes the stream (DQT is decoded,
+    not assumed) and stays within the q-bounded reconstruction error."""
+    q = np.clip(np.arange(64).reshape(8, 8) + 1, 1, 24)
+    img = (np.arange(16 * 16, dtype=np.int64).reshape(16, 16)
+           * 7 % 256).astype(np.uint8)
+    dec = mm.decode_jpeg_gray(mm.encode_jpeg_gray(img, q_table=q))
+    assert dec is not None and dec.shape == (16, 16, 1)
+    # worst-case per-coefficient quant error q/2, loose L_inf bound
+    err = np.abs(dec[:, :, 0].astype(int) - img.astype(int)).max()
+    assert err <= int(q.sum() / 16) + 2
+
+
+def test_jpeg_via_generic_pixel_decoder():
+    img = np.full((9, 12), 200, np.uint8)
+    blob = mm.encode_jpeg_gray(img)
+    assert mm.parse_image_header(blob)[:2] == (12, 9)
+    dec = mm.decode_image_pixels(blob)
+    assert dec.shape == (9, 12, 1) and (dec == 200).all()
+
+
+def test_jpeg_rejects_out_of_tier_streams():
+    img = np.full((8, 8), 100, np.uint8)
+    blob = bytearray(mm.encode_jpeg_gray(img))
+    # progressive: flip SOF0 (0xC0) to SOF2 (0xC2)
+    sof = blob.find(b"\xff\xc0")
+    prog = bytes(blob[:sof + 1]) + b"\xc2" + bytes(blob[sof + 2:])
+    assert mm.decode_jpeg_gray(prog) is None
+    # restart interval: splice a DRI segment after SOI
+    dri = bytes(blob[:2]) + b"\xff\xdd\x00\x04\x00\x08" + bytes(blob[2:])
+    assert mm.decode_jpeg_gray(dri) is None
+
+
+def test_jpeg_survives_truncation_and_bitflips():
+    img = (np.arange(11 * 17, dtype=np.int64).reshape(11, 17)
+           * 13 % 256).astype(np.uint8)
+    blob = mm.encode_jpeg_gray(img)
+    for cut in range(0, len(blob), 2):
+        mm.decode_jpeg_gray(blob[:cut])        # must not raise
+    ba = bytearray(blob)
+    for pos in range(0, len(ba), 5):
+        flipped = bytearray(ba)
+        flipped[pos] ^= 0xFF
+        mm.decode_jpeg_gray(bytes(flipped))    # must not raise
