@@ -63,13 +63,19 @@ class HTMLParser:
         before later siblings are parsed. Raises ``ValueError`` with
         the reference-exact message on a parse error (the iterator
         rejects, matching the reference; completed roots are yielded
-        first)."""
+        first).
+
+        Lexing is INCREMENTAL (``lexer.Tokenizer.tokenize_stream``):
+        tokens are pulled one at a time, so a completed root is
+        observable before the tail of the input has been lexed — the
+        reference's lex-while-consume property (``src/lexer.js:504-511``)
+        at token granularity, not just tree granularity."""
         from . import lexer as _lexer
 
-        tokens = (_lexer.tokenize_bytes(source,
-                                        self.options.ignore_self_closing_syntax)
-                  if isinstance(source, bytes)
-                  else _lexer.tokenize_str(
-                      source, self.options.ignore_self_closing_syntax))
+        tokens = (_lexer.tokenize_bytes_stream(
+            source, self.options.ignore_self_closing_syntax)
+            if isinstance(source, bytes)
+            else _lexer.tokenize_str_stream(
+                source, self.options.ignore_self_closing_syntax))
         return _parser.iter_root_nodes(tokens,
                                        self.options.tag_name_casing)

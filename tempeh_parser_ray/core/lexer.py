@@ -348,6 +348,92 @@ class Tokenizer:
             if pos < 0:  # terminated inside a sub-scanner
                 return self.tokens
 
+    def tokenize_stream(self):
+        """INCREMENTAL lexing: a generator yielding each token as soon
+        as the state machine produces it — the reference's
+        lex-while-consume property (``src/lexer.js:504-511``, tokens
+        written to the stream as produced) at token granularity: a
+        consumer observes a token before the tail of the input has
+        been scanned. ``self.tokens`` still accumulates the full list,
+        and ``list(tokenize_stream()) == tokenize()`` is pinned by a
+        differential pytest over the fixture corpus. The batch hot
+        path keeps calling :meth:`tokenize` (no generator overhead);
+        only the single-document streaming surface
+        (``HTMLParser.iter_nodes``) pays for laziness."""
+        units = self.units
+        n = self.n
+        build = self.build
+        toks = self.tokens
+        emit = toks.append
+        lc = self.lc
+        drained = 0
+        pos = 0
+
+        while True:
+            text_start = pos
+            i = pos
+            nxt = None
+            while True:
+                j = units.find("<", i)
+                if j == -1:
+                    if self.terminal_error is None and text_start < n:
+                        tl, tc = lc(text_start)
+                        emit((TEXT_CONTENT, build(units[text_start:n]),
+                              tl, tc))
+                    self._terminate()
+                    yield from toks[drained:]
+                    return
+                a = units[j + 1] if j + 1 < n else ""
+                if a in _LEADING:
+                    nxt = ("open", j, j + 1)
+                    break
+                if (a == "/" and j + 2 < n and units[j + 2] in _LEADING):
+                    nxt = ("close", j, j + 2)
+                    break
+                if units[j + 1:j + 4] == "!--":
+                    nxt = ("comment", j, j + 4)
+                    break
+                if (units[j:j + 9] == chars.DOCTYPE_PREFIX
+                        and j + 9 < n and units[j + 9] in _WS):
+                    nxt = ("doctype", j, j + 10)
+                    break
+                i = j + 1
+
+            kind, j, pos = nxt
+            if text_start < j:
+                tl, tc = lc(text_start)
+                emit((TEXT_CONTENT, build(units[text_start:j]), tl, tc))
+
+            if kind == "open":
+                pos = self._scan_opening_tag(pos)
+            elif kind == "close":
+                pos = self._scan_closing_tag(pos)
+            elif kind == "comment":
+                k = units.find("-->", pos)
+                if k == -1:
+                    self._terminate()
+                    yield from toks[drained:]
+                    return
+                tl, tc = lc(pos)
+                emit((COMMENT, chars.js_trim(build(units[pos:k])),
+                      tl, tc))
+                pos = k + 3
+            else:  # doctype; position backdated to '<'
+                k = units.find(">", pos)
+                if k == -1:
+                    self._terminate()
+                    yield from toks[drained:]
+                    return
+                tl, tc = lc(j)
+                emit((DOCTYPE_DECLARATION,
+                      chars.js_trim(build(units[pos:k])), tl, tc))
+                pos = k + 1
+
+            yield from toks[drained:]
+            drained = len(toks)
+            if pos < 0:  # terminated inside a sub-scanner
+                return
+
     # -- opening tag (lexer.js:702-850). Returns new pos, or -1 if the
     # document terminated (terminator token already emitted).
     def _scan_opening_tag(self, pos: int) -> int:
@@ -521,3 +607,17 @@ def tokenize_bytes(data: bytes, ignore_self_closing: bool = False,
                    track_positions: bool = True) -> list[tuple]:
     return Tokenizer(decode_bytes_source(data), ignore_self_closing,
                      track_positions).tokenize()
+
+
+def tokenize_str_stream(raw: str, ignore_self_closing: bool = False,
+                        track_positions: bool = True):
+    """Generator form of :func:`tokenize_str` (incremental lexing)."""
+    return Tokenizer(decode_string_source(raw), ignore_self_closing,
+                     track_positions).tokenize_stream()
+
+
+def tokenize_bytes_stream(data: bytes, ignore_self_closing: bool = False,
+                          track_positions: bool = True):
+    """Generator form of :func:`tokenize_bytes` (incremental lexing)."""
+    return Tokenizer(decode_bytes_source(data), ignore_self_closing,
+                     track_positions).tokenize_stream()

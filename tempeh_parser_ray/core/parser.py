@@ -195,7 +195,7 @@ def parse_tokens(tokens: list[Token], tag_name_casing: str = "lower") -> ParsedD
     return doc
 
 
-def iter_root_nodes(tokens: list[Token], tag_name_casing: str = "lower"):
+def iter_root_nodes(tokens, tag_name_casing: str = "lower"):
     """Streamed per-node consumption — the engine's equivalent of the
     reference's async iteration / ``childStream`` recursion
     (``src/HTMLParser.js:24-67``, README.md:203-224): yields each ROOT
@@ -214,7 +214,13 @@ def iter_root_nodes(tokens: list[Token], tag_name_casing: str = "lower"):
 
     Equivalence with the batch builder is pinned by a differential
     test: ``list(iter_root_nodes(toks))`` must equal
-    ``to_nested(parse_tokens(toks))`` on every non-error document."""
+    ``to_nested(parse_tokens(toks))`` on every non-error document.
+
+    ``tokens`` may be a list OR a lazy iterator (e.g. the incremental
+    ``lexer.Tokenizer.tokenize_stream`` generator) — the builder pulls
+    one token at a time, so with a streaming lexer a completed root is
+    yielded BEFORE the tail of the input has been lexed (the
+    reference's lex-while-consume property, ``src/lexer.js:504-511``)."""
 
     def _attach(node: dict[str, Any],
                 stack: list[tuple[dict[str, Any], str]]):
@@ -225,10 +231,8 @@ def iter_root_nodes(tokens: list[Token], tag_name_casing: str = "lower"):
 
     stack: list[tuple[dict[str, Any], str]] = []
     root_open: Optional[dict[str, Any]] = None  # stack[0]'s node
-    i = 0
-    n = len(tokens)
-    while i < n:
-        t = tokens[i]
+    it = iter(tokens)
+    for t in it:
         tt = t[0]
         if tt == TEXT_CONTENT:
             if t[1]:
@@ -239,9 +243,7 @@ def iter_root_nodes(tokens: list[Token], tag_name_casing: str = "lower"):
         elif tt == OPENING_TAGNAME:
             tag = _case(t[1], tag_name_casing)
             pending_attrs: list[list[Any]] = []
-            i += 1
-            while i < n:
-                t2 = tokens[i]
+            for t2 in it:
                 t2t = t2[0]
                 if t2t == ATTRIBUTE_NAME:
                     pending_attrs.append([t2[1], "", t2[2], t2[3]])
@@ -281,7 +283,6 @@ def iter_root_nodes(tokens: list[Token], tag_name_casing: str = "lower"):
                     raise ValueError(
                         "Tempeh parsing error: Encountered unexpected "
                         f"token type {name} at {t2[2]}:{t2[3]}")
-                i += 1
         elif tt == CLOSING_TAGNAME:
             tag = _case(t[1], tag_name_casing)
             for d in range(len(stack) - 1, -1, -1):
@@ -310,7 +311,6 @@ def iter_root_nodes(tokens: list[Token], tag_name_casing: str = "lower"):
             raise ValueError(
                 "Tempeh parsing error: Encountered unexpected token type "
                 f"{name} at {t[2]}:{t[3]}")
-        i += 1
     if root_open is not None:
         yield root_open  # EOF with unclosed root element
 

@@ -277,3 +277,60 @@ def test_iter_nodes_is_incremental():
     roots = list(it2)
     assert len(roots) == 1 and roots[0]["tagName"] == "ul"
     assert roots[0]["children"][0]["tagName"] == "li"
+
+
+def test_tokenize_stream_equals_tokenize_on_fixtures():
+    """Differential pin for the incremental lexer: the token-at-a-time
+    generator must produce EXACTLY the batch tokenizer's list on every
+    fixture document (both casings of source: str and bytes modes)."""
+    from tempeh_parser_ray.core import lexer as L
+    from tempeh_parser_ray.sources.fixtures import fixture_corpus_table
+
+    tbl = fixture_corpus_table()
+    for data in tbl.column("html").to_pylist():
+        assert list(L.tokenize_bytes_stream(data)) == \
+            L.tokenize_bytes(data)
+        try:
+            raw = data.decode("utf-8")
+        except UnicodeDecodeError:  # UTF-16/32 BOM fixtures: bytes-only
+            continue
+        assert list(L.tokenize_str_stream(raw)) == L.tokenize_str(raw)
+
+
+def test_tokenize_stream_equals_tokenize_fuzz():
+    import random
+
+    from tempeh_parser_ray.core import lexer as L
+    rng = random.Random(1234)
+    frags = ["<div>", "</div>", "text", "<a href='x'>", "<br/>",
+             "<!-- c -->", "<!DOCTYPE html>", "<script>q'<'</script>",
+             "<p a=b>", "\n", "\\", "'", '"', "<", ">", "=", "x=",
+             "<textarea>", "</textarea>", "\x00", "\r\n", "é\U0001F600"]
+    for _ in range(400):
+        raw = "".join(rng.choice(frags)
+                      for _ in range(rng.randint(0, 12)))
+        assert list(L.tokenize_str_stream(raw)) == L.tokenize_str(raw)
+
+
+def test_iter_nodes_lexes_incrementally():
+    """Token-level streaming (reference src/lexer.js:504-511): a root
+    subtree is yielded while the TAIL of the input is still unlexed —
+    observed via the Tokenizer's accumulated token list (no EOF/ERROR
+    terminator yet, far fewer tokens than the full document)."""
+    from tempeh_parser_ray.core import lexer as L
+    from tempeh_parser_ray.core import parser as P
+
+    tail = "<p>late</p>" * 500
+    src = "<a>first</a>" + tail
+    tok = L.Tokenizer(L.decode_string_source(src))
+    roots = P.iter_root_nodes(tok.tokenize_stream())
+    first = next(roots)
+    assert first["tagName"] == "a"
+    n_total = len(L.tokenize_str(src))
+    seen = len(tok.tokens)
+    assert seen < n_total / 10      # tail still unlexed
+    assert tok.tokens[-1][0] not in (L.EOF, L.ERROR)
+    # draining the iterator completes the lex and matches the batch list
+    rest = list(roots)
+    assert len(rest) == 500
+    assert tok.tokens == L.tokenize_str(src)
