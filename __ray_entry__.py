@@ -25,13 +25,47 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Ordered so the driver's 50-query correctness budget lands on the
+    # queries CORRECTNESS_r03 did not cover (VERDICT r3, item 5); the
+    # remainder are pinned by CORRECTNESS_r03 + the committed CHECK_r4 sweep.
     return {
-        # flagship extraction (SURVEY.md §2.2-2.3, §3)
+        "corpus_filter_funnel": _q.corpus_filter_funnel,
+        "extract_spans": _q.extract_spans,
+        "extract_error_contract": _q.extract_error_contract,
+        "doc_freq_score": _q.doc_freq_score,
+        "events_json_props": _q.events_json_props,
+        "normalize_text": _q.normalize_text,
+        "user_sessions_salted": _q.user_sessions_salted,
+        "heavy_hitters": _q.heavy_hitters,
+        "keyword_search": _q.keyword_search,
+        "orders_rollup": _q.orders_rollup,
+        "revenue_by_region": _q.revenue_by_region,
+        "parts_by_brand": _q.parts_by_brand,
+        "sequence_packing": _q.sequence_packing,
+        "decontaminate": _q.decontaminate,
+        "pii_redact": _q.pii_redact,
+        "repetition_ratio": _q.repetition_ratio,
+        "stratified_sample_by_lang": _q.stratified_sample_by_lang,
+        "source_mixture_sample": _q.source_mixture_sample,
+        "events_lag": _q.events_lag,
+        "incremental_dedup": _q.incremental_dedup,
+        "quality_classifier": _q.quality_classifier,
+        "tfidf_search": _q.tfidf_search,
+        "above_median_length": _q.above_median_length,
+        "image_pixel_stats": _q.image_pixel_stats,
+        "cross_doc_repetition": _q.cross_doc_repetition,
+        "bpe_train": _q.bpe_train,
+        "mixture_plan": _q.mixture_plan,
+        "curation_pipeline": _q.curation_pipeline,
+        "audio_pcm_stats": _q.audio_pcm_stats,
+        "video_duration": _q.video_duration,
+        "events_lead": _q.events_lead,
+        "sliding_distinct_users": _q.sliding_distinct_users,
+        "dedup_minhash_keep_distributed": _q.dedup_minhash_keep_distributed,
         "extract_text": _q.extract_text,
         "extract_lang_stats": _q.extract_lang_stats,
         "parse_trees": _q.parse_trees,
         "parse_fixture_corpus": _q.parse_fixture_corpus,
-        # text analysis (§ training-data ops)
         "token_count": _q.token_count,
         "quality_score": _q.quality_score,
         "doc_fingerprint": _q.doc_fingerprint,
@@ -40,28 +74,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_stats": _q.lang_stats,
         "top_sources": _q.top_sources,
         "events_by_type": _q.events_by_type,
-        # dedup family
         "dedup_exact": _q.dedup_exact,
         "dedup_minhash": _q.dedup_minhash,
         "dedup_simhash": _q.dedup_simhash,
         "ngram_jaccard_pairs": _q.ngram_jaccard_pairs,
-        # similarity search
         "knn_cosine": _q.knn_cosine,
         "knn_cosine_lsh": _q.knn_cosine_lsh,
         "knn_cosine_ivf": _q.knn_cosine_ivf,
-        # multimodal plumbing
         "multimodal_features": _q.multimodal_features,
         "image_header_dims": _q.image_header_dims,
         "frame_offsets": _q.frame_offsets,
-        # relational / windowed (SURVEY.md par.2.5-2.7, par.2.9)
         "pricing_summary": _q.pricing_summary,
         "orders_by_nation": _q.orders_by_nation,
         "events_windowed": _q.events_windowed,
         "orders_top10": _q.orders_top10,
-        # extraction variants
         "extract_main_text": _q.extract_main_text,
         "extract_multi_encoding": _q.extract_multi_encoding,
-        # additional training-data ops
         "token_count_bpe": _q.token_count_bpe,
         "term_doc_freq": _q.term_doc_freq,
         "orders_mktsegment": _q.orders_mktsegment,
@@ -71,75 +99,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": _q.dedup_embedding,
         "media_resize": _q.media_resize,
         "audio_features": _q.audio_features,
-        # temporal joins / windows (custom operators, pipelines/windows.py)
         "events_asof_join": _q.events_asof_join,
         "events_range_join": _q.events_range_join,
         "events_sliding_3h": _q.events_sliding_3h,
-        # sketches / summaries (functions/sketches.py)
         "doc_length_percentiles": _q.doc_length_percentiles,
         "approx_distinct_tokens_hll": _q.approx_distinct_tokens_hll,
-        # additional relational / text ops
         "customers_no_urgent_orders": _q.customers_no_urgent_orders,
         "bigram_counts": _q.bigram_counts,
         "distinct_tokens_per_lang": _q.distinct_tokens_per_lang,
         "top3_docs_per_lang": _q.top3_docs_per_lang,
         "label_stats": _q.label_stats,
-        # alternate source formats (sources/jsonl_corpus.py)
         "extract_text_jsonl": _q.extract_text_jsonl,
         "token_count_csv": _q.token_count_csv,
-        # composite curation pipelines
         "dedup_minhash_keep": _q.dedup_minhash_keep,
-        "corpus_filter_funnel": _q.corpus_filter_funnel,
-        # span-emitting extraction (integrity contract)
-        "extract_spans": _q.extract_spans,
-        # poison-document error contract (P5 / L2 semantics)
-        "extract_error_contract": _q.extract_error_contract,
-        # broadcast vocabulary scoring
-        "doc_freq_score": _q.doc_freq_score,
-        # semi-structured + normalization
-        "events_json_props": _q.events_json_props,
-        "normalize_text": _q.normalize_text,
-        # skew-safe (salted) sessionization, same contract as user_sessions
-        "user_sessions_salted": _q.user_sessions_salted,
-        # sketch-prefiltered exact heavy hitters
-        "heavy_hitters": _q.heavy_hitters,
-        # search + multi-level aggregation
-        "keyword_search": _q.keyword_search,
-        "orders_rollup": _q.orders_rollup,
-        # multi-way dimension join (supplier -> nation -> region)
-        "revenue_by_region": _q.revenue_by_region,
-        "parts_by_brand": _q.parts_by_brand,
-        # corpus curation (functions/curation.py)
-        "sequence_packing": _q.sequence_packing,
-        "decontaminate": _q.decontaminate,
-        "pii_redact": _q.pii_redact,
-        "repetition_ratio": _q.repetition_ratio,
-        "stratified_sample_by_lang": _q.stratified_sample_by_lang,
-        "source_mixture_sample": _q.source_mixture_sample,
-        # LAG window (pipelines/windows.py)
-        "events_lag": _q.events_lag,
-        # incremental dedup / model scoring / retrieval (round 3)
-        "incremental_dedup": _q.incremental_dedup,
-        "quality_classifier": _q.quality_classifier,
-        "tfidf_search": _q.tfidf_search,
-        "above_median_length": _q.above_median_length,
-        # real dependency-free pixel codec (PNG all-filters + BMP24)
-        "image_pixel_stats": _q.image_pixel_stats,
-        # cross-document duplicated-gram fraction (substring-dedup signal)
-        "cross_doc_repetition": _q.cross_doc_repetition,
-        # tokenizer training + mixture planning
-        "bpe_train": _q.bpe_train,
-        "mixture_plan": _q.mixture_plan,
-        # flagship composite: quality -> dedup -> decontam -> pack
-        "curation_pipeline": _q.curation_pipeline,
-        # real dependency-free audio (WAV PCM16) + video (MP4 mvhd) decode
-        "audio_pcm_stats": _q.audio_pcm_stats,
-        "video_duration": _q.video_duration,
-        # LEAD window + windowed distinct users
-        "events_lead": _q.events_lead,
-        "sliding_distinct_users": _q.sliding_distinct_users,
-        # distributed label-propagation components (10^9-edge path)
-        "dedup_minhash_keep_distributed": _q.dedup_minhash_keep_distributed,
     }
 
 
