@@ -29,6 +29,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # queries CORRECTNESS_r03 did not cover (VERDICT r3, item 5); the
     # remainder are pinned by CORRECTNESS_r03 + the committed CHECK_r4 sweep.
     return {
+        # round-4 additions (driver-uncovered by construction)
+        "paragraph_dedup": _q.paragraph_dedup,
+        "extract_text_warc": _q.extract_text_warc,
         "corpus_filter_funnel": _q.corpus_filter_funnel,
         "extract_spans": _q.extract_spans,
         "extract_error_contract": _q.extract_error_contract,
@@ -304,6 +307,41 @@ def oracle_sql() -> dict[str, str]:
         # each threshold equals the banded candidate intersection).
         "dedup_minhash": _JACCARD_PAIRS_SQL.format(threshold=0.8),
         "ngram_jaccard_pairs": _JACCARD_PAIRS_SQL.format(threshold=0.5),
+        # sub-document chunk dedup: first occurrence per distinct
+        # 10-token window under (doc_id, idx) order; docs reassembled
+        # from survivors, fully-duplicate docs dropped. The engine's
+        # md5-low-64 fingerprint equals exact chunk-text equality here
+        # (collision odds ~n^2/2^65).
+        "paragraph_dedup": """
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000 AS doc_id, text || ' extra' AS text
+                FROM documents WHERE doc_id % 10 = 0
+            ),
+            t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM corpus),
+            c AS (
+                SELECT doc_id, CAST(i AS BIGINT) AS idx,
+                       array_to_string(toks[i*10+1 : i*10+10], ' ')
+                           AS chunk
+                FROM t, range(0, 4096) r(i)
+                WHERE i * 10 < len(toks)
+            ),
+            k AS (
+                SELECT doc_id, idx, chunk,
+                       ROW_NUMBER() OVER (PARTITION BY chunk
+                                          ORDER BY doc_id, idx) AS rn
+                FROM c
+            )
+            SELECT doc_id,
+                   string_agg(chunk, ' ' ORDER BY idx)
+                       FILTER (rn = 1) AS text_clean,
+                   COUNT(*) AS n_chunks,
+                   COUNT(*) FILTER (rn = 1) AS n_kept
+            FROM k GROUP BY doc_id
+            HAVING COUNT(*) FILTER (rn = 1) > 0
+        """,
         "dedup_exact": """
             SELECT doc_id, text, lang, source, n_chars
             FROM documents
@@ -611,6 +649,7 @@ def oracle_sql() -> dict[str, str]:
     }
     # alternate-source queries share the base oracles (same output contract)
     d["extract_text_jsonl"] = d["extract_text"]
+    d["extract_text_warc"] = d["extract_text"]
     d["token_count_csv"] = d["token_count"]
     d["user_sessions_salted"] = d["user_sessions"]
     d["extract_error_contract"] = """

@@ -29,6 +29,7 @@ from typing import Iterable, Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -701,3 +702,172 @@ def components_by_label_propagation(pairs: "ray.data.Dataset",
             f"components_by_label_propagation did not converge in "
             f"{max_iters} iterations (potential still decreasing)")
     return labels
+
+
+# --- paragraph (sub-document chunk) dedup --------------------------------
+
+# winner key packs (doc_id, chunk_idx) into one int64 so the first
+# occurrence under (doc_id ASC, idx ASC) order is a plain Min aggregate.
+_CHUNK_IDX_CAP = 1 << 20
+
+
+def _doc_chunks(text: str | None, chunk_tokens: int) -> list[str]:
+    """Fixed-size token windows over ``text.split(' ')`` — the corpus
+    has no paragraph separators, so the "paragraph" unit is a
+    ``chunk_tokens``-token window (last window may be shorter). Matches
+    DuckDB ``array_to_string(toks[i*n+1 : i*n+n], ' ')`` exactly."""
+    toks = (text or "").split(" ")
+    return [" ".join(toks[i:i + chunk_tokens])
+            for i in range(0, len(toks), chunk_tokens)]
+
+
+def _chunk_fp64(chunks: list[str]) -> np.ndarray:
+    """int64 content fingerprint per chunk (md5 low 8 bytes). A 64-bit
+    collision mis-classifies two distinct chunks as duplicates with
+    ~n^2/2^65 probability — negligible even at 10^12 chunks, same
+    trade the exact-dedup family documents."""
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(c.encode("utf-8")).digest()[:8],
+                        "big", signed=True) for c in chunks),
+        dtype=np.int64, count=len(chunks))
+
+
+def _chunk_fp_rows(batch: pa.Table, *, text_col: str, id_col: str,
+                   chunk_tokens: int) -> pa.Table:
+    """Explode docs to INT-ONLY (fp, winner-key) rows — the aggregate
+    exchange never carries chunk text."""
+    fps: list[np.ndarray] = []
+    keys: list[np.ndarray] = []
+    for did, txt in zip(batch.column(id_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+        cs = _doc_chunks(txt, chunk_tokens)
+        if len(cs) >= _CHUNK_IDX_CAP:
+            raise ValueError(
+                f"doc {did}: {len(cs)} chunks >= {_CHUNK_IDX_CAP}")
+        fps.append(_chunk_fp64(cs))
+        keys.append(np.int64(did) * _CHUNK_IDX_CAP
+                    + np.arange(len(cs), dtype=np.int64))
+    return pa.table({
+        "_cfp": pa.array(np.concatenate(fps) if fps else
+                         np.empty(0, np.int64)),
+        "_ckey": pa.array(np.concatenate(keys) if keys else
+                          np.empty(0, np.int64)),
+    })
+
+
+def paragraph_dedup(ds: "ray.data.Dataset", *, text_col: str = "text",
+                    id_col: str = "doc_id", chunk_tokens: int = 10,
+                    num_partitions: int = 16,
+                    broadcast_limit: int = 5_000_000
+                    ) -> "ray.data.Dataset":
+    """Corpus-wide SUB-document exact dedup (RefinedWeb/Falcon-style
+    line dedup): every ``chunk_tokens``-token window that occurs more
+    than once across the corpus is kept only at its first occurrence
+    (smallest ``(doc_id, idx)``), every doc is reassembled from its
+    surviving windows in order, and docs with no surviving window are
+    dropped entirely.
+
+    Scale shape (the reason this is not exact_dedup on exploded rows):
+
+    1. one PURE aggregate exchange over int-only ``(fp, key)`` rows —
+       ``groupby(_cfp).aggregate(Min(_ckey))``; chunk TEXT never rides
+       this shuffle, and per-group state is one int64.
+    2. winner application is size-adaptive. Below ``broadcast_limit``
+       distinct chunks, the ``fp -> winner key`` map is broadcast once
+       (``ray.put`` + per-worker cache) and each doc is re-chunked and
+       reassembled LOCALLY inside one ``map_batches`` — zero further
+       exchanges, corpus text never shuffles at all. Above it, the
+       exploded rows ``left_semi``-join the winner keys and docs are
+       reassembled by a ``groupby(doc_id).map_groups`` ordered concat
+       (two corpus-volume exchanges — the standard price once the
+       distinct-chunk set outgrows worker heaps).
+
+    Requires ``id_col >= 0`` (the packed winner key orders by
+    ``doc_id * CAP + idx``).
+    """
+    fp_rows = ds.map_batches(
+        _chunk_fp_rows, batch_format="pyarrow",
+        fn_kwargs={"text_col": text_col, "id_col": id_col,
+                   "chunk_tokens": chunk_tokens})
+    winners = fp_rows.groupby("_cfp").aggregate(
+        ray.data.aggregate.Min("_ckey")).materialize()
+
+    if winners.count() <= broadcast_limit:
+        win_map: dict[int, int] = {}
+        for b in winners.iter_batches(batch_format="pyarrow",
+                                      batch_size=None):
+            win_map.update(zip(
+                (int(x) for x in b.column("_cfp").to_pylist()),
+                (int(x) for x in b.column("min(_ckey)").to_pylist())))
+        map_ref = ray.put(win_map)
+
+        def rebuild(batch: pa.Table) -> pa.Table:
+            wm = cached_get(map_ref)
+            out_ids, out_txt, out_n, out_kept = [], [], [], []
+            for did, txt in zip(batch.column(id_col).to_pylist(),
+                                batch.column(text_col).to_pylist()):
+                cs = _doc_chunks(txt, chunk_tokens)
+                fps = _chunk_fp64(cs)
+                base = int(did) * _CHUNK_IDX_CAP
+                kept = [c for i, (c, f) in enumerate(zip(cs, fps))
+                        if wm.get(int(f)) == base + i]
+                if kept:
+                    out_ids.append(did)
+                    out_txt.append(" ".join(kept))
+                    out_n.append(len(cs))
+                    out_kept.append(len(kept))
+            return pa.table({
+                id_col: pa.array(out_ids, pa.int64()),
+                "text_clean": pa.array(out_txt, pa.string()),
+                "n_chunks": pa.array(out_n, pa.int64()),
+                "n_kept": pa.array(out_kept, pa.int64()),
+            })
+
+        return ds.map_batches(rebuild, batch_format="pyarrow")
+
+    # join path: explode WITH text, semi-join the winner keys, then an
+    # ordered per-doc reassembly. Used when the distinct-chunk set is
+    # too large to broadcast; shuffles corpus text twice by necessity.
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, idxs, chunks, fps, keys, totals = [], [], [], [], [], []
+        for did, txt in zip(batch.column(id_col).to_pylist(),
+                            batch.column(text_col).to_pylist()):
+            cs = _doc_chunks(txt, chunk_tokens)
+            f = _chunk_fp64(cs)
+            for i, c in enumerate(cs):
+                ids.append(did); idxs.append(i); chunks.append(c)
+                fps.append(int(f[i]))
+                keys.append(int(did) * _CHUNK_IDX_CAP + i)
+                totals.append(len(cs))
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "_idx": pa.array(idxs, pa.int64()),
+            "_chunk": pa.array(chunks, pa.string()),
+            "_cfp": pa.array(fps, pa.int64()),
+            "_ckey": pa.array(keys, pa.int64()),
+            "_total": pa.array(totals, pa.int64()),
+        })
+
+    def winner_keys(batch: pa.Table) -> pa.Table:
+        return pa.table({"_cfp": batch.column("_cfp"),
+                         "_ckey": batch.column("min(_ckey)")})
+
+    kept_rows = ds.map_batches(explode, batch_format="pyarrow").join(
+        winners.map_batches(winner_keys, batch_format="pyarrow"),
+        join_type="left_semi", num_partitions=num_partitions,
+        on=("_cfp", "_ckey"))
+
+    def assemble(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group.column("_idx"))
+        g = group.take(order)
+        return pa.table({
+            id_col: pa.array([g.column(id_col)[0].as_py()], pa.int64()),
+            "text_clean": pa.array(
+                [" ".join(g.column("_chunk").to_pylist())], pa.string()),
+            "n_chunks": pa.array([g.column("_total")[0].as_py()],
+                                 pa.int64()),
+            "n_kept": pa.array([g.num_rows], pa.int64()),
+        })
+
+    return kept_rows.groupby(id_col).map_groups(
+        assemble, batch_format="pyarrow")

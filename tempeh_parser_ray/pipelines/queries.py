@@ -2470,3 +2470,34 @@ def dedup_minhash_keep_distributed(sf_dir: str) -> pa.Table:
     tbl = tbl.select(["doc_id", "lang", "source", "n_chars"])
     return tbl.take(pc.sort_indices(
         tbl, sort_keys=[("doc_id", "ascending")]))
+
+
+def paragraph_dedup(sf_dir: str) -> "ray.data.Dataset":
+    """Corpus-wide SUB-document dedup (RefinedWeb-style line/paragraph
+    dedup): 10-token windows duplicated across the mutated corpus are
+    kept only at their first occurrence and each doc is reassembled
+    from its survivors — the engine's sub-document analog of
+    ``dedup_exact``. Text never rides the winner exchange (int-only
+    fingerprint aggregate + size-adaptive rebuild;
+    functions/dedup.py:paragraph_dedup)."""
+    return _dedup.paragraph_dedup(_mutated_corpus(sf_dir))
+
+
+def extract_text_warc(sf_dir: str) -> "ray.data.Dataset":
+    """The flagship extraction fed from WARC shards — index-free
+    parallel byte-range reads with record resync
+    (sources/warc_corpus.py), then the same fused parse+extract actor
+    pool and the same byte-identical oracle as ``extract_text``. Small
+    ``range_bytes`` so the kilobyte-scale test corpus still exercises
+    multi-range boundaries; production uses the 64 MiB default."""
+    from ..sources import warc_corpus as _warc
+
+    corpus = _warc.read_warc(_warc.warc_corpus_dir(sf_dir),
+                             range_bytes=64 << 10)
+    ex = _ep.extract_dataset(corpus, spans=False,
+                             concurrency=_q_pool(),
+                             passthrough=("doc_id",))
+    return ex.map_batches(
+        lambda b: b.select(["doc_id", "extracted_text", "n_chars_extracted",
+                            "n_nodes", "n_links", "error"]),
+        batch_format="pyarrow")
