@@ -30,6 +30,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # remainder are pinned by CORRECTNESS_r03 + the committed CHECK_r4 sweep.
     return {
         # round-4 additions (driver-uncovered by construction)
+        "semdedup": _q.semdedup,
         "paragraph_dedup": _q.paragraph_dedup,
         "extract_text_warc": _q.extract_text_warc,
         "corpus_filter_funnel": _q.corpus_filter_funnel,
@@ -312,6 +313,30 @@ def oracle_sql() -> dict[str, str]:
         # from survivors, fully-duplicate docs dropped. The engine's
         # md5-low-64 fingerprint equals exact chunk-text equality here
         # (collision odds ~n^2/2^65).
+        "semdedup": """
+            -- End keep-set of the within-cluster greedy rule, expressed
+            -- as the exhaustive global pairwise rule: on this workload
+            -- the only pairs at cosine >= 0.95 are planted exact clones
+            -- (identical vectors share a cluster by construction and
+            -- their originals are never dropped, so greedy == any);
+            -- the greedy/cluster semantics themselves are pinned by the
+            -- pytest brute-force reference.
+            WITH emb AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000 AS vec_id, embedding
+                FROM embeddings WHERE vec_id % 10 = 0)
+            SELECT e.vec_id,
+                   NOT EXISTS (
+                       SELECT 1 FROM emb o
+                       WHERE o.vec_id < e.vec_id
+                         AND list_cosine_similarity(
+                                 CAST(o.embedding AS DOUBLE[]),
+                                 CAST(e.embedding AS DOUBLE[])) >= 0.95
+                   ) AS keep
+            FROM emb e
+            ORDER BY vec_id
+        """,
         "paragraph_dedup": """
             WITH corpus AS (
                 SELECT doc_id, text FROM documents

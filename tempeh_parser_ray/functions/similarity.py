@@ -439,3 +439,66 @@ def knn_cosine_ivf(embeddings: "ray.data.Dataset",
     candidates = embeddings.map_batches(in_lists, batch_format="pyarrow")
     return knn_cosine_brute(candidates, query_ids, k=k,
                             id_col=id_col, vec_col=vec_col)
+
+
+# --- SemDedup: cluster-then-prune semantic dedup -------------------------
+
+
+def semdedup(embeddings: "ray.data.Dataset", *, threshold: float = 0.95,
+             n_clusters: int = 16, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> "ray.data.Dataset":
+    """SemDedup-style semantic dedup (Abbas et al. 2023, public): a
+    coarse spherical k-means partitions the embedding space, then each
+    cluster is pruned independently — a vector is DROPPED iff a
+    smaller-id vector in the SAME cluster has cosine similarity >=
+    ``threshold`` to it. Returns (id, cluster, keep) for every vector.
+
+    Scale shape: the quantizer reuses ``train_ivf_centroids`` (only
+    ``n_clusters x dim`` floats ever reach the driver); assignment is
+    one broadcast-matmul ``map_batches``; pruning is one
+    ``groupby(cluster).map_groups`` whose per-group cost is the paper's
+    own within-cluster pairwise pass (O(c^2) on cluster size c — at
+    100 TB size the clusters via ``n_clusters ~ N / target_c``, and a
+    skewed hot cluster is split by re-running k-means inside it; both
+    knobs are the published practice, noted here as the partitioning
+    assumption). Deterministic: fixed init, min-id keep rule."""
+    centroids = train_ivf_centroids(embeddings, n_clusters,
+                                    id_col=id_col, vec_col=vec_col)
+    cref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        u = _unit_rows(_batch_matrix(batch, vec_col))
+        cl = np.argmax(u @ c.T, axis=1).astype(np.int32)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "cluster": pa.array(cl),
+            "_unit": pa.array(list(u), pa.list_(pa.float64())),
+        })
+
+    def prune(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group.column(id_col).to_pylist(), np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        u = np.asarray(group.column("_unit").to_pylist(),
+                       np.float64)[order]
+        sims = u @ u.T
+        # keep[i] == no kept j<i with sims[j,i] >= threshold; the
+        # GREEDY rule (vs "any j<i") matches the paper's sequential
+        # sweep and is what the pytest oracle pins.
+        n = len(ids)
+        keep = np.ones(n, dtype=bool)
+        for i in range(1, n):
+            if np.any(sims[:i, i][keep[:i]] >= threshold):
+                keep[i] = False
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "cluster": pa.array(
+                np.repeat(group.column("cluster")[0].as_py(), n),
+                pa.int32()),
+            "keep": pa.array(keep),
+        })
+
+    return embeddings.map_batches(
+        assign, batch_format="pyarrow").groupby("cluster").map_groups(
+        prune, batch_format="pyarrow")

@@ -2501,3 +2501,25 @@ def extract_text_warc(sf_dir: str) -> "ray.data.Dataset":
         lambda b: b.select(["doc_id", "extracted_text", "n_chars_extracted",
                             "n_nodes", "n_links", "error"]),
         batch_format="pyarrow")
+
+
+def semdedup(sf_dir: str) -> "ray.data.Dataset":
+    """SemDedup-style semantic dedup over the mutated embedding table
+    (originals + exact clones planted at vec_id+100000): coarse
+    spherical k-means partitions the space, each cluster is pruned
+    independently with the greedy min-id keep rule
+    (functions/similarity.py:semdedup).
+
+    Oracle note: the SQL oracle checks the END KEEP-SET with an
+    exhaustive global pairwise rule ("keep iff no smaller-id vector
+    anywhere has cosine >= threshold"), which coincides with the
+    within-cluster greedy rule on this workload because every pair at
+    >= 0.95 is an exact clone pair — identical vectors always share a
+    cluster, and clone originals are never themselves dropped (so
+    greedy == any-smaller). The greedy within-cluster semantics on
+    adversarial chain inputs are pinned by the pytest brute-force
+    reference instead (tests/test_round4_ops.py)."""
+    out = _sim.semdedup(_mutated_embeddings(sf_dir), threshold=0.95,
+                        n_clusters=16)
+    return out.map_batches(lambda b: b.select(["vec_id", "keep"]),
+                           batch_format="pyarrow")

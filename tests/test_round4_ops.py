@@ -156,3 +156,116 @@ def test_warc_corpus_matches_parquet_synthesis(ray_session):
         for r in b.to_pylist():
             ref[r["doc_id"]] = r["html"]
     assert got == ref
+
+
+# --- SemDedup (cluster-then-prune semantic dedup) ------------------------
+
+import numpy as np
+
+from tempeh_parser_ray.functions import similarity as _sim
+
+
+def _semdedup_table(ids, mat):
+    return pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float64())),
+    })
+
+
+def _run_semdedup(ray, ids, mat, *, n_clusters, threshold, parts=None):
+    ds = ray.data.from_arrow(_semdedup_table(ids, mat))
+    if parts:
+        ds = ds.repartition(parts)
+    out = _sim.semdedup(ds, threshold=threshold, n_clusters=n_clusters)
+    rows = {}
+    for b in out.iter_batches(batch_format="pyarrow", batch_size=None):
+        for r in b.to_pylist():
+            rows[r["vec_id"]] = (r["cluster"], r["keep"])
+    return rows
+
+
+def _ref_semdedup(ids, mat, *, n_clusters, threshold, n_iters=3):
+    """Independent spec reimplementation: spherical k-means (init = the
+    n_clusters smallest-id unit vectors, argmax-cosine assignment, mean
+    + renormalize update, 3 Lloyd iterations), then per-cluster greedy
+    min-id sweep: drop i iff some KEPT j<i in the cluster has
+    cosine >= threshold."""
+    ids = np.asarray(ids, np.int64)
+    mat = np.asarray(mat, np.float64)
+    n = np.linalg.norm(mat, axis=1)
+    n[n == 0] = 1.0
+    unit = mat / n[:, None]
+    c = unit[np.argsort(ids)[:n_clusters]].copy()
+    cn = np.linalg.norm(c, axis=1)
+    cn[cn == 0] = 1.0
+    c = c / cn[:, None]
+    for _ in range(n_iters):
+        assign = np.argmax(unit @ c.T, axis=1)
+        for k in range(len(c)):
+            m = assign == k
+            if m.any():
+                v = unit[m].sum(axis=0) / m.sum()
+                nv = np.linalg.norm(v)
+                c[k] = v / (nv if nv else 1.0)
+    assign = np.argmax(unit @ c.T, axis=1)
+    out = {}
+    for k in set(assign.tolist()):
+        m = np.nonzero(assign == k)[0]
+        m = m[np.argsort(ids[m])]
+        kept: list[int] = []
+        for i in m:
+            dup = any(unit[j] @ unit[i] >= threshold for j in kept)
+            out[int(ids[i])] = (int(k), not dup)
+            if not dup:
+                kept.append(i)
+    return out
+
+
+def test_semdedup_greedy_chain(ray_session):
+    # a--b and b--c similar, a--c not: greedy keeps a, drops b, then
+    # checks c against KEPT vectors only -> c survives. The non-greedy
+    # "any smaller id" rule would wrongly drop c.
+    ang = np.deg2rad([0.0, 17.0, 34.0])
+    mat = np.stack([np.cos(ang), np.sin(ang)], axis=1)
+    rows = _run_semdedup(ray_session, [1, 2, 3], mat,
+                         n_clusters=1, threshold=0.95)
+    assert {i: k for i, (_, k) in rows.items()} == {
+        1: True, 2: False, 3: True}
+
+
+def test_semdedup_matches_reference(ray_session):
+    rng = np.random.RandomState(7)
+    base = rng.randn(48, 6)
+    ids = list(range(48)) + [1000, 1010, 1020]
+    mat = np.vstack([base, base[[0, 10, 20]]])  # exact clones
+    got = _run_semdedup(ray_session, ids, mat,
+                        n_clusters=4, threshold=0.9)
+    ref = _ref_semdedup(ids, mat, n_clusters=4, threshold=0.9)
+    assert got == ref
+    # exact clones are ALWAYS dropped under the greedy rule (if the
+    # original is kept it kills the clone; if the original was itself
+    # dropped by some kept j, that same j kills the clone), and always
+    # land in the original's cluster. (dim 6 deliberately yields some
+    # NATURAL >= 0.9 pairs too — e.g. ids 3/20 with seed 7 — so the
+    # reference equality above is exercised beyond the planted pairs.)
+    for orig, clone in ((0, 1000), (10, 1010), (20, 1020)):
+        assert not got[clone][1]
+        assert got[orig][0] == got[clone][0]  # co-clustered
+
+
+def test_semdedup_partition_invariance(ray_session):
+    # dim 16 keeps natural cosines far below 0.95, so the keep-set is
+    # exactly {originals} regardless of float summation order across
+    # block layouts; cluster ids may legitimately differ.
+    rng = np.random.RandomState(11)
+    base = rng.randn(40, 16)
+    ids = list(range(40)) + [900 + i for i in range(0, 40, 5)]
+    mat = np.vstack([base, base[::5]])
+    a = _run_semdedup(ray_session, ids, mat, n_clusters=4,
+                      threshold=0.95)
+    b = _run_semdedup(ray_session, ids, mat, n_clusters=4,
+                      threshold=0.95, parts=5)
+    assert {i: k for i, (_, k) in a.items()} == \
+           {i: k for i, (_, k) in b.items()}
+    assert all(k == (i < 900) for i, (_, k) in a.items())
