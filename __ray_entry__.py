@@ -30,6 +30,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # remainder are pinned by CORRECTNESS_r03 + the committed CHECK_r4 sweep.
     return {
         # round-4 additions (driver-uncovered by construction)
+        "ngram_lm_ppl": _q.ngram_lm_ppl,
         "semdedup": _q.semdedup,
         "paragraph_dedup": _q.paragraph_dedup,
         "extract_text_warc": _q.extract_text_warc,
@@ -313,6 +314,32 @@ def oracle_sql() -> dict[str, str]:
         # from survivors, fully-duplicate docs dropped. The engine's
         # md5-low-64 fingerprint equals exact chunk-text equality here
         # (collision odds ~n^2/2^65).
+        "ngram_lm_ppl": r"""
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                FROM documents WHERE trim(text) <> ''),
+            c1 AS (
+                SELECT w, CAST(COUNT(*) AS DOUBLE) AS n
+                FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+            v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM c1),
+            bi AS (
+                SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+                                       for i in range(1, len(t))]) AS bg
+                FROM toks WHERE len(t) >= 2),
+            c2 AS (
+                SELECT bg, CAST(COUNT(*) AS DOUBLE) AS n
+                FROM bi GROUP BY bg),
+            terms AS (
+                SELECT bi.doc_id,
+                       ln((c2.n + 1.0) / (c1.n + v.v)) AS term
+                FROM bi
+                JOIN c2 USING (bg)
+                JOIN c1 ON c1.w = split_part(bi.bg, ' ', 1)
+                CROSS JOIN v)
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   ROUND(EXP(-SUM(term) / COUNT(*)), 4) AS ppl
+            FROM terms GROUP BY doc_id ORDER BY doc_id
+        """,
         "semdedup": """
             -- End keep-set of the within-cluster greedy rule, expressed
             -- as the exhaustive global pairwise rule: on this workload

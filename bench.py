@@ -74,7 +74,7 @@ QUERY_NAMES = [
     "bpe_train", "mixture_plan", "curation_pipeline",
     "audio_pcm_stats", "video_duration", "events_lead",
     "sliding_distinct_users", "dedup_minhash_keep_distributed",
-    "paragraph_dedup", "extract_text_warc", "semdedup",
+    "paragraph_dedup", "extract_text_warc", "semdedup", "ngram_lm_ppl",
 ]
 
 

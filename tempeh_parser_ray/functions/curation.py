@@ -455,3 +455,215 @@ def cross_doc_gram_stats(docs: "ray.data.Dataset", *, width: int = 5
         })
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+# --- CCNet-style n-gram LM perplexity scoring ----------------------------
+
+
+def ngram_lm_scores(docs: "ray.data.Dataset", *,
+                    broadcast_limit: int = 5_000_000,
+                    join_parts: int = 8) -> "ray.data.Dataset":
+    """CCNet-style quality scoring: train an add-one-smoothed bigram LM
+    on the corpus itself (one distributed count pass), then score every
+    document with its bigram perplexity — the classic "how surprising
+    is this text to a model of the corpus" curation signal
+    (Wenzek et al. 2020, public; CCNet trains KenLM on Wikipedia, here
+    the LM is the corpus's own bigram table so the operator is
+    self-contained and exactly SQL-checkable).
+
+    Model: ``P(t_i | t_{i-1}) = (c2(t_{i-1}, t_i) + 1) / (c1(t_{i-1})
+    + V)`` with ``V`` = distinct-unigram count; per-doc ``ppl =
+    exp(-mean ln P)`` over the doc's ``len - 1`` bigram positions
+    (docs with < 2 tokens are skipped — no bigram positions to score).
+
+    Scale shape:
+    - TRAIN is one tokenize pass emitting map-side-combined ``(kind,
+      fp, n)`` partial counts (kind 0 = unigram, 1 = bigram; fp =
+      vectorized siphash of the token / "w1 w2" gram — only 8-byte
+      fingerprints shuffle, never token text) folded by ONE
+      ``groupby((kind, fp)).sum``; the count table is vocab-bounded,
+      not corpus-bounded.
+    - SCORE is size-adaptive (the house pattern): a count table within
+      ``broadcast_limit`` ships once as sorted int64 arrays
+      (per-worker cached) and every doc scores itself in ONE
+      vectorized pass (searchsorted + np.add.reduceat per batch); a
+      larger table falls back to a distributed inner join of per-doc
+      (kind, fp, multiplicity) rows against the counts — exact because
+      ``ll = sum(mult_bi * ln(c2+1)) - sum(mult_w1 * ln(c1+V))``
+      separates per kind, so one join + one groupby(doc_id) suffices.
+    - The DuckDB oracle joins on the gram STRINGS, so agreement also
+      certifies the fp has no colliding pair on the input (same
+      argument as :func:`decontaminate`).
+
+    Returns (doc_id, n_bigrams, ppl) with ppl rounded to 4 decimals.
+    """
+    import pandas as pd
+
+    def _fp(strs: list[str]) -> np.ndarray:
+        if not strs:
+            return np.zeros(0, np.int64)
+        return pd.util.hash_array(
+            np.asarray(strs, dtype=object)).astype(np.int64)
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        uni: Counter = Counter()
+        bi: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            toks = tokenize(t)
+            uni.update(toks)
+            if len(toks) >= 2:
+                bi.update(a + " " + b for a, b in zip(toks, toks[1:]))
+        kinds = np.concatenate([np.zeros(len(uni), np.int64),
+                                np.ones(len(bi), np.int64)])
+        fps = np.concatenate([_fp(list(uni.keys())),
+                              _fp(list(bi.keys()))])
+        ns = np.fromiter(uni.values(), np.int64, len(uni))
+        ns = np.concatenate([ns, np.fromiter(bi.values(), np.int64,
+                                             len(bi))])
+        return pa.table({"kind": pa.array(kinds, pa.int64()),
+                         "fp": pa.array(fps, pa.int64()),
+                         "n": pa.array(ns, pa.int64())})
+
+    counts = docs.map_batches(
+        count_partial, batch_format="pyarrow").groupby(
+        ["kind", "fp"]).aggregate(ray.data.aggregate.Sum("n")
+                                  ).materialize()
+
+    def _kind0(batch: pa.Table) -> pa.Table:
+        k = batch.column("kind").to_numpy(zero_copy_only=False)
+        return pa.table({"v": pa.array([int((k == 0).sum())],
+                                       pa.int64())})
+
+    vocab = int(counts.map_batches(
+        _kind0, batch_format="pyarrow").sum("v"))
+
+    def doc_grams(batch: pa.Table):
+        """Yield per-doc (ids, n_bigrams) plus flattened position fps."""
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        keep_ids: list[int] = []
+        lens: list[int] = []
+        bi_all: list[np.ndarray] = []
+        w1_all: list[np.ndarray] = []
+        for i, t in zip(ids, texts):
+            toks = tokenize(t)
+            if len(toks) < 2:
+                continue
+            keep_ids.append(int(i))
+            lens.append(len(toks) - 1)
+            bi_all.append(_fp([a + " " + b
+                               for a, b in zip(toks, toks[1:])]))
+            w1_all.append(_fp(toks[:-1]))
+        if keep_ids:
+            return (np.asarray(keep_ids, np.int64),
+                    np.asarray(lens, np.int64),
+                    np.concatenate(bi_all), np.concatenate(w1_all))
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                np.zeros(0, np.int64), np.zeros(0, np.int64))
+
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("n_bigrams", pa.int64()),
+                            ("ppl", pa.float64())])
+
+    n_counts = counts.count()
+    if n_counts <= broadcast_limit:
+        parts = list(counts.iter_batches(batch_format="pyarrow",
+                                         batch_size=None))
+        tbl = pa.concat_tables(parts)
+        k = tbl.column("kind").to_numpy(zero_copy_only=False)
+        f = tbl.column("fp").to_numpy(zero_copy_only=False)
+        n = tbl.column("sum(n)").to_numpy(zero_copy_only=False)
+        lm = {}
+        for kind in (0, 1):
+            m = k == kind
+            order = np.argsort(f[m])
+            lm[kind] = (f[m][order], n[m][order].astype(np.float64))
+        lm_ref = ray.put((lm[0], lm[1], float(vocab)))
+
+        def score(batch: pa.Table) -> pa.Table:
+            (uf, un), (bf, bn), V = cached_get(lm_ref)
+            ids, lens, bi, w1 = doc_grams(batch)
+            if not len(ids):
+                return out_schema.empty_table()
+            # trained on the same corpus, every scored gram is present
+            c2 = bn[np.searchsorted(bf, bi)]
+            c1 = un[np.searchsorted(uf, w1)]
+            terms = np.log((c2 + 1.0) / (c1 + V))
+            offsets = np.concatenate(
+                ([0], np.cumsum(lens[:-1]))).astype(np.int64)
+            ll = np.add.reduceat(terms, offsets)
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_bigrams": pa.array(lens, pa.int64()),
+                "ppl": pa.array(np.round(np.exp(-ll / lens), 4),
+                                pa.float64()),
+            })
+
+        return docs.map_batches(score, batch_format="pyarrow")
+
+    # distributed path: per-doc (kind, fp, mult) rows join the counts
+    def mult_rows(batch: pa.Table) -> pa.Table:
+        ids, lens, bi, w1 = doc_grams(batch)
+        out_id: list[np.ndarray] = []
+        out_k: list[np.ndarray] = []
+        out_f: list[np.ndarray] = []
+        out_m: list[np.ndarray] = []
+        pos = 0
+        for i, ln_ in zip(ids, lens):
+            for kind, arr in ((1, bi[pos:pos + ln_]),
+                              (0, w1[pos:pos + ln_])):
+                uniq, cnt = np.unique(arr, return_counts=True)
+                out_id.append(np.full(len(uniq), i, np.int64))
+                out_k.append(np.full(len(uniq), kind, np.int64))
+                out_f.append(uniq)
+                out_m.append(cnt.astype(np.int64))
+            pos += ln_
+        if not out_id:
+            return pa.schema([("doc_id", pa.int64()),
+                              ("kind", pa.int64()),
+                              ("fp", pa.int64()),
+                              ("mult", pa.int64())]).empty_table()
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
+            "kind": pa.array(np.concatenate(out_k), pa.int64()),
+            "fp": pa.array(np.concatenate(out_f), pa.int64()),
+            "mult": pa.array(np.concatenate(out_m), pa.int64()),
+        })
+
+    fact = docs.map_batches(mult_rows, batch_format="pyarrow")
+    joined = fact.join(counts, join_type="inner",
+                       num_partitions=join_parts, on=("kind", "fp"))
+    V = float(vocab)
+
+    def term_rows(batch: pa.Table) -> pa.Table:
+        k = batch.column("kind").to_numpy(zero_copy_only=False)
+        n = batch.column("sum(n)").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        m = batch.column("mult").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        term = np.where(k == 1, m * np.log(n + 1.0),
+                        -m * np.log(n + V))
+        nbi = np.where(k == 1, m, 0.0).astype(np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "term": pa.array(term, pa.float64()),
+            "nbi": pa.array(nbi, pa.int64()),
+        })
+
+    sums = joined.map_batches(term_rows, batch_format="pyarrow").groupby(
+        "doc_id").aggregate(ray.data.aggregate.Sum("term"),
+                            ray.data.aggregate.Sum("nbi"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ll = batch.column("sum(term)").to_numpy(zero_copy_only=False)
+        nb = batch.column("sum(nbi)").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "n_bigrams": pa.array(nb, pa.int64()),
+            "ppl": pa.array(np.round(np.exp(-ll / nb), 4),
+                            pa.float64()),
+        })
+
+    return sums.map_batches(finish, batch_format="pyarrow")

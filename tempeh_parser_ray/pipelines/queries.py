@@ -2523,3 +2523,11 @@ def semdedup(sf_dir: str) -> "ray.data.Dataset":
                         n_clusters=16)
     return out.map_batches(lambda b: b.select(["vec_id", "keep"]),
                            batch_format="pyarrow")
+
+
+def ngram_lm_ppl(sf_dir: str) -> "ray.data.Dataset":
+    """CCNet-style bigram-LM perplexity score per document: the LM is
+    trained on the corpus itself in one distributed count pass, then
+    every doc scores itself against the broadcast count table
+    (size-adaptive; functions/curation.py:ngram_lm_scores)."""
+    return _cur.ngram_lm_scores(_documents(sf_dir, ["doc_id", "text"]))

@@ -269,3 +269,66 @@ def test_semdedup_partition_invariance(ray_session):
     assert {i: k for i, (_, k) in a.items()} == \
            {i: k for i, (_, k) in b.items()}
     assert all(k == (i < 900) for i, (_, k) in a.items())
+
+
+# --- n-gram LM perplexity (CCNet-style) -----------------------------------
+
+from collections import Counter
+import math
+
+from tempeh_parser_ray.functions import curation as _cur
+
+LM_DOCS = [
+    (1, "a b a b c"),
+    (2, "a b"),
+    (3, "c c c c"),
+    (4, "solo"),        # single token: unigrams count, no score row
+    (5, ""),            # empty: contributes nothing
+    (6, "b a b a b"),
+]
+
+
+def _ref_lm_ppl(docs):
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for _, t in docs:
+        toks = t.split()
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    V = len(uni)
+    out = {}
+    for did, t in docs:
+        toks = t.split()
+        if len(toks) < 2:
+            continue
+        ll = sum(math.log((bi[(a, b)] + 1) / (uni[a] + V))
+                 for a, b in zip(toks, toks[1:]))
+        out[did] = (len(toks) - 1,
+                    round(math.exp(-ll / (len(toks) - 1)), 4))
+    return out
+
+
+def _run_lm(ray, docs, **kw):
+    ds = ray.data.from_items(
+        [{"doc_id": d, "text": t} for d, t in docs]).repartition(3)
+    out = _cur.ngram_lm_scores(ds, **kw)
+    rows = {}
+    for b in out.iter_batches(batch_format="pyarrow", batch_size=None):
+        for r in b.to_pylist():
+            rows[r["doc_id"]] = (r["n_bigrams"], r["ppl"])
+    return rows
+
+
+def test_ngram_lm_matches_reference(ray_session):
+    assert _run_lm(ray_session, LM_DOCS) == _ref_lm_ppl(LM_DOCS)
+
+
+def test_ngram_lm_join_path_equals_broadcast(ray_session):
+    broad = _run_lm(ray_session, LM_DOCS)
+    joined = _run_lm(ray_session, LM_DOCS, broadcast_limit=0)
+    assert set(broad) == set(joined)
+    for k in broad:
+        assert broad[k][0] == joined[k][0]
+        # float sum order differs between the paths; rounded-4 values
+        # agree far inside that tolerance on these inputs
+        assert abs(broad[k][1] - joined[k][1]) < 1e-9
