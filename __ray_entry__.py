@@ -31,6 +31,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # round-4 additions (driver-uncovered by construction)
         "ngram_lm_ppl": _q.ngram_lm_ppl,
+        "ppl_buckets": _q.ppl_buckets,
         "semdedup": _q.semdedup,
         "paragraph_dedup": _q.paragraph_dedup,
         "extract_text_warc": _q.extract_text_warc,
@@ -339,6 +340,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
                    ROUND(EXP(-SUM(term) / COUNT(*)), 4) AS ppl
             FROM terms GROUP BY doc_id ORDER BY doc_id
+        """,
+        "ppl_buckets": r"""
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                FROM documents WHERE trim(text) <> ''),
+            c1 AS (
+                SELECT w, CAST(COUNT(*) AS DOUBLE) AS n
+                FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+            v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM c1),
+            bi AS (
+                SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+                                       for i in range(1, len(t))]) AS bg
+                FROM toks WHERE len(t) >= 2),
+            c2 AS (
+                SELECT bg, CAST(COUNT(*) AS DOUBLE) AS n
+                FROM bi GROUP BY bg),
+            terms AS (
+                SELECT bi.doc_id,
+                       ln((c2.n + 1.0) / (c1.n + v.v)) AS term
+                FROM bi
+                JOIN c2 USING (bg)
+                JOIN c1 ON c1.w = split_part(bi.bg, ' ', 1)
+                CROSS JOIN v),
+            scored AS (
+                SELECT doc_id,
+                       ROUND(EXP(-SUM(term) / COUNT(*)), 4) AS ppl
+                FROM terms GROUP BY doc_id),
+            thr AS (
+                SELECT quantile_disc(ppl, 1.0/3) AS t1,
+                       quantile_disc(ppl, 2.0/3) AS t2
+                FROM scored)
+            SELECT doc_id, ppl,
+                   CASE WHEN ppl <= t1 THEN 'head'
+                        WHEN ppl <= t2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM scored CROSS JOIN thr ORDER BY doc_id
         """,
         "semdedup": """
             -- End keep-set of the within-cluster greedy rule, expressed

@@ -2531,3 +2531,52 @@ def ngram_lm_ppl(sf_dir: str) -> "ray.data.Dataset":
     every doc scores itself against the broadcast count table
     (size-adaptive; functions/curation.py:ngram_lm_scores)."""
     return _cur.ngram_lm_scores(_documents(sf_dir, ["doc_id", "text"]))
+
+
+def ppl_buckets(sf_dir: str) -> "ray.data.Dataset":
+    """CCNet head/middle/tail split: corpus-wide perplexity TERCILES
+    bucket every scored document (head = most fluent third). Thresholds
+    are EXACT quantile_disc values extracted from a distributed
+    value-count histogram — ppl is round-4 by contract, so
+    ``rint(ppl * 10000)`` is an exact int64 domain and the histogram is
+    bounded by the distinct-ppl count, not the doc count; only the tiny
+    (v, n) histogram reaches the driver, and labeling is one broadcast
+    pass over the scores. The scores table (doc_id + two numbers) is
+    materialized once for its two consumers — int-rows-only, far
+    smaller than the corpus; at extreme scale recompute instead."""
+    import numpy as np
+
+    scores = _cur.ngram_lm_scores(
+        _documents(sf_dir, ["doc_id", "text"])).materialize()
+
+    def hist_part(batch: pa.Table) -> pa.Table:
+        v = np.rint(batch.column("ppl").to_numpy(zero_copy_only=False)
+                    * 10000).astype(np.int64)
+        uniq, cnt = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(uniq, pa.int64()),
+                         "n": pa.array(cnt, pa.int64())})
+
+    hist = scores.map_batches(
+        hist_part, batch_format="pyarrow").groupby("v").aggregate(
+        ray.data.aggregate.Sum("n"))
+    tbl = pa.concat_tables(list(hist.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    vals = tbl.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+    cnts = tbl.column("sum(n)").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    t1, t2 = _sk.quantile_disc_from_hist(vals, cnts, [1 / 3, 2 / 3])
+    thr_ref = ray.put((int(t1), int(t2)))
+
+    def label(batch: pa.Table) -> pa.Table:
+        lo, hi = _bcast.cached_get(thr_ref)
+        vi = np.rint(batch.column("ppl").to_numpy(zero_copy_only=False)
+                     * 10000).astype(np.int64)
+        bucket = np.where(vi <= lo, "head",
+                          np.where(vi <= hi, "middle", "tail"))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "ppl": batch.column("ppl"),
+            "bucket": pa.array(bucket.tolist(), pa.string()),
+        })
+
+    return scores.map_batches(label, batch_format="pyarrow")

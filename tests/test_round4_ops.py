@@ -332,3 +332,21 @@ def test_ngram_lm_join_path_equals_broadcast(ray_session):
         # float sum order differs between the paths; rounded-4 values
         # agree far inside that tolerance on these inputs
         assert abs(broad[k][1] - joined[k][1]) < 1e-9
+
+
+def test_ppl_buckets_tercile_semantics(ray_session):
+    from tempeh_parser_ray.pipelines import queries as q
+
+    out = pa.concat_tables(list(q.ppl_buckets(SF_DIR).iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    by = {}
+    for r in out.to_pylist():
+        by.setdefault(r["bucket"], []).append(r["ppl"])
+    assert set(by) == {"head", "middle", "tail"}
+    # value-ordered buckets: every head ppl <= every middle <= every tail
+    assert max(by["head"]) <= min(by["middle"])
+    assert max(by["middle"]) <= min(by["tail"])
+    # terciles are value-threshold based (quantile_disc), so sizes are
+    # near-N/3 up to ties at the boundary values
+    n = out.num_rows
+    assert abs(len(by["head"]) - n / 3) <= max(3, n * 0.05)
