@@ -30,6 +30,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # remainder are pinned by CORRECTNESS_r03 + the committed CHECK_r4 sweep.
     return {
         # round-4 additions (driver-uncovered by construction)
+        "extract_text_pdf": _q.extract_text_pdf,
         "ngram_lm_ppl": _q.ngram_lm_ppl,
         "ppl_buckets": _q.ppl_buckets,
         "semdedup": _q.semdedup,
@@ -340,6 +341,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
                    ROUND(EXP(-SUM(term) / COUNT(*)), 4) AS ppl
             FROM terms GROUP BY doc_id ORDER BY doc_id
+        """,
+        "extract_text_pdf": r"""
+            -- closed form of the PDF layout contract: 8 tokens/line,
+            -- 6 lines/page, split lines ((g-1)%4==1, full) count 2 runs
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE string_split_regex(trim(text), '\s+')
+                       END AS t
+                FROM documents),
+            lns AS (
+                SELECT doc_id, t,
+                       CAST(CEIL(len(t) / 8.0) AS BIGINT) AS n_lines
+                FROM toks)
+            SELECT doc_id,
+                   array_to_string(
+                       [array_to_string(t[(8*g-7):(8*g)], ' ')
+                        for g in range(1, n_lines + 1)],
+                       chr(10)) AS pdf_text,
+                   GREATEST(1, CAST(CEIL(n_lines / 6.0) AS BIGINT))
+                       AS n_pages,
+                   n_lines + len([g for g in range(1, n_lines + 1)
+                                  if (g - 1) % 4 = 1
+                                  AND 8 * g <= len(t)]) AS n_chunks,
+                   '' AS error
+            FROM lns ORDER BY doc_id
         """,
         "ppl_buckets": r"""
             WITH toks AS (

@@ -2580,3 +2580,21 @@ def ppl_buckets(sf_dir: str) -> "ray.data.Dataset":
         })
 
     return scores.map_batches(label, batch_format="pyarrow")
+
+
+def extract_text_pdf(sf_dir: str) -> "ray.data.Dataset":
+    """PDF/layout-parse tier of the extraction engine: documents ride
+    as opaque PDF binaries in Parquet and an actor-pool stage rebuilds
+    READING ORDER from positioned text runs — pages resolved via the
+    /Kids tree (content streams are stored in reverse page order on
+    purpose), runs sorted (y desc, x asc), same-y runs merged into
+    lines (sources/pdf_corpus.py). The corpus layout is a closed-form
+    transform of ``documents.text`` (8 tokens/line, 6 lines/page,
+    split/hex/TJ/Td encodings cycled per line), so the oracle is exact
+    down to chunk counts. Errors surface in the ``error`` column,
+    never as aborts (P5 contract)."""
+    from ..sources import pdf_corpus as _pdf
+
+    return _pdf.read_pdf_corpus(sf_dir).map_batches(
+        _pdf.PdfExtract, concurrency=_q_pool(),
+        batch_size=64, batch_format="pyarrow")

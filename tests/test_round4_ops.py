@@ -350,3 +350,97 @@ def test_ppl_buckets_tercile_semantics(ray_session):
     # near-N/3 up to ties at the boundary values
     n = out.num_rows
     assert abs(len(by["head"]) - n / 3) <= max(3, n * 0.05)
+
+
+# ---------------------------------------------------------------------------
+# PDF-lite layout extraction
+
+
+def test_pdf_roundtrip_matches_closed_form(ray_session):
+    import ray.data
+
+    from tempeh_parser_ray.pipelines import queries as q
+    from tempeh_parser_ray.sources import pdf_corpus as P
+
+    out = pa.concat_tables(list(q.extract_text_pdf(SF_DIR).iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    docs = pa.concat_tables(list(
+        ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
+                              columns=["doc_id", "text"]).iter_batches(
+            batch_format="pyarrow", batch_size=None)))
+    texts = dict(zip(docs.column("doc_id").to_pylist(),
+                     docs.column("text").to_pylist()))
+    assert out.num_rows == len(texts)
+    for r in out.to_pylist():
+        t = texts[r["doc_id"]]
+        assert r["pdf_text"] == P.expected_pdf_text(t)
+        ep, ec = P.expected_counts(t)
+        assert (r["n_pages"], r["n_chunks"]) == (ep, ec)
+        assert r["error"] == ""
+
+
+def test_pdf_literal_string_escapes():
+    from tempeh_parser_ray.sources.pdf_corpus import _lit_string
+
+    # \( \) \\ named escapes, octal, nested unescaped parens,
+    # line continuation, lone backslash drops itself
+    s, i = _lit_string(b"(a\\(b\\)c\\\\d\\101 e)", 0)
+    assert s == b"a(b)c\\dA e"
+    s, _ = _lit_string(b"(nest(ed)ok)", 0)
+    assert s == b"nest(ed)ok"
+    s, _ = _lit_string(b"(li\\\nne)", 0)
+    assert s == b"line"
+    s, _ = _lit_string(b"(q\\zq)", 0)
+    assert s == b"qzq"
+    s, _ = _lit_string(b"(\\n\\t)", 0)
+    assert s == b"\n\t"
+
+
+def test_pdf_content_positioning_ops():
+    from tempeh_parser_ray.sources.pdf_corpus import _parse_content
+
+    # Tm / Td / TD / T* / TL / ' / TJ / hex all position correctly
+    stream = (b"BT 1 0 0 1 72 700 Tm (top) Tj ET "
+              b"BT 72 686 Td (mid) Tj ET "
+              b"BT 72 0 Td 0 672 TD (low) Tj 14 TL (lower) ' ET "
+              b"BT 1 0 0 1 72 644 Tm [(a) -120 (b)] TJ ET "
+              b"BT 1 0 0 1 72 630 Tm <6869> Tj ET")
+    runs = sorted(_parse_content(stream), key=lambda r: -r[0])
+    assert [(r[0], r[3]) for r in runs] == [
+        (700.0, b"top"), (686.0, b"mid"), (672.0, b"low"),
+        (658.0, b"lower"), (644.0, b"ab"), (630.0, b"hi")]
+
+
+def test_pdf_hostile_inputs_never_raise():
+    from tempeh_parser_ray.sources.pdf_corpus import build_pdf, extract_pdf
+
+    good = build_pdf("alpha beta gamma delta epsilon zeta eta theta")
+    for buf in [b"", b"%PDF-1.4 junk", good[:60], good[:-30],
+                b"\x00" * 64, good.replace(b"/Kids", b"/Kidz")]:
+        text, n_pages, n_chunks, err = extract_pdf(buf)
+        assert isinstance(text, str)
+    # declared /Length corrupted -> endstream resync still exact
+    bad = good.replace(b"/Length ", b"/Length 7")
+    assert extract_pdf(bad)[0] == extract_pdf(good)[0]
+    # unterminated literal string -> best effort, no raise
+    t, *_ = extract_pdf(good.replace(b") Tj", b"  Tj", 1))
+    assert isinstance(t, str)
+
+
+def test_pdf_page_order_comes_from_kids_not_byte_order():
+    from tempeh_parser_ray.sources.pdf_corpus import (
+        build_pdf, expected_pdf_text, extract_pdf)
+
+    # 13 lines -> 3 pages; content streams are written in REVERSE page
+    # order inside the file, so only /Kids-driven extraction matches
+    text = "w" + " w" * (8 * 13 - 1)
+    toks = [f"t{i}" for i in range(8 * 13)]
+    text = " ".join(toks)
+    pdf = build_pdf(text)
+    got, n_pages, _, err = extract_pdf(pdf)
+    assert err == "" and n_pages == 3
+    assert got == expected_pdf_text(text)
+    # stream-order concatenation would NOT produce reading order:
+    # page-3's stream (t96, literal TJ line) precedes page-1's (t24,
+    # literal Tj line) in the file bytes
+    assert pdf.find(b"t96") < pdf.find(b"t24")
