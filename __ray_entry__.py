@@ -31,6 +31,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # round-4 additions (driver-uncovered by construction)
         "extract_text_pdf": _q.extract_text_pdf,
+        "url_parse": _q.url_parse,
+        "url_host_stats": _q.url_host_stats,
         "ngram_lm_ppl": _q.ngram_lm_ppl,
         "ppl_buckets": _q.ppl_buckets,
         "semdedup": _q.semdedup,
@@ -341,6 +343,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
                    ROUND(EXP(-SUM(term) / COUNT(*)), 4) AS ppl
             FROM terms GROUP BY doc_id ORDER BY doc_id
+        """,
+        "url_parse": r"""
+            -- ground-truth rebuild of every parsed field from the
+            -- generating row (sources/synthetic.py:crawl_url)
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'http'
+                        ELSE 'https' END AS scheme,
+                   (CASE doc_id % 4 WHEN 0 THEN 'www.'
+                                    WHEN 1 THEN 'blog.'
+                                    WHEN 2 THEN ''
+                                    ELSE 'news.' END)
+                   || source || '-site.'
+                   || (CASE doc_id % 5 WHEN 0 THEN 'com'
+                                       WHEN 1 THEN 'org'
+                                       WHEN 2 THEN 'net'
+                                       WHEN 3 THEN 'co.uk'
+                                       ELSE 'com.cn' END) AS host,
+                   source || '-site.'
+                   || (CASE doc_id % 5 WHEN 0 THEN 'com'
+                                       WHEN 1 THEN 'org'
+                                       WHEN 2 THEN 'net'
+                                       WHEN 3 THEN 'co.uk'
+                                       ELSE 'com.cn' END)
+                       AS registered_domain,
+                   CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS has_port,
+                   CAST(CASE WHEN doc_id % 6 = 0 THEN 2 ELSE 3 END
+                        AS BIGINT) AS path_depth,
+                   CAST(doc_id % 3 AS BIGINT) AS n_query_params
+            FROM documents ORDER BY doc_id
+        """,
+        "url_host_stats": r"""
+            WITH parsed AS (
+                SELECT source || '-site.'
+                       || (CASE doc_id % 5 WHEN 0 THEN 'com'
+                                           WHEN 1 THEN 'org'
+                                           WHEN 2 THEN 'net'
+                                           WHEN 3 THEN 'co.uk'
+                                           ELSE 'com.cn' END)
+                           AS registered_domain,
+                       CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END
+                           AS is_https,
+                       CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END
+                           AS has_port,
+                       CASE WHEN doc_id % 6 = 0 THEN 2 ELSE 3 END
+                           AS path_depth,
+                       doc_id % 3 AS n_query_params
+                FROM documents)
+            SELECT registered_domain,
+                   COUNT(*) AS n_pages,
+                   CAST(SUM(is_https) AS BIGINT) AS n_https,
+                   CAST(SUM(has_port) AS BIGINT) AS n_with_port,
+                   AVG(path_depth) AS avg_path_depth,
+                   CAST(SUM(n_query_params) AS BIGINT) AS n_params
+            FROM parsed GROUP BY registered_domain
+            ORDER BY registered_domain
         """,
         "extract_text_pdf": r"""
             -- closed form of the PDF layout contract: 8 tokens/line,

@@ -75,7 +75,7 @@ QUERY_NAMES = [
     "audio_pcm_stats", "video_duration", "events_lead",
     "sliding_distinct_users", "dedup_minhash_keep_distributed",
     "paragraph_dedup", "extract_text_warc", "semdedup", "ngram_lm_ppl",
-    "ppl_buckets", "extract_text_pdf",
+    "ppl_buckets", "extract_text_pdf", "url_parse", "url_host_stats",
 ]
 
 

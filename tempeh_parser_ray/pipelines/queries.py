@@ -2598,3 +2598,67 @@ def extract_text_pdf(sf_dir: str) -> "ray.data.Dataset":
     return _pdf.read_pdf_corpus(sf_dir).map_batches(
         _pdf.PdfExtract, concurrency=_q_pool(),
         batch_size=64, batch_format="pyarrow")
+
+
+def url_parse(sf_dir: str) -> "ray.data.Dataset":
+    """Crawl-frontier URL parsing, fully vectorized: one
+    ``pc.extract_regex`` splitter kernel + one anchored
+    public-suffix-aware registered-domain kernel per batch
+    (functions/urls.py) — no per-row urlparse loop. The synthetic URLs
+    (sources/synthetic.py:crawl_url) cycle every branch: multi-label
+    suffixes (co.uk/com.cn), absent subdomains, explicit ports,
+    trailing slashes, 0/1/2-param queries; the oracle rebuilds each
+    field from the generating row, so the parser is checked against
+    ground truth rather than against another parser."""
+    from ..functions import urls as _urls
+
+    def parse(batch: pa.Table) -> pa.Table:
+        out = _urls.parse_url_batch(_synth.synthesize_url_batch(batch))
+        return out.select(["doc_id", "scheme", "host",
+                           "registered_domain", "has_port",
+                           "path_depth", "n_query_params"])
+
+    return _documents(sf_dir, ["doc_id", "lang", "source"]).map_batches(
+        parse, batch_format="pyarrow")
+
+
+def url_host_stats(sf_dir: str) -> pa.Table:
+    """Per-registered-domain crawl stats (the frontier-policy table:
+    which domains dominate, how deep their paths run, how many ride
+    plain http) — one vectorized parse pass then ONE groupby over the
+    ~|sources|x|tlds| domain key; per-domain output is tiny by
+    construction so the final take_all is bounded."""
+    from ..functions import urls as _urls
+
+    def parse(batch: pa.Table) -> pa.Table:
+        out = _urls.parse_url_batch(_synth.synthesize_url_batch(batch))
+        is_https = pc.cast(pc.equal(out.column("scheme"), "https"),
+                           pa.int64())
+        return pa.table({
+            "registered_domain": out.column("registered_domain"),
+            "is_https": is_https,
+            "has_port": out.column("has_port"),
+            "path_depth": out.column("path_depth"),
+            "n_query_params": out.column("n_query_params"),
+        })
+
+    agg = (_documents(sf_dir, ["doc_id", "lang", "source"])
+           .map_batches(parse, batch_format="pyarrow")
+           .groupby("registered_domain")
+           .aggregate(ray.data.aggregate.Count(),
+                      ray.data.aggregate.Sum("is_https"),
+                      ray.data.aggregate.Sum("has_port"),
+                      ray.data.aggregate.Mean("path_depth"),
+                      ray.data.aggregate.Sum("n_query_params")))
+    tbl = pa.Table.from_pylist(agg.take_all())
+    tbl = pa.table({
+        "registered_domain": tbl.column("registered_domain"),
+        "n_pages": tbl.column("count()").cast(pa.int64()),
+        "n_https": tbl.column("sum(is_https)").cast(pa.int64()),
+        "n_with_port": tbl.column("sum(has_port)").cast(pa.int64()),
+        "avg_path_depth": tbl.column("mean(path_depth)").cast(
+            pa.float64()),
+        "n_params": tbl.column("sum(n_query_params)").cast(pa.int64()),
+    })
+    return tbl.take(pc.sort_indices(
+        tbl, sort_keys=[("registered_domain", "ascending")]))

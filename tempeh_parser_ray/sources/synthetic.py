@@ -153,3 +153,42 @@ def variant_batch(batch: pa.Table, repeat_tag: int = 0) -> pa.Table:
         "text": batch.column("text"),
         "lang": batch.column("lang"),
     })
+
+
+# --- crawl-frontier URLs (deterministic, closed-form) --------------------
+
+_URL_TLDS = ("com", "org", "net", "co.uk", "com.cn")
+_URL_SUBS = ("www", "blog", "", "news")
+
+
+def crawl_url(doc_id: int, lang: str, source: str) -> str:
+    """Realistic CC-style URL as a pure function of the document row:
+    scheme/subdomain/TLD/port/path-shape/query-arity all cycle on
+    doc_id so every parser branch (multi-label public suffix, missing
+    subdomain, explicit port, trailing slash, 0/1/2 query params) is
+    exercised and the SQL oracle can rebuild each parsed field from
+    the row directly."""
+    d = int(doc_id)
+    scheme = "http" if d % 3 == 0 else "https"
+    sub = _URL_SUBS[d % 4]
+    tld = _URL_TLDS[d % 5]
+    host = (sub + "." if sub else "") + f"{source}-site.{tld}"
+    port = ":8080" if d % 7 == 0 else ""
+    path = f"/{lang}/p{d}/" if d % 6 == 0 else f"/{lang}/a{d % 10}/p{d}"
+    if d % 3 == 1:
+        q = f"?ref={source}"
+    elif d % 3 == 2:
+        q = f"?ref={source}&q=t{d % 100}"
+    else:
+        q = ""
+    return f"{scheme}://{host}{port}{path}{q}"
+
+
+def synthesize_url_batch(batch: pa.Table) -> pa.Table:
+    """documents rows -> (doc_id, url) crawl-frontier rows."""
+    urls = [crawl_url(d, l, s)
+            for d, l, s in zip(batch.column("doc_id").to_pylist(),
+                               batch.column("lang").to_pylist(),
+                               batch.column("source").to_pylist())]
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     "url": pa.array(urls, pa.string())})

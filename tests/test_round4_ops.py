@@ -444,3 +444,45 @@ def test_pdf_page_order_comes_from_kids_not_byte_order():
     # page-3's stream (t96, literal TJ line) precedes page-1's (t24,
     # literal Tj line) in the file bytes
     assert pdf.find(b"t96") < pdf.find(b"t24")
+
+
+# ---------------------------------------------------------------------------
+# URL parsing
+
+
+def test_url_parser_fields_and_hostile_inputs():
+    from tempeh_parser_ray.functions.urls import parse_url_batch
+
+    urls = [
+        "https://www.acme-site.co.uk:8080/en/a1/p7?ref=x&q=y",
+        "http://solo.example.com/",
+        "https://bare.net",
+        "ftp://files.corp.com.cn/a/b/c/d",
+        "not a url at all",
+        "",
+        "https://trail.org/a/b/",
+    ]
+    out = parse_url_batch(pa.table({"url": pa.array(urls, pa.string())}))
+    rows = out.to_pylist()
+    assert [r["registered_domain"] for r in rows] == [
+        "acme-site.co.uk", "example.com", "bare.net", "corp.com.cn",
+        "", "", "trail.org"]
+    assert [r["has_port"] for r in rows] == [1, 0, 0, 0, 0, 0, 0]
+    assert [r["path_depth"] for r in rows] == [3, 0, 0, 4, 0, 0, 2]
+    assert [r["n_query_params"] for r in rows] == [2, 0, 0, 0, 0, 0, 0]
+    assert rows[4]["host"] == "" and rows[4]["scheme"] == ""
+
+
+def test_crawl_url_round_trips_through_parser():
+    from tempeh_parser_ray.functions.urls import parse_url_batch
+    from tempeh_parser_ray.sources.synthetic import crawl_url
+
+    ids = list(range(0, 60))
+    urls = [crawl_url(d, "en", f"src{d % 20}") for d in ids]
+    out = parse_url_batch(pa.table({"url": pa.array(urls, pa.string())}))
+    for d, r in zip(ids, out.to_pylist()):
+        assert r["scheme"] == ("http" if d % 3 == 0 else "https")
+        assert r["has_port"] == (1 if d % 7 == 0 else 0)
+        assert r["path_depth"] == (2 if d % 6 == 0 else 3)
+        assert r["n_query_params"] == d % 3
+        assert r["registered_domain"].startswith(f"src{d % 20}-site.")
