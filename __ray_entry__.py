@@ -31,6 +31,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # round-4 additions (driver-uncovered by construction)
         "extract_text_pdf": _q.extract_text_pdf,
+        "dsir_weights": _q.dsir_weights,
         "url_parse": _q.url_parse,
         "url_host_stats": _q.url_host_stats,
         "ngram_lm_ppl": _q.ngram_lm_ppl,
@@ -343,6 +344,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
                    ROUND(EXP(-SUM(term) / COUNT(*)), 4) AS ppl
             FROM terms GROUP BY doc_id ORDER BY doc_id
+        """,
+        "dsir_weights": r"""
+            -- DSIR hashed-unigram importance weight vs the lang='en'
+            -- target slice; add-one smoothing over 1024 md5 buckets
+            WITH tok AS (
+                SELECT doc_id,
+                       CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+                       CAST(CAST(('0x' || substr(md5(w), 1, 8))
+                                 AS UBIGINT) % 1024 AS BIGINT) AS b
+                FROM (SELECT doc_id, lang,
+                             unnest(string_split_regex(trim(text),
+                                                       '\s+')) AS w
+                      FROM documents WHERE trim(text) <> '')),
+            tot AS (
+                SELECT CAST(COUNT(*) AS DOUBLE) AS n_raw_total,
+                       CAST(SUM(is_t) AS DOUBLE) AS n_tgt_total
+                FROM tok),
+            hist AS (
+                SELECT b, CAST(COUNT(*) AS DOUBLE) AS n_raw,
+                       CAST(SUM(is_t) AS DOUBLE) AS n_tgt
+                FROM tok GROUP BY b),
+            lr AS (
+                SELECT b,
+                       ln((n_tgt + 1.0) / (tot.n_tgt_total + 1024))
+                     - ln((n_raw + 1.0) / (tot.n_raw_total + 1024))
+                           AS term
+                FROM hist CROSS JOIN tot),
+            s AS (
+                SELECT tok.doc_id, SUM(lr.term) AS logw
+                FROM tok JOIN lr USING (b) GROUP BY tok.doc_id)
+            SELECT d.doc_id,
+                   ROUND(COALESCE(s.logw, 0), 4) AS dsir_logw
+            FROM documents d LEFT JOIN s USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "url_parse": r"""
             -- ground-truth rebuild of every parsed field from the

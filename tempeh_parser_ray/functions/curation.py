@@ -667,3 +667,100 @@ def ngram_lm_scores(docs: "ray.data.Dataset", *,
         })
 
     return sums.map_batches(finish, batch_format="pyarrow")
+
+
+# --- DSIR-style importance weights ----------------------------------------
+
+_DSIR_BUCKET_CACHE: dict[str, int] = {}
+
+
+def _dsir_bucket(tok: str, n_buckets: int) -> int:
+    """md5-low-32 hashing-trick bucket (the SQL oracle's
+    ``('0x'||substr(md5(tok),1,8))::UBIGINT % B``); per-process memo —
+    corpora repeat tokens heavily, so the md5 cost amortizes to one
+    hash per distinct token per worker."""
+    b = _DSIR_BUCKET_CACHE.get(tok)
+    if b is None:
+        import hashlib
+
+        b = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:8],
+                16) % n_buckets
+        if len(_DSIR_BUCKET_CACHE) < 2_000_000:
+            _DSIR_BUCKET_CACHE[tok] = b
+    return b
+
+
+def dsir_weights(docs: "ray.data.Dataset", target_lang: str = "en",
+                 n_buckets: int = 1024) -> "ray.data.Dataset":
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): hashed unigram
+    bag-of-words models for the TARGET distribution (here: the
+    ``target_lang`` slice of the corpus) and the RAW distribution (the
+    whole corpus); each document's weight is
+
+        logw(d) = sum_w [ ln p_tgt(b(w)) - ln p_raw(b(w)) ]
+
+    with add-one smoothing over ``n_buckets`` hash buckets. Documents
+    that look most target-like score highest; resampling then keeps
+    docs proportional to exp(logw).
+
+    Scale shape: ONE tokenize pass counts BOTH distributions
+    (per-batch int64[B] partials, non-zero rows only), the bucket
+    exchange is bounded by ``n_buckets`` (never vocabulary or corpus
+    size), the per-bucket log-ratio vector (8 KiB at B=1024) is
+    broadcast once via ``ray.put``, and the scoring pass streams.
+    Output: (doc_id, dsir_logw) with logw rounded to 4 decimals (the
+    float-sum-order tolerance contract shared with ngram_lm_scores)."""
+    import math
+
+    B = int(n_buckets)
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        raw = np.zeros(B, np.int64)
+        tgt = np.zeros(B, np.int64)
+        for lang, text in zip(batch.column("lang").to_pylist(),
+                              batch.column("text").to_pylist()):
+            is_t = lang == target_lang
+            for tok in tokenize(text):
+                b = _dsir_bucket(tok, B)
+                raw[b] += 1
+                if is_t:
+                    tgt[b] += 1
+        nz = np.nonzero(raw)[0]
+        return pa.table({
+            "bucket": pa.array(nz, pa.int64()),
+            "n_raw": pa.array(raw[nz], pa.int64()),
+            "n_tgt": pa.array(tgt[nz], pa.int64()),
+        })
+
+    hist = (docs.map_batches(count_partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(ray.data.aggregate.Sum("n_raw"),
+                       ray.data.aggregate.Sum("n_tgt")))
+    tbl = pa.concat_tables(list(hist.iter_batches(
+        batch_format="pyarrow", batch_size=None)))  # <= B rows
+    raw = np.zeros(B, np.int64)
+    tgt = np.zeros(B, np.int64)
+    idx = tbl.column("bucket").to_numpy(zero_copy_only=False)
+    raw[idx] = tbl.column("sum(n_raw)").to_numpy(zero_copy_only=False)
+    tgt[idx] = tbl.column("sum(n_tgt)").to_numpy(zero_copy_only=False)
+    n_raw_total = int(raw.sum())
+    n_tgt_total = int(tgt.sum())
+    logratio = (np.log((tgt + 1.0) / (n_tgt_total + B))
+                - np.log((raw + 1.0) / (n_raw_total + B)))
+    lr_ref = ray.put(logratio)
+
+    def score(batch: pa.Table) -> pa.Table:
+        lr = cached_get(lr_ref)
+        out = []
+        for text in batch.column("text").to_pylist():
+            toks = tokenize(text)
+            bs = np.fromiter((_dsir_bucket(t, B) for t in toks),
+                             np.int64, len(toks))
+            out.append(round(float(lr[bs].sum()), 4))
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "dsir_logw": pa.array(out, pa.float64()),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")

@@ -2662,3 +2662,14 @@ def url_host_stats(sf_dir: str) -> pa.Table:
     })
     return tbl.take(pc.sort_indices(
         tbl, sort_keys=[("registered_domain", "ascending")]))
+
+
+def dsir_weights(sf_dir: str) -> "ray.data.Dataset":
+    """DSIR-style data selection scores: hashed-unigram importance
+    weight of every document against the ``lang='en'`` target slice —
+    one tokenize pass counts target and raw distributions together,
+    the bucket exchange is bounded by the 1024-bucket hash space, and
+    scoring streams against the broadcast log-ratio vector
+    (functions/curation.py:dsir_weights)."""
+    return _cur.dsir_weights(
+        _documents(sf_dir, ["doc_id", "text", "lang"]))

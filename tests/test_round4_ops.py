@@ -486,3 +486,49 @@ def test_crawl_url_round_trips_through_parser():
         assert r["path_depth"] == (2 if d % 6 == 0 else 3)
         assert r["n_query_params"] == d % 3
         assert r["registered_domain"].startswith(f"src{d % 20}-site.")
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights
+
+
+def test_dsir_target_slice_scores_higher(ray_session):
+    from tempeh_parser_ray.pipelines import queries as q
+
+    out = pa.concat_tables(list(q.dsir_weights(SF_DIR).iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    docs = pa.concat_tables(list(
+        ray_session.data.read_parquet(
+            f"{SF_DIR}/documents.parquet",
+            columns=["doc_id", "lang"]).iter_batches(
+            batch_format="pyarrow", batch_size=None)))
+    lang = dict(zip(docs.column("doc_id").to_pylist(),
+                    docs.column("lang").to_pylist()))
+    tgt, rest = [], []
+    for r in out.to_pylist():
+        (tgt if lang[r["doc_id"]] == "en" else rest).append(
+            r["dsir_logw"])
+    assert tgt and rest
+    # the defining DSIR property: target-like docs score higher on
+    # average than the raw remainder
+    assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
+
+
+def test_dsir_partition_invariant(ray_session):
+    from tempeh_parser_ray.functions.curation import dsir_weights
+
+    rows = [{"doc_id": i,
+             "text": ("hello target tokens common " if i % 2 == 0
+                      else "autre langue mots rares ") + f"t{i % 5}",
+             "lang": "en" if i % 2 == 0 else "fr"}
+            for i in range(20)]
+    a = {r["doc_id"]: r["dsir_logw"] for b in dsir_weights(
+        ray_session.data.from_items(rows).repartition(1)).iter_batches(
+            batch_format="pyarrow", batch_size=None)
+        for r in b.to_pylist()}
+    b_ = {r["doc_id"]: r["dsir_logw"] for b in dsir_weights(
+        ray_session.data.from_items(rows).repartition(7)).iter_batches(
+            batch_format="pyarrow", batch_size=None)
+        for r in b.to_pylist()}
+    assert a == b_
+    assert all(a[i] > a[i + 1] for i in range(0, 18, 2))
