@@ -31,6 +31,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # round-4 additions (driver-uncovered by construction)
         "extract_text_pdf": _q.extract_text_pdf,
+        "extract_links": _q.extract_links,
         "dsir_weights": _q.dsir_weights,
         "url_parse": _q.url_parse,
         "url_host_stats": _q.url_host_stats,
@@ -344,6 +345,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
                    ROUND(EXP(-SUM(term) / COUNT(*)), 4) AS ppl
             FROM terms GROUP BY doc_id ORDER BY doc_id
+        """,
+        "extract_links": r"""
+            -- the synthetic page template carries exactly these three
+            -- links per document (sources/synthetic.py:page_html)
+            SELECT doc_id, CAST(0 AS BIGINT) AS link_idx,
+                   '/' AS href, 'home' AS anchor
+            FROM documents
+            UNION ALL
+            SELECT doc_id, CAST(1 AS BIGINT), '/l/' || lang, lang
+            FROM documents
+            UNION ALL
+            SELECT doc_id, CAST(2 AS BIGINT), 'mailto:x@example.com',
+                   'mail'
+            FROM documents
+            ORDER BY doc_id, link_idx
         """,
         "dsir_weights": r"""
             -- DSIR hashed-unigram importance weight vs the lang='en'

@@ -2673,3 +2673,21 @@ def dsir_weights(sf_dir: str) -> "ray.data.Dataset":
     (functions/curation.py:dsir_weights)."""
     return _cur.dsir_weights(
         _documents(sf_dir, ["doc_id", "text", "lang"]))
+
+
+def extract_links(sf_dir: str) -> "ray.data.Dataset":
+    """Web-graph edge extraction: one row per anchor element —
+    (doc_id, link_idx, href, anchor) — via the real parser in an actor
+    pool (stages/parse_stage.py:LinksBatch), the flat-map output shape
+    (N docs -> sum-of-links rows). The synthetic template carries
+    exactly three closed-form links per page, so the oracle rebuilds
+    every edge from the document row."""
+    from ..stages import parse_stage as _ps
+
+    return _corpus(sf_dir).map_batches(
+        _ps.LinksBatch,
+        batch_format="pyarrow",
+        compute=ray.data.ActorPoolStrategy(
+            size=_q_pool(), max_tasks_in_flight_per_actor=4),
+        num_cpus=1,
+        fn_constructor_kwargs={"passthrough": ("doc_id",)})

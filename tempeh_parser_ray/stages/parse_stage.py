@@ -316,3 +316,66 @@ def nested_from_row(nodes_list, attrs_list) -> list[dict]:
         doc.attr_line.append(at["l"])
         doc.attr_col.append(at["c"])
     return _parser.to_nested(doc)
+
+
+class LinksBatch(_BaseParseStage):
+    """Link-graph extraction: one OUTPUT ROW PER ANCHOR (<a>) element —
+    the flat-map shape a web-graph build needs (doc_id, link_idx,
+    href, anchor). ``href`` follows the reference's last-attribute-
+    value-wins rule (SURVEY.md P1); ``anchor`` is the concatenation of
+    the anchor's descendant text nodes in document order (nodes are
+    stored pre-order, so a parent-chain climb per text node finds the
+    nearest enclosing <a> without materializing child lists). Docs
+    with no links emit nothing; parse errors emit nothing for the
+    broken tail but never abort (P5)."""
+
+    TRACK_POSITIONS = False
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        html = batch.column(self.html_column)
+        pass_cols = self._passthrough_columns(batch)
+
+        out_rows: list[int] = []   # batch row index per emitted link
+        idxs: list[int] = []
+        hrefs: list[str] = []
+        anchors: list[str] = []
+
+        for i in range(batch.num_rows):
+            data = html[i].as_py()
+            doc = (self._parse_doc(data) if data is not None
+                   else _parser.ParsedDoc())
+            a_nodes = [j for j, (k, t) in enumerate(
+                zip(doc.kinds, doc.tags))
+                if k == _parser.KIND_ELEMENT and t == "a"]
+            if not a_nodes:
+                continue
+            a_pos = {j: p for p, j in enumerate(a_nodes)}
+            href_by = {}
+            for node, name, value in zip(doc.attr_node, doc.attr_name,
+                                         doc.attr_value):
+                if node in a_pos and name == "href":
+                    href_by[node] = value  # last occurrence wins
+            texts_by: dict[int, list[str]] = {j: [] for j in a_nodes}
+            for j, k in enumerate(doc.kinds):
+                if k != _parser.KIND_TEXT:
+                    continue
+                p = doc.parents[j]
+                while p != -1:
+                    if p in a_pos:
+                        texts_by[p].append(doc.texts[j] or "")
+                        break
+                    p = doc.parents[p]
+            for p, j in enumerate(a_nodes):
+                out_rows.append(i)
+                idxs.append(p)
+                hrefs.append(href_by.get(j, ""))
+                anchors.append("".join(texts_by[j]))
+
+        take = pa.array(out_rows, pa.int64())
+        cols = [(name, col.take(take)) for name, col in pass_cols]
+        cols.extend([
+            ("link_idx", pa.array(idxs, pa.int64())),
+            ("href", pa.array(hrefs, pa.string())),
+            ("anchor", pa.array(anchors, pa.string())),
+        ])
+        return pa.table(dict(cols))

@@ -532,3 +532,34 @@ def test_dsir_partition_invariant(ray_session):
         for r in b.to_pylist()}
     assert a == b_
     assert all(a[i] > a[i + 1] for i in range(0, 18, 2))
+
+
+# ---------------------------------------------------------------------------
+# link extraction
+
+
+def test_links_batch_semantics():
+    from tempeh_parser_ray.stages.parse_stage import LinksBatch
+
+    html = [
+        # nested markup inside the anchor: text concatenates in order;
+        # duplicate href: LAST value wins (reference P1 rule)
+        b'<a href="/x" href="/y">A <b>deep</b> text</a>',
+        b"<p>no links here</p>",
+        b'<div><a>bare</a><a href="/z"></a></div>',
+        None,
+        b'<a href="/outer">out <a href="/inner">in</a></a>',
+    ]
+    batch = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                      "html": pa.array(html, pa.binary())})
+    out = LinksBatch(passthrough=("doc_id",))(batch).to_pylist()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["link_idx"], r["href"], r["anchor"]))
+    assert by_doc[0] == [(0, "/y", "A deep text")]
+    assert 1 not in by_doc and 3 not in by_doc
+    assert by_doc[2] == [(0, "", "bare"), (1, "/z", "")]
+    # nested <a>: the reference's tree builder nests the second anchor
+    # inside the first; its text belongs to the NEAREST enclosing <a>
+    assert by_doc[4] == [(0, "/outer", "out "), (1, "/inner", "in")]
