@@ -32,6 +32,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 additions (driver-uncovered by construction)
         "extract_text_pdf": _q.extract_text_pdf,
         "extract_links": _q.extract_links,
+        "events_running_total": _q.events_running_total,
         "dsir_weights": _q.dsir_weights,
         "url_parse": _q.url_parse,
         "url_host_stats": _q.url_host_stats,
@@ -345,6 +346,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
                    ROUND(EXP(-SUM(term) / COUNT(*)), 4) AS ppl
             FROM terms GROUP BY doc_id ORDER BY doc_id
+        """,
+        "events_running_total": r"""
+            SELECT event_id, user_id, ts,
+                   CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT))
+                        OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS running_micros
+            FROM events ORDER BY event_id
         """,
         "extract_links": r"""
             -- the synthetic page template carries exactly these three

@@ -76,7 +76,7 @@ QUERY_NAMES = [
     "sliding_distinct_users", "dedup_minhash_keep_distributed",
     "paragraph_dedup", "extract_text_warc", "semdedup", "ngram_lm_ppl",
     "ppl_buckets", "extract_text_pdf", "url_parse", "url_host_stats",
-    "dsir_weights", "extract_links",
+    "dsir_weights", "extract_links", "events_running_total",
 ]
 
 

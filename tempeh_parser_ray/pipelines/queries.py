@@ -2691,3 +2691,12 @@ def extract_links(sf_dir: str) -> "ray.data.Dataset":
             size=_q_pool(), max_tasks_in_flight_per_actor=4),
         num_cpus=1,
         fn_constructor_kwargs={"passthrough": ("doc_id",)})
+
+
+def events_running_total(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user running cumulative sum over the event stream (the
+    prefix-window shape LAG/LEAD don't cover), exact integer micros,
+    time-bucketed so cross-bucket state is one offset per populated
+    bucket (pipelines/windows.py:running_total_events)."""
+    return _win.running_total_events(
+        _events(sf_dir, ["event_id", "ts", "user_id", "value"]))

@@ -859,3 +859,117 @@ def sliding_distinct_users(events: "ray.data.Dataset", *,
             pa.int64()).cast(pa.timestamp("us")),
         "n_users": tbl.column("count()").cast(pa.int64()),
     })
+
+
+def running_total_events(events: "ray.data.Dataset", *,
+                         bucket_us: int = DAY_US) -> "ray.data.Dataset":
+    """Per-user RUNNING cumulative sum (SQL ``SUM(value) OVER
+    (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED
+    PRECEDING)``) in exact integer micros.
+
+    Same time-bucketed shape as :func:`lag_events` — the prefix state
+    that crosses bucket boundaries is ONE int64 offset per populated
+    bucket, so no group ever holds a user's full history:
+
+    1. per-``(user, bucket)`` integer-micros sums (O(1) aggregate
+       state, map-side combined per block);
+    2. per-user pass over the bounded populated-bucket list emits one
+       OFFSET carry row per bucket — the exclusive prefix of earlier
+       buckets' totals (bucket 0's offset is 0: no row);
+    3. regroup real events + offset rows by ``(user, bucket)``; each
+       bucket sorts its own events by ``(ts, event_id)`` and adds its
+       local cumulative sum to the carried offset.
+    """
+
+    def project(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64())
+        micros = pc.round(pc.multiply(
+            batch.column("value").cast(pa.float64()),
+            1_000_000.0)).cast(pa.int64())
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "bucket": pc.divide(ts, bucket_us).cast(pa.int64()),
+            "ts_us": ts,
+            "event_id": batch.column("event_id"),
+            "value_micros": micros,
+            "is_carry": pa.array(np.zeros(len(batch), np.int64),
+                                 pa.int64()),
+        })
+
+    proj = events.map_batches(project, batch_format="pyarrow")
+
+    sums = proj.map_batches(
+        lambda b: b.select(["user_id", "bucket", "value_micros"]),
+        batch_format="pyarrow").groupby(
+        ["user_id", "bucket"]).aggregate(
+        ray.data.aggregate.Sum("value_micros"))
+
+    per_user = sums.map_batches(
+        lambda b: pa.table({
+            "user_id": b.column("user_id"),
+            "bucket": b.column("bucket"),
+            "bsum": b.column("sum(value_micros)").cast(pa.int64()),
+        }), batch_format="pyarrow").groupby("user_id").aggregate(
+        collect_columns_agg(["bucket", "bsum"], "meta"))
+
+    def offsets(batch: pa.Table) -> pa.Table:
+        out_u: list[int] = []
+        out_b: list[int] = []
+        out_off: list[int] = []
+        for uid, rows in zip(batch.column("user_id").to_pylist(),
+                             batch.column("meta").to_pylist()):
+            arr = np.asarray(rows, dtype=np.int64)
+            arr = arr[np.argsort(arr[:, 0], kind="stable")]
+            pref = 0
+            for k in range(1, len(arr)):
+                pref += int(arr[k - 1, 1])
+                out_u.append(uid)
+                out_b.append(int(arr[k, 0]))
+                out_off.append(pref)
+        n = len(out_u)
+        return pa.table({
+            "user_id": pa.array(out_u, pa.int64()),
+            "bucket": pa.array(out_b, pa.int64()),
+            "ts_us": pa.array([-1] * n, pa.int64()),
+            "event_id": pa.array([-1] * n, pa.int64()),
+            "value_micros": pa.array(out_off, pa.int64()),
+            "is_carry": pa.array([1] * n, pa.int64()),
+        })
+
+    carry_ds = per_user.map_batches(offsets, batch_format="pyarrow")
+
+    grouped = proj.union(carry_ds).groupby(
+        ["user_id", "bucket"]).aggregate(
+        collect_columns_agg(["ts_us", "event_id", "value_micros",
+                             "is_carry"], "rows"))
+
+    def match(batch: pa.Table) -> pa.Table:
+        eids: list[np.ndarray] = []
+        uids: list[np.ndarray] = []
+        tss: list[np.ndarray] = []
+        runs: list[np.ndarray] = []
+        for uid, rows in zip(batch.column("user_id").to_pylist(),
+                             batch.column("rows").to_pylist()):
+            arr = np.asarray(rows, dtype=np.int64)
+            carry = arr[:, 3].astype(bool)
+            offset = int(arr[carry, 2].sum())  # 0 or 1 offset rows
+            real = arr[~carry]
+            order = np.lexsort((real[:, 1], real[:, 0]))
+            ts, eid = real[order, 0], real[order, 1]
+            run = offset + np.cumsum(real[order, 2])
+            eids.append(eid)
+            uids.append(np.full(len(eid), uid, dtype=np.int64))
+            tss.append(ts)
+            runs.append(run)
+        if not eids:
+            z = np.zeros(0, np.int64)
+            eids = uids = tss = runs = [z]
+        return pa.table({
+            "event_id": pa.array(np.concatenate(eids), pa.int64()),
+            "user_id": pa.array(np.concatenate(uids), pa.int64()),
+            "ts": pa.array(np.concatenate(tss),
+                           pa.int64()).cast(pa.timestamp("us")),
+            "running_micros": pa.array(np.concatenate(runs), pa.int64()),
+        })
+
+    return grouped.map_batches(match, batch_format="pyarrow")

@@ -563,3 +563,41 @@ def test_links_batch_semantics():
     # nested <a>: the reference's tree builder nests the second anchor
     # inside the first; its text belongs to the NEAREST enclosing <a>
     assert by_doc[4] == [(0, "/outer", "out "), (1, "/inner", "in")]
+
+
+# ---------------------------------------------------------------------------
+# running cumulative sum
+
+
+def test_running_total_cross_bucket_carries(ray_session):
+    import datetime
+
+    from tempeh_parser_ray.pipelines.windows import running_total_events
+
+    # 2 users x 9 events spread over hours; tiny bucket (1h) forces
+    # carries across many populated buckets
+    base = datetime.datetime(2025, 3, 1)
+    rows = []
+    eid = 0
+    for u in (1, 2):
+        for k in range(9):
+            rows.append({"event_id": eid, "user_id": u,
+                         "ts": base + datetime.timedelta(
+                             minutes=40 * k + u),
+                         "value": float(k + 1) * (1 if u == 1 else -0.5)})
+            eid += 1
+    ds = ray_session.data.from_items(rows).repartition(4)
+    out = {r["event_id"]: r["running_micros"]
+           for b in running_total_events(
+               ds, bucket_us=3_600_000_000).iter_batches(
+               batch_format="pyarrow", batch_size=None)
+           for r in b.to_pylist()}
+    # reference: plain per-user prefix in (ts, event_id) order
+    expect = {}
+    for u in (1, 2):
+        run = 0
+        for r in sorted((r for r in rows if r["user_id"] == u),
+                        key=lambda r: (r["ts"], r["event_id"])):
+            run += round(r["value"] * 1_000_000)
+            expect[r["event_id"]] = run
+    assert out == expect
