@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_text_pdf": _q.extract_text_pdf,
         "extract_links": _q.extract_links,
         "events_running_total": _q.events_running_total,
+        "domain_pagerank": _q.domain_pagerank,
         "dsir_weights": _q.dsir_weights,
         "url_parse": _q.url_parse,
         "url_host_stats": _q.url_host_stats,
@@ -346,6 +347,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
                    ROUND(EXP(-SUM(term) / COUNT(*)), 4) AS ppl
             FROM terms GROUP BY doc_id ORDER BY doc_id
+        """,
+        "domain_pagerank": r"""
+            -- 5 power iterations of rank' = (1-d)/N + d*sum(rank*w/deg)
+            -- over the deterministic domain graph
+            WITH ew AS (
+                SELECT doc_id % 20 AS src, (3*doc_id + 7) % 20 AS dst,
+                       CAST(COUNT(*) AS DOUBLE) AS w
+                FROM documents GROUP BY 1, 2),
+            deg AS (SELECT src, SUM(w) AS deg FROM ew GROUP BY src),
+            nodes AS (
+                SELECT DISTINCT node FROM (
+                    SELECT src AS node FROM ew
+                    UNION ALL SELECT dst FROM ew)),
+            nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+            r0 AS (SELECT node, 1.0 / nn.n AS rank
+                   FROM nodes CROSS JOIN nn),
+            r1 AS (SELECT nodes.node,
+                          0.15 / nn.n + 0.85 * COALESCE(SUM(
+                              r0.rank * ew.w / deg.deg), 0) AS rank
+                   FROM nodes CROSS JOIN nn
+                   LEFT JOIN ew ON ew.dst = nodes.node
+                   LEFT JOIN deg ON deg.src = ew.src
+                   LEFT JOIN r0 ON r0.node = ew.src
+                   GROUP BY nodes.node, nn.n),
+            r2 AS (SELECT nodes.node,
+                          0.15 / nn.n + 0.85 * COALESCE(SUM(
+                              r1.rank * ew.w / deg.deg), 0) AS rank
+                   FROM nodes CROSS JOIN nn
+                   LEFT JOIN ew ON ew.dst = nodes.node
+                   LEFT JOIN deg ON deg.src = ew.src
+                   LEFT JOIN r1 ON r1.node = ew.src
+                   GROUP BY nodes.node, nn.n),
+            r3 AS (SELECT nodes.node,
+                          0.15 / nn.n + 0.85 * COALESCE(SUM(
+                              r2.rank * ew.w / deg.deg), 0) AS rank
+                   FROM nodes CROSS JOIN nn
+                   LEFT JOIN ew ON ew.dst = nodes.node
+                   LEFT JOIN deg ON deg.src = ew.src
+                   LEFT JOIN r2 ON r2.node = ew.src
+                   GROUP BY nodes.node, nn.n),
+            r4 AS (SELECT nodes.node,
+                          0.15 / nn.n + 0.85 * COALESCE(SUM(
+                              r3.rank * ew.w / deg.deg), 0) AS rank
+                   FROM nodes CROSS JOIN nn
+                   LEFT JOIN ew ON ew.dst = nodes.node
+                   LEFT JOIN deg ON deg.src = ew.src
+                   LEFT JOIN r3 ON r3.node = ew.src
+                   GROUP BY nodes.node, nn.n),
+            r5 AS (SELECT nodes.node,
+                          0.15 / nn.n + 0.85 * COALESCE(SUM(
+                              r4.rank * ew.w / deg.deg), 0) AS rank
+                   FROM nodes CROSS JOIN nn
+                   LEFT JOIN ew ON ew.dst = nodes.node
+                   LEFT JOIN deg ON deg.src = ew.src
+                   LEFT JOIN r4 ON r4.node = ew.src
+                   GROUP BY nodes.node, nn.n)
+            SELECT node, ROUND(rank, 6) AS rank
+            FROM r5 ORDER BY node
         """,
         "events_running_total": r"""
             SELECT event_id, user_id, ts,

@@ -2700,3 +2700,42 @@ def events_running_total(sf_dir: str) -> "ray.data.Dataset":
     bucket (pipelines/windows.py:running_total_events)."""
     return _win.running_total_events(
         _events(sf_dir, ["event_id", "ts", "user_id", "value"]))
+
+
+def domain_pagerank(sf_dir: str) -> "ray.data.Dataset":
+    """Link-centrality ranking (crawl-priority / quality signal):
+    5-iteration PageRank over the deterministic domain graph in which
+    every document contributes the edge ``doc_id % 20 ->
+    (3*doc_id + 7) % 20`` (nodes = the 20 source domains; parallel
+    edges act as weights). The operator (functions/graph.py:pagerank)
+    keeps edges distributed, computes out-degrees once, and runs each
+    iteration as one edge pass + one groupby(dst) — rank state is
+    size-adaptive (broadcast arrays here; a distributed join path
+    above the limit, pinned equal by pytest)."""
+    import numpy as np
+
+    from ..functions import graph as _graph
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "src": pa.array(d % 20, pa.int64()),
+            "dst": pa.array((3 * d + 7) % 20, pa.int64()),
+        })
+
+    e = _documents(sf_dir, ["doc_id"]).map_batches(
+        edges, batch_format="pyarrow")
+    ranks = _graph.pagerank(e, damping=0.85, n_iters=5)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch.column("node"),
+            "rank": pc.round(batch.column("rank"), 6),
+        })
+
+    out = pa.concat_tables(list(ranks.map_batches(
+        finish, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    return out.take(pc.sort_indices(
+        out, sort_keys=[("node", "ascending")]))

@@ -601,3 +601,59 @@ def test_running_total_cross_bucket_carries(ray_session):
             run += round(r["value"] * 1_000_000)
             expect[r["event_id"]] = run
     assert out == expect
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+
+
+def _ref_pagerank(edge_list, damping=0.85, n_iters=5):
+    """Dense numpy reference of the same formula."""
+    nodes = sorted({u for e in edge_list for u in e[:2]})
+    pos = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    w = np.zeros((n, n))
+    for s, d_, ww in edge_list:
+        w[pos[s], pos[d_]] += ww
+    deg = w.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iters):
+        contrib = np.zeros(n)
+        for i in range(n):
+            if deg[i]:
+                contrib += r[i] * w[i] / deg[i]
+        r = (1 - damping) / n + damping * contrib
+    return {v: r[pos[v]] for v in nodes}
+
+
+def _pagerank_rows(ray, edge_list, **kw):
+    from tempeh_parser_ray.functions.graph import pagerank
+
+    ds = ray.data.from_items(
+        [{"src": s, "dst": d, "weight": w}
+         for s, d, w in edge_list]).repartition(3)
+    out = pagerank(ds, **kw)
+    return {r["node"]: r["rank"]
+            for b in out.iter_batches(batch_format="pyarrow",
+                                      batch_size=None)
+            for r in b.to_pylist()}
+
+
+def test_pagerank_matches_dense_reference(ray_session):
+    edges = [(0, 1, 1), (1, 2, 2), (2, 0, 1), (0, 2, 3), (3, 0, 1),
+             (2, 3, 1)]
+    got = _pagerank_rows(ray_session, edges)
+    ref = _ref_pagerank(edges)
+    assert set(got) == set(ref)
+    for v in ref:
+        assert abs(got[v] - ref[v]) < 1e-12
+
+
+def test_pagerank_join_path_equals_broadcast(ray_session):
+    edges = [(i, (i * 3 + 1) % 7, 1 + i % 2) for i in range(21)]
+    broad = _pagerank_rows(ray_session, edges)
+    joined = _pagerank_rows(ray_session, edges, broadcast_limit=0,
+                            join_parts=2)
+    assert set(broad) == set(joined)
+    for v in broad:
+        assert abs(broad[v] - joined[v]) < 1e-12
