@@ -30,6 +30,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # remainder are pinned by CORRECTNESS_r03 + the committed CHECK_r4 sweep.
     return {
         # round-4 additions (driver-uncovered by construction)
+        "nb_lang_classify": _q.nb_lang_classify,
         "extract_text_pdf": _q.extract_text_pdf,
         "extract_links": _q.extract_links,
         "events_running_total": _q.events_running_total,
@@ -322,6 +323,60 @@ def oracle_sql() -> dict[str, str]:
         # from survivors, fully-duplicate docs dropped. The engine's
         # md5-low-64 fingerprint equals exact chunk-text equality here
         # (collision odds ~n^2/2^65).
+        # NB classifier: every quantity is exact int64 (fixed-point
+        # floor-divided likelihoods, integer priors), so argmax equality
+        # is bit-exact; ties break on the smaller class label on both
+        # sides (ORDER BY score DESC, c ASC == numpy first-max over
+        # ascending-sorted classes).
+        "nb_lang_classify": r"""
+            WITH d AS (
+                SELECT doc_id, lang, trim(text) AS t
+                FROM documents WHERE trim(text) <> ''),
+            tok AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(t, '\s+')) AS tok
+                FROM d),
+            ntc AS (
+                SELECT dd.lang AS c, t.tok,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM tok t JOIN d dd USING (doc_id) GROUP BY 1, 2),
+            nc AS (SELECT c, CAST(SUM(n) AS BIGINT) AS n_c
+                   FROM ntc GROUP BY c),
+            vv AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+                   FROM tok),
+            dc AS (SELECT lang AS c, CAST(COUNT(*) AS BIGINT) AS d_c
+                   FROM d GROUP BY 1),
+            dtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS d_tot FROM d),
+            pri AS (
+                SELECT c, (d_c * 1000000000) // d_tot AS prior,
+                       n_c, v
+                FROM dc JOIN nc USING (c) CROSS JOIN vv
+                CROSS JOIN dtot),
+            occ AS (
+                SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS m
+                FROM tok GROUP BY 1, 2),
+            sc AS (
+                SELECT o.doc_id, p.c,
+                       SUM(o.m * (((COALESCE(x.n, 0) + 1)
+                                   * 1000000000) // (p.n_c + p.v)))
+                           AS s
+                FROM occ o CROSS JOIN pri p
+                LEFT JOIN ntc x ON x.c = p.c AND x.tok = o.tok
+                GROUP BY 1, 2),
+            tot AS (
+                SELECT s.doc_id, s.c,
+                       CAST(s.s + p.prior AS BIGINT) AS score
+                FROM sc s JOIN pri p USING (c)),
+            best AS (
+                SELECT doc_id, c, score,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, c ASC) AS rn
+                FROM tot)
+            SELECT d.doc_id, d.lang, b.c AS pred_lang,
+                   b.score AS pred_score
+            FROM d JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+            ORDER BY d.doc_id
+        """,
         "ngram_lm_ppl": r"""
             WITH toks AS (
                 SELECT doc_id, string_split_regex(trim(text), '\s+') AS t

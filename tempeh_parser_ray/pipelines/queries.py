@@ -2739,3 +2739,18 @@ def domain_pagerank(sf_dir: str) -> "ray.data.Dataset":
         batch_format="pyarrow", batch_size=None)))
     return out.take(pc.sort_indices(
         out, sort_keys=[("node", "ascending")]))
+
+
+def nb_lang_classify(sf_dir: str) -> "ray.data.Dataset":
+    """Train-then-apply supervised model at scale: a multinomial
+    Naive-Bayes language classifier trained ON the corpus labels in one
+    map-side-combined count pass (vocab x classes bounded exchange,
+    only token fingerprints shuffle) and applied to every document via
+    size-adaptive broadcast scoring — fixed-point INTEGER likelihoods
+    so the argmax is bit-exactly reproducible by the SQL oracle
+    (functions/nbayes.py). Complements ``quality_classifier`` (which
+    scores with a fixed model) by closing the training loop."""
+    from ..functions import nbayes as _nb
+
+    return _nb.nb_lang_classify(
+        _documents(sf_dir, ["doc_id", "text", "lang"]))

@@ -657,3 +657,106 @@ def test_pagerank_join_path_equals_broadcast(ray_session):
     assert set(broad) == set(joined)
     for v in broad:
         assert abs(broad[v] - joined[v]) < 1e-12
+
+
+# --- Naive-Bayes classifier (train + apply) -------------------------------
+
+NB_DOCS = [
+    # three classes with overlapping vocabulary; doc 40 is pure overlap
+    # so the PRIOR decides it; ties in likelihoods exercise the
+    # smaller-label break.
+    (10, "red red blue fish", "en"),
+    (11, "red blue blue fish fish fish", "en"),
+    (12, "fish swims fast", "en"),
+    (20, "rouge bleu poisson", "fr"),
+    (21, "rouge rouge poisson poisson", "fr"),
+    (30, "rot blau fisch", "de"),
+    (40, "fish poisson fisch", "en"),
+    (41, "   ", "fr"),  # whitespace-only: excluded everywhere
+]
+
+_NB_S = 10**9
+
+
+def _ref_nb(docs):
+    """Independent fixed-point NB formulation (pure-Python ints)."""
+    from collections import Counter
+
+    used = [(d, t.split(), c) for d, t, c in docs if t.split()]
+    ntc: Counter = Counter()
+    n_c: Counter = Counter()
+    d_c: Counter = Counter()
+    vocab = set()
+    for _, toks, c in used:
+        d_c[c] += 1
+        for t in toks:
+            ntc[(c, t)] += 1
+            n_c[c] += 1
+            vocab.add(t)
+    V, D = len(vocab), sum(d_c.values())
+    classes = sorted(d_c)
+    out = {}
+    for did, toks, true_c in used:
+        scores = []
+        for c in classes:
+            s = (d_c[c] * _NB_S) // D
+            for t in toks:
+                s += ((ntc[(c, t)] + 1) * _NB_S) // (n_c[c] + V)
+            scores.append(s)
+        best = max(range(len(classes)),
+                   key=lambda j: (scores[j], -j))  # tie -> smaller c
+        out[did] = (true_c, classes[best], scores[best])
+    return out
+
+
+def _run_nb(ray, docs, **kw):
+    from tempeh_parser_ray.functions import nbayes as _nb
+
+    ds = ray.data.from_items(
+        [{"doc_id": d, "text": t, "lang": c}
+         for d, t, c in docs]).repartition(3)
+    out = _nb.nb_lang_classify(ds, **kw)
+    rows = {}
+    for b in out.iter_batches(batch_format="pyarrow", batch_size=None):
+        for r in b.to_pylist():
+            rows[r["doc_id"]] = (r["lang"], r["pred_lang"],
+                                 r["pred_score"])
+    return rows
+
+
+def test_nb_matches_integer_reference(ray_session):
+    assert _run_nb(ray_session, NB_DOCS) == _ref_nb(NB_DOCS)
+
+
+def test_nb_join_path_equals_broadcast(ray_session):
+    broad = _run_nb(ray_session, NB_DOCS)
+    joined = _run_nb(ray_session, NB_DOCS, broadcast_limit=0,
+                     join_parts=2)
+    assert broad == joined  # integer scores: bit-exact across paths
+
+
+def test_nb_partition_invariance(ray_session):
+    from tempeh_parser_ray.functions import nbayes as _nb
+
+    base = _run_nb(ray_session, NB_DOCS)
+    ds1 = ray_session.data.from_items(
+        [{"doc_id": d, "text": t, "lang": c} for d, t, c in NB_DOCS])
+    out = {}
+    for b in _nb.nb_lang_classify(ds1).iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for r in b.to_pylist():
+            out[r["doc_id"]] = (r["lang"], r["pred_lang"],
+                                r["pred_score"])
+    assert out == base
+
+
+def test_nb_all_empty_corpus(ray_session):
+    from tempeh_parser_ray.functions import nbayes as _nb
+
+    ds = ray_session.data.from_items(
+        [{"doc_id": 1, "text": "", "lang": "en"},
+         {"doc_id": 2, "text": None, "lang": "fr"}])
+    out = _nb.nb_lang_classify(ds)
+    assert out.count() == 0
+    assert sorted(out.schema().names) == ["doc_id", "lang",
+                                          "pred_lang", "pred_score"]
