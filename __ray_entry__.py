@@ -31,6 +31,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # round-4 additions (driver-uncovered by construction)
         "nb_lang_classify": _q.nb_lang_classify,
+        "pmi_bigrams": _q.pmi_bigrams,
+        "inverted_index": _q.inverted_index,
         "extract_text_pdf": _q.extract_text_pdf,
         "extract_links": _q.extract_links,
         "events_running_total": _q.events_running_total,
@@ -323,6 +325,48 @@ def oracle_sql() -> dict[str, str]:
         # from survivors, fully-duplicate docs dropped. The engine's
         # md5-low-64 fingerprint equals exact chunk-text equality here
         # (collision odds ~n^2/2^65).
+        # PMI: the ratio is ONE float-division chain over exact int64
+        # operands with the same associativity on both sides — bit-exact
+        # (sums never enter a float).
+        "pmi_bigrams": r"""
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                FROM documents WHERE trim(text) <> ''),
+            uni AS (SELECT unnest(t) AS w FROM toks),
+            c1 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM uni GROUP BY w),
+            nu AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu FROM uni),
+            bi AS (
+                SELECT unnest([t[i] || ' ' || t[i+1]
+                               for i in range(1, len(t))]) AS bg
+                FROM toks WHERE len(t) >= 2),
+            c2 AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM bi GROUP BY bg),
+            nbt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM bi),
+            sc AS (
+                SELECT c2.bg AS bigram, c2.n AS n_pair,
+                       ((CAST(c2.n AS DOUBLE) * nu.nu) * nu.nu)
+                       / ((CAST(nbt.nb AS DOUBLE) * a.n) * b.n)
+                           AS pmi_ratio
+                FROM c2 CROSS JOIN nu CROSS JOIN nbt
+                JOIN c1 a ON a.w = split_part(c2.bg, ' ', 1)
+                JOIN c1 b ON b.w = split_part(c2.bg, ' ', 2)
+                WHERE c2.n >= 5)
+            SELECT bigram, n_pair, pmi_ratio FROM sc
+            ORDER BY pmi_ratio DESC, bigram ASC LIMIT 20
+        """,
+        "inverted_index": r"""
+            WITH tok AS (
+                SELECT DISTINCT doc_id, token FROM (
+                    SELECT doc_id,
+                           unnest(string_split_regex(trim(text),
+                                                     '\s+')) AS token
+                    FROM documents WHERE trim(text) <> ''))
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS postings
+            FROM tok GROUP BY token ORDER BY token
+        """,
         # NB classifier: every quantity is exact int64 (fixed-point
         # floor-divided likelihoods, integer priors), so argmax equality
         # is bit-exact; ties break on the smaller class label on both

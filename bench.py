@@ -77,7 +77,8 @@ QUERY_NAMES = [
     "paragraph_dedup", "extract_text_warc", "semdedup", "ngram_lm_ppl",
     "ppl_buckets", "extract_text_pdf", "url_parse", "url_host_stats",
     "dsir_weights", "extract_links", "events_running_total",
-    "domain_pagerank", "nb_lang_classify",
+    "domain_pagerank", "nb_lang_classify", "pmi_bigrams",
+    "inverted_index",
 ]
 
 

@@ -2754,3 +2754,140 @@ def nb_lang_classify(sf_dir: str) -> "ray.data.Dataset":
 
     return _nb.nb_lang_classify(
         _documents(sf_dir, ["doc_id", "text", "lang"]))
+
+
+def pmi_bigrams(sf_dir: str) -> pa.Table:
+    """Top-20 PMI collocations (word2vec/phrase-mining style): one
+    tokenize pass emits kind-marked (gram, n) partials for unigrams AND
+    bigrams (map-side combined, vocab-bounded exchange), one groupby
+    folds them, unigram counts broadcast as sorted arrays, and the
+    PMI ratio ``P(ab) / (P(a) P(b))`` is computed as EXACTLY ONE
+    float-division chain with pinned associativity — every operand is
+    an exact int64, so the double is bit-identical to the SQL oracle's
+    (sums never enter a float). Global top-20 via per-batch partial
+    top-k then one bounded final reduce."""
+    import numpy as np
+    from collections import Counter
+
+    from ..functions.broadcast import cached_get
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uni: Counter = Counter()
+        bi: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            toks = _ts.tokenize(t)
+            uni.update(toks)
+            bi.update(map(" ".join, zip(toks, toks[1:])))
+        grams = list(uni.keys()) + list(bi.keys())
+        kinds = np.concatenate([np.zeros(len(uni), np.int64),
+                                np.ones(len(bi), np.int64)])
+        ns = np.concatenate([
+            np.fromiter(uni.values(), np.int64, len(uni)),
+            np.fromiter(bi.values(), np.int64, len(bi))])
+        return pa.table({"kind": pa.array(kinds, pa.int64()),
+                         "gram": pa.array(grams, pa.string()),
+                         "n": pa.array(ns, pa.int64())})
+
+    out_schema = pa.schema([("bigram", pa.string()),
+                            ("n_pair", pa.int64()),
+                            ("pmi_ratio", pa.float64())])
+    counts = _documents(sf_dir, ["text"]).map_batches(
+        partial, batch_format="pyarrow").groupby(
+        ["kind", "gram"]).aggregate(
+        ray.data.aggregate.Sum("n")).materialize()
+    if counts.count() == 0:  # every document empty
+        return out_schema.empty_table()
+
+    def uni_side(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("kind"), 0))
+        return pa.table({"w": t.column("gram"),
+                         "n": t.column("sum(n)").cast(pa.int64())})
+
+    uni_tbl = pa.concat_tables(list(counts.map_batches(
+        uni_side, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    words = np.asarray(uni_tbl.column("w").to_pylist(), dtype=object)
+    un = uni_tbl.column("n").to_numpy(zero_copy_only=False)
+    order = np.argsort(words)
+    words, un = words[order], un[order]
+    n_uni = int(un.sum())
+
+    def nb_part(batch: pa.Table) -> pa.Table:
+        k = batch.column("kind").to_numpy(zero_copy_only=False)
+        n = batch.column("sum(n)").to_numpy(zero_copy_only=False)
+        return pa.table({"v": pa.array([int(n[k == 1].sum())],
+                                       pa.int64())})
+
+    n_bi = int(counts.map_batches(
+        nb_part, batch_format="pyarrow").sum("v"))
+    uni_ref = ray.put((words, un, float(n_uni), float(n_bi)))
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        words, un, nu, nb = cached_get(uni_ref)
+        t = batch.filter(pc.and_(pc.equal(batch.column("kind"), 1),
+                                 pc.greater_equal(
+                                     batch.column("sum(n)"), 5)))
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        grams = t.column("gram").to_pylist()
+        n_pair = t.column("sum(n)").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        w1 = np.asarray([g.split(" ", 1)[0] for g in grams],
+                        dtype=object)
+        w2 = np.asarray([g.split(" ", 1)[1] for g in grams],
+                        dtype=object)
+        c_a = un[np.searchsorted(words, w1)].astype(np.float64)
+        c_b = un[np.searchsorted(words, w2)].astype(np.float64)
+        # associativity pinned to the oracle's expression:
+        # ((n*nu)*nu) / ((nb*c_a)*c_b)
+        ratio = ((n_pair.astype(np.float64) * nu) * nu) \
+            / ((nb * c_a) * c_b)
+        out = pa.table({"bigram": pa.array(grams, pa.string()),
+                        "n_pair": pa.array(n_pair, pa.int64()),
+                        "pmi_ratio": pa.array(ratio, pa.float64())})
+        idx = pc.sort_indices(out, sort_keys=[
+            ("pmi_ratio", "descending"), ("bigram", "ascending")])
+        return out.take(idx[:20])  # per-block partial top-k
+
+    parts = pa.concat_tables(list(counts.map_batches(
+        score_topk, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    idx = pc.sort_indices(parts, sort_keys=[
+        ("pmi_ratio", "descending"), ("bigram", "ascending")])
+    return parts.take(idx[:20])
+
+
+def inverted_index(sf_dir: str) -> pa.Table:
+    """Posting-list build (the retrieval-index construction pass):
+    per-doc in-batch token dedupe, ONE groupby(token) with a
+    block-sliced collect aggregate, postings emitted as the
+    doc_id-sorted list per token (rendered as a comma string for exact
+    SQL comparability; a production sink would keep list<int64> and
+    shard hot tokens). Output is vocab-bounded."""
+    from ..functions.dedup import collect_columns_agg
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        toks: list[str] = []
+        for did, t in zip(batch.column("doc_id").to_pylist(),
+                          batch.column("text").to_pylist()):
+            for tok in set(_ts.tokenize(t)):
+                ids.append(did)
+                toks.append(tok)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "token": pa.array(toks, pa.string())})
+
+    agg = _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow").groupby("token").aggregate(
+        collect_columns_agg(["doc_id"], "ids"))
+    rows = agg.take_all()
+    toks = [r["token"] for r in rows]
+    postings = [sorted(r["ids"]) for r in rows]
+    out = pa.table({
+        "token": pa.array(toks, pa.string()),
+        "df": pa.array([len(p) for p in postings], pa.int64()),
+        "postings": pa.array([",".join(map(str, p))
+                              for p in postings], pa.string()),
+    })
+    return out.take(pc.sort_indices(
+        out, sort_keys=[("token", "ascending")]))

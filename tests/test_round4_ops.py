@@ -760,3 +760,82 @@ def test_nb_all_empty_corpus(ray_session):
     assert out.count() == 0
     assert sorted(out.schema().names) == ["doc_id", "lang",
                                           "pred_lang", "pred_score"]
+
+
+# --- PMI collocations + inverted index -------------------------------------
+
+def test_pmi_bigrams_brute_force(ray_session, tmp_path):
+    import math
+    from collections import Counter
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    texts = [("a b a b a b c d", "en"), ("a b a b x y", "en"),
+             ("c d c d c d z z", "fr"), ("a b c d a b", "de")]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array([t for t, _ in texts], pa.string()),
+        "lang": pa.array([l for _, l in texts], pa.string()),
+        "source": pa.array(["s"] * len(texts), pa.string()),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    from tempeh_parser_ray.pipelines import queries as q
+    out = q.pmi_bigrams(str(tmp_path)).to_pylist()
+
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for t, _ in texts:
+        toks = t.split()
+        uni.update(toks)
+        bi.update(map(" ".join, zip(toks, toks[1:])))
+    nu, nb = sum(uni.values()), sum(bi.values())
+    ref = []
+    for g, n in bi.items():
+        if n >= 5:
+            a, b = g.split(" ")
+            ref.append((g, n,
+                        ((float(n) * nu) * nu)
+                        / ((float(nb) * uni[a]) * uni[b])))
+    ref.sort(key=lambda r: (-r[2], r[0]))
+    assert [(r["bigram"], r["n_pair"], r["pmi_ratio"])
+            for r in out] == ref[:20]
+    assert all(r["n_pair"] >= 5 for r in out)
+
+
+def test_inverted_index_brute_force(ray_session):
+    from tempeh_parser_ray.pipelines import queries as q
+
+    out = {r["token"]: (r["df"], r["postings"])
+           for r in q.inverted_index(SF_DIR).to_pylist()}
+
+    import duckdb
+    ref_rows = duckdb.sql(f"""
+        WITH tok AS (
+            SELECT DISTINCT doc_id, token FROM (
+                SELECT doc_id, unnest(string_split_regex(trim(text),
+                       '\\s+')) AS token
+                FROM read_parquet('{SF_DIR}/documents.parquet')
+                WHERE trim(text) <> ''))
+        SELECT token, COUNT(*) df,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                   AS postings
+        FROM tok GROUP BY token""").fetchall()
+    ref = {t: (df, p) for t, df, p in ref_rows}
+    assert out == ref
+
+
+def test_pmi_all_empty_corpus(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["", None], pa.string()),
+        "lang": pa.array(["en", "fr"], pa.string()),
+        "source": pa.array(["s", "s"], pa.string()),
+    }), tmp_path / "documents.parquet")
+    from tempeh_parser_ray.pipelines import queries as q
+    out = q.pmi_bigrams(str(tmp_path))
+    assert out.num_rows == 0
+    assert out.schema.names == ["bigram", "n_pair", "pmi_ratio"]
