@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_lang_classify": _q.nb_lang_classify,
         "pmi_bigrams": _q.pmi_bigrams,
         "inverted_index": _q.inverted_index,
+        "web_pipeline": _q.web_pipeline,
         "extract_text_pdf": _q.extract_text_pdf,
         "extract_links": _q.extract_links,
         "events_running_total": _q.events_running_total,
@@ -325,6 +326,48 @@ def oracle_sql() -> dict[str, str]:
         # from survivors, fully-duplicate docs dropped. The engine's
         # md5-low-64 fingerprint equals exact chunk-text equality here
         # (collision odds ~n^2/2^65).
+        # web composite: the synthetic corpus's extraction is a closed
+        # form of the document row, so the whole HTML->sequences chain
+        # (clone union -> extract -> token gate -> exact dedup ->
+        # packing scan) is exactly SQL-expressible. Dedup partitions by
+        # the extracted TEXT itself (the engine's md5 fp equals exact
+        # text equality; collision odds ~n^2/2^129).
+        "web_pipeline": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       'home ' || lang || source || ' #'
+                       || CAST(doc_id AS VARCHAR) || text
+                       || 'contact: mail' AS xt
+                FROM documents),
+            corpus AS (
+                SELECT doc_id, xt FROM base
+                UNION ALL
+                SELECT doc_id + 700000, xt FROM base
+                WHERE doc_id % 7 = 0),
+            gated AS (
+                SELECT doc_id, xt,
+                       CAST(len(string_split_regex(trim(xt), '\s+'))
+                            AS BIGINT) AS n_tokens
+                FROM corpus
+                WHERE len(string_split_regex(trim(xt), '\s+')) >= 16),
+            dedup AS (
+                SELECT doc_id, n_tokens FROM (
+                    SELECT doc_id, n_tokens,
+                           ROW_NUMBER() OVER (PARTITION BY xt
+                                              ORDER BY doc_id) AS rn
+                    FROM gated) WHERE rn = 1),
+            packed AS (
+                SELECT doc_id, n_tokens,
+                       CAST(COALESCE(SUM(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS BIGINT) AS before
+                FROM dedup)
+            SELECT doc_id, n_tokens,
+                   before // 64 AS chunk_id,
+                   before % 64 AS chunk_offset
+            FROM packed ORDER BY doc_id
+        """,
         # PMI: the ratio is ONE float-division chain over exact int64
         # operands with the same associativity on both sides — bit-exact
         # (sums never enter a float).

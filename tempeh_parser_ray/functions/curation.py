@@ -53,8 +53,18 @@ def sequence_packing(docs: "ray.data.Dataset", *, capacity: int,
     """
     counts = docs.map_batches(
         _token_count_bucket, batch_format="pyarrow",
-        fn_kwargs={"bucket_size": bucket_size}).materialize()
+        fn_kwargs={"bucket_size": bucket_size})
+    return pack_counts(counts, capacity=capacity)
 
+
+def pack_counts(counts: "ray.data.Dataset", *,
+                capacity: int) -> "ray.data.Dataset":
+    """Packing scan over pre-computed ``(doc_id, n_tokens, bucket)``
+    rows — the entry point for composites that already tokenized
+    (stages 2-4 of :func:`sequence_packing`). ``counts`` is consumed
+    twice (bucket sums + the per-bucket collect), so it is materialized
+    here — int64 rows only, far smaller than the corpus."""
+    counts = counts.materialize()
     sums = counts.groupby("bucket").aggregate(
         ray.data.aggregate.Sum("n_tokens")).take_all()
     buckets = np.asarray(sorted(r["bucket"] for r in sums), np.int64)

@@ -2891,3 +2891,70 @@ def inverted_index(sf_dir: str) -> pa.Table:
     })
     return out.take(pc.sort_indices(
         out, sort_keys=[("token", "ascending")]))
+
+
+def web_pipeline(sf_dir: str, *, capacity: int = 64,
+                 min_tokens: int = 16) -> "ray.data.Dataset":
+    """END-TO-END WEB COMPOSITE: raw HTML in, training sequences out —
+    the pipeline a reference user actually runs, as ONE streaming
+    composition: synthesized CC-style HTML (plus exact page clones of
+    ``doc_id%7==0`` at ``+700000`` so dedup demonstrably drops rows)
+    -> the fused parse+extract ACTOR POOL (the real lexer/parser, not
+    the closed form) -> token-count quality gate -> exact dedup on the
+    extracted text (md5 winner = min doc_id; size-adaptive via
+    functions/dedup.exact_dedup) -> sequence packing over the carried
+    token counts (functions/curation.pack_counts — the extracted text
+    is tokenized ONCE, at the gate; packing reuses the counts).
+
+    Scale shape: extraction and the gate are map-side; exchanges are
+    exact_dedup's one pure aggregate (+ broadcast/semi-join winner
+    pass) and the packing scan's bounded bucket aggregates. Extracted
+    text flows only into the md5 fingerprint — it never shuffles.
+    Oracle: staged CTEs chaining the synthetic corpus's closed-form
+    extraction through the same gate/dedup/packing rules."""
+    from ..functions import curation as _curf
+    from ..functions import dedup as _dedupf
+
+    html = _corpus(sf_dir)
+
+    def clones(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").cast(pa.int64())
+        keep = pc.equal(pc.subtract(
+            ids, pc.multiply(pc.divide(ids, 7), 7)), 0)
+        t = batch.filter(keep)
+        cols = {c: t.column(c) for c in t.column_names}
+        cols["doc_id"] = pc.add(t.column("doc_id").cast(pa.int64()),
+                                700000)
+        return pa.table(cols)
+
+    corpus = html.union(html.map_batches(clones, batch_format="pyarrow"))
+    ex = _ep.extract_dataset(corpus, spans=False,
+                             concurrency=_q_pool(),
+                             passthrough=("doc_id",))
+
+    def gate(batch: pa.Table) -> pa.Table:
+        texts = batch.column("extracted_text").to_pylist()
+        n = pa.array([len(_ts.tokenize(t)) for t in texts], pa.int64())
+        out = pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "extracted_text": batch.column("extracted_text"),
+            "n_tokens": n,
+        })
+        return out.filter(pc.greater_equal(out.column("n_tokens"),
+                                           min_tokens))
+
+    gated = ex.map_batches(gate, batch_format="pyarrow")
+    deduped = _dedupf.exact_dedup(gated, key="extracted_text",
+                                  id_col="doc_id")
+
+    def to_counts(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").cast(pa.int64())
+        return pa.table({
+            "doc_id": ids,
+            "n_tokens": batch.column("n_tokens").cast(pa.int64()),
+            "bucket": pc.divide(ids, 65536).cast(pa.int64()),
+        })
+
+    return _curf.pack_counts(
+        deduped.map_batches(to_counts, batch_format="pyarrow"),
+        capacity=capacity)

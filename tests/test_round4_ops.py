@@ -839,3 +839,44 @@ def test_pmi_all_empty_corpus(ray_session, tmp_path):
     out = q.pmi_bigrams(str(tmp_path))
     assert out.num_rows == 0
     assert out.schema.names == ["bigram", "n_pair", "pmi_ratio"]
+
+
+def test_web_pipeline_semantics(ray_session):
+    """HTML -> extract -> gate -> dedup -> pack, checked against an
+    independent per-stage reimplementation over the closed-form
+    extraction."""
+    import duckdb
+
+    from tempeh_parser_ray.pipelines import queries as q
+
+    got = {}
+    for b in q.web_pipeline(SF_DIR).iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for r in b.to_pylist():
+            got[r["doc_id"]] = (r["n_tokens"], r["chunk_id"],
+                                r["chunk_offset"])
+
+    rows = duckdb.sql(f"""
+        SELECT doc_id, lang, source, text
+        FROM read_parquet('{SF_DIR}/documents.parquet')""").fetchall()
+    corpus = []
+    for did, lang, source, text in rows:
+        xt = f"home {lang}{source} #{did}{text}contact: mail"
+        corpus.append((did, xt))
+        if did % 7 == 0:
+            corpus.append((did + 700000, xt))
+    gated = [(d, xt, len(xt.split())) for d, xt in corpus
+             if len(xt.split()) >= 16]
+    seen: dict[str, int] = {}
+    for d, xt, _ in sorted(gated):
+        seen.setdefault(xt, d)
+    kept = sorted((d, n) for d, xt, n in gated if seen[xt] == d)
+    ref = {}
+    before = 0
+    for d, n in kept:
+        ref[d] = (n, before // 64, before % 64)
+        before += n
+    assert got == ref
+    # the stages demonstrably acted: clones were dropped, gate filtered
+    assert all(d < 700000 for d in got)
+    assert len(got) < len(corpus)
