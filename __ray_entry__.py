@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_bigrams": _q.pmi_bigrams,
         "inverted_index": _q.inverted_index,
         "web_pipeline": _q.web_pipeline,
+        "events_value_outliers": _q.events_value_outliers,
         "extract_text_pdf": _q.extract_text_pdf,
         "extract_links": _q.extract_links,
         "events_running_total": _q.events_running_total,
@@ -326,6 +327,25 @@ def oracle_sql() -> dict[str, str]:
         # from survivors, fully-duplicate docs dropped. The engine's
         # md5-low-64 fingerprint equals exact chunk-text equality here
         # (collision odds ~n^2/2^65).
+        # outliers: the z-test as a cross-multiplied INT inequality over
+        # exact centi-scaled values — no float mean/variance on either
+        # side, so the flag set is bit-exact.
+        "events_value_outliers": r"""
+            WITH e AS (
+                SELECT event_id, user_id,
+                       CAST(round(value * 100) AS BIGINT) AS v, value
+                FROM events),
+            s AS (
+                SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(v) AS BIGINT) AS sv,
+                       CAST(SUM(v * v) AS BIGINT) AS sv2
+                FROM e GROUP BY user_id)
+            SELECT e.event_id, e.user_id, e.value
+            FROM e JOIN s USING (user_id)
+            WHERE (s.n * e.v - s.sv) * (s.n * e.v - s.sv)
+                  > 4 * (s.n * s.sv2 - s.sv * s.sv)
+            ORDER BY e.event_id
+        """,
         # web composite: the synthetic corpus's extraction is a closed
         # form of the document row, so the whole HTML->sequences chain
         # (clone union -> extract -> token gate -> exact dedup ->

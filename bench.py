@@ -78,7 +78,7 @@ QUERY_NAMES = [
     "ppl_buckets", "extract_text_pdf", "url_parse", "url_host_stats",
     "dsir_weights", "extract_links", "events_running_total",
     "domain_pagerank", "nb_lang_classify", "pmi_bigrams",
-    "inverted_index", "web_pipeline",
+    "inverted_index", "web_pipeline", "events_value_outliers",
 ]
 
 

@@ -2958,3 +2958,87 @@ def web_pipeline(sf_dir: str, *, capacity: int = 64,
     return _curf.pack_counts(
         deduped.map_batches(to_counts, batch_format="pyarrow"),
         capacity=capacity)
+
+
+def events_value_outliers(sf_dir: str, *,
+                          broadcast_limit: int = 5_000_000,
+                          join_parts: int = 8) -> "ray.data.Dataset":
+    """Per-user anomaly detection with EXACT integer arithmetic: flag
+    events whose value is > 2 standard deviations from the user's own
+    mean — the z-test rewritten as a cross-multiplied integer
+    inequality ``(n*x - sum)^2 > 4*(n*sumsq - sum^2)`` over
+    centi-scaled int64 values, so no float mean/variance (whose
+    summation order could drift) ever exists and the SQL oracle is
+    bit-exact. One grouped aggregate builds the per-user moment table
+    (|users|-bounded); scoring is size-adaptive — broadcast sorted
+    moment arrays below ``broadcast_limit`` users, a distributed hash
+    join above (the 10^9-user path)."""
+    import numpy as np
+
+    from ..functions.broadcast import cached_get
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        v = np.rint(batch.column("value").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table({
+            "event_id": batch.column("event_id").cast(pa.int64()),
+            "user_id": batch.column("user_id").cast(pa.int64()),
+            "v": pa.array(v, pa.int64()),
+            "v2": pa.array(v * v, pa.int64()),
+            "value": batch.column("value"),
+        })
+
+    facts = _events(sf_dir, ["event_id", "user_id", "value"]).map_batches(
+        to_int, batch_format="pyarrow")
+    stats = facts.map_batches(
+        lambda b: b.select(["user_id", "v", "v2"]),
+        batch_format="pyarrow").groupby("user_id").aggregate(
+        ray.data.aggregate.Count(),
+        ray.data.aggregate.Sum("v"),
+        ray.data.aggregate.Sum("v2")).materialize()
+
+    def flag(ev: np.ndarray, n: np.ndarray, sv: np.ndarray,
+             sv2: np.ndarray) -> np.ndarray:
+        num = n * ev - sv
+        return num * num > 4 * (n * sv2 - sv * sv)
+
+    if stats.count() <= broadcast_limit:
+        tbl = pa.concat_tables(list(stats.iter_batches(
+            batch_format="pyarrow", batch_size=None)))
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(uid)
+        moments = (uid[order],
+                   tbl.column("count()").to_numpy(
+                       zero_copy_only=False)[order].astype(np.int64),
+                   tbl.column("sum(v)").to_numpy(
+                       zero_copy_only=False)[order].astype(np.int64),
+                   tbl.column("sum(v2)").to_numpy(
+                       zero_copy_only=False)[order].astype(np.int64))
+        mom_ref = ray.put(moments)
+
+        def score(batch: pa.Table) -> pa.Table:
+            uids, n, sv, sv2 = cached_get(mom_ref)
+            u = batch.column("user_id").to_numpy(zero_copy_only=False)
+            v = batch.column("v").to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(uids, u)
+            m = flag(v, n[idx], sv[idx], sv2[idx])
+            return batch.filter(pa.array(m)).select(
+                ["event_id", "user_id", "value"])
+
+        return facts.map_batches(score, batch_format="pyarrow")
+
+    joined = facts.join(stats, join_type="inner",
+                        num_partitions=join_parts, on=("user_id",))
+
+    def score_joined(batch: pa.Table) -> pa.Table:
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        n = batch.column("count()").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        sv = batch.column("sum(v)").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        sv2 = batch.column("sum(v2)").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(flag(v, n, sv, sv2))).select(
+            ["event_id", "user_id", "value"])
+
+    return joined.map_batches(score_joined, batch_format="pyarrow")

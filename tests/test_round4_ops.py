@@ -880,3 +880,31 @@ def test_web_pipeline_semantics(ray_session):
     # the stages demonstrably acted: clones were dropped, gate filtered
     assert all(d < 700000 for d in got)
     assert len(got) < len(corpus)
+
+
+def test_events_value_outliers_paths_and_reference(ray_session):
+    from tempeh_parser_ray.pipelines import queries as q
+
+    def run(**kw):
+        out = set()
+        for b in q.events_value_outliers(SF_DIR, **kw).iter_batches(
+                batch_format="pyarrow", batch_size=None):
+            out.update(b.column("event_id").to_pylist())
+        return out
+
+    broad = run()
+    joined = run(broadcast_limit=0, join_parts=2)
+    assert broad == joined and broad  # int math: bit-exact across paths
+
+    # brute-force integer reference over the same parquet
+    import duckdb
+    ref = {r[0] for r in duckdb.sql(f"""
+        WITH e AS (SELECT event_id, user_id,
+                          CAST(round(value*100) AS BIGINT) v
+                   FROM read_parquet('{SF_DIR}/events.parquet')),
+        s AS (SELECT user_id, COUNT(*) n, SUM(v) sv, SUM(v*v) sv2
+              FROM e GROUP BY user_id)
+        SELECT event_id FROM e JOIN s USING (user_id)
+        WHERE (s.n*e.v - s.sv)*(s.n*e.v - s.sv)
+              > 4*(s.n*s.sv2 - s.sv*s.sv)""").fetchall()}
+    assert broad == ref
