@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": _q.inverted_index,
         "web_pipeline": _q.web_pipeline,
         "events_value_outliers": _q.events_value_outliers,
+        "bpe_encode": _q.bpe_encode,
         "extract_text_pdf": _q.extract_text_pdf,
         "extract_links": _q.extract_links,
         "events_running_total": _q.events_running_total,

@@ -79,6 +79,7 @@ QUERY_NAMES = [
     "dsir_weights", "extract_links", "events_running_total",
     "domain_pagerank", "nb_lang_classify", "pmi_bigrams",
     "inverted_index", "web_pipeline", "events_value_outliers",
+    "bpe_encode",
 ]
 
 

@@ -272,3 +272,24 @@ def bpe_merges_from_word_freq(word_freq: dict[str, int],
             new_words.append((out, n))
         words = new_words
     return merges
+
+
+def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]
+                    ) -> list[str]:
+    """Apply trained BPE merges to one word: repeatedly merge the
+    LOWEST-RANK adjacent pair (leftmost on rank ties) until none
+    applies — the classic encode dual of
+    :func:`bpe_merges_from_word_freq` (equivalent to replaying the
+    merges in training order)."""
+    sym = list(word)
+    while len(sym) > 1:
+        best = None
+        bi = -1
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best is None or r < best):
+                best, bi = r, i
+        if best is None:
+            break
+        sym[bi:bi + 2] = [sym[bi] + sym[bi + 1]]
+    return sym

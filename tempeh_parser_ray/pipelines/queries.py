@@ -3042,3 +3042,64 @@ def events_value_outliers(sf_dir: str, *,
             ["event_id", "user_id", "value"])
 
     return joined.map_batches(score_joined, batch_format="pyarrow")
+
+
+def bpe_encode(sf_dir: str) -> "ray.data.Dataset":
+    """BPE train -> APPLY: the tokenizer trained by :func:`bpe_train`
+    (one distributed word-frequency pass + vocab-bounded driver merge
+    loop) encodes every document through a stateful ACTOR POOL — merge
+    ranks broadcast once via ``ray.put``, each actor holds a per-word
+    encode memo built in ``__init__``-scoped state (the word
+    distribution is Zipfian, so the memo converts per-occurrence work
+    into per-distinct-word work). Emits (doc_id, n_tokens,
+    n_bpe_tokens, compression_bp) with compression in integer basis
+    points — rows-only for the driver (iterative merges are not
+    SQL-expressible); semantics pinned by a pytest replaying the
+    merges in training order (the classic equivalence)."""
+    import numpy as np
+
+    from ..functions.broadcast import cached_get
+
+    wf_ds = _ts.word_frequencies(_documents(sf_dir, ["text"]))
+    wf = {r["word"]: r["sum(n)"] for r in wf_ds.take_all()}
+    merges = _ts.bpe_merges_from_word_freq(wf, BPE_N_MERGES)
+    ranks_ref = ray.put({(l, r): i for i, (l, r, _) in
+                         enumerate(merges)})
+
+    class Encode:
+        def __init__(self):
+            self.ranks = cached_get(ranks_ref)
+            self.memo: dict[str, int] = {}
+
+        def _n_sub(self, w: str) -> int:
+            n = self.memo.get(w)
+            if n is None:
+                n = len(_ts.bpe_encode_word(w, self.ranks))
+                self.memo[w] = n
+            return n
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").cast(pa.int64())
+            texts = batch.column("text").to_pylist()
+            n_tok: list[int] = []
+            n_bpe: list[int] = []
+            for t in texts:
+                toks = _ts.tokenize(t)
+                n_tok.append(len(toks))
+                n_bpe.append(sum(self._n_sub(w) for w in toks))
+            n_tok_a = np.asarray(n_tok, np.int64)
+            n_bpe_a = np.asarray(n_bpe, np.int64)
+            nchars = np.asarray(
+                [len(t or "") for t in texts], np.int64)
+            comp = np.where(nchars > 0, (n_bpe_a * 10000) // np.maximum(
+                nchars, 1), 0)
+            return pa.table({
+                "doc_id": ids,
+                "n_tokens": pa.array(n_tok_a, pa.int64()),
+                "n_bpe_tokens": pa.array(n_bpe_a, pa.int64()),
+                "compression_bp": pa.array(comp, pa.int64()),
+            })
+
+    return _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        Encode, concurrency=_q_pool(), batch_size=256,
+        batch_format="pyarrow")

@@ -908,3 +908,48 @@ def test_events_value_outliers_paths_and_reference(ray_session):
         WHERE (s.n*e.v - s.sv)*(s.n*e.v - s.sv)
               > 4*(s.n*s.sv2 - s.sv*s.sv)""").fetchall()}
     assert broad == ref
+
+
+def test_bpe_encode_matches_training_order_replay(ray_session):
+    """Independent formulation: replaying the merges IN TRAINING ORDER
+    over each word must equal the lowest-rank-first encode."""
+    from tempeh_parser_ray.functions import textstats as _ts
+    from tempeh_parser_ray.pipelines import queries as q
+    from tempeh_parser_ray.pipelines.queries import (
+        BPE_N_MERGES, _documents)
+
+    got = {}
+    for b in q.bpe_encode(SF_DIR).iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for r in b.to_pylist():
+            got[r["doc_id"]] = (r["n_tokens"], r["n_bpe_tokens"],
+                                r["compression_bp"])
+
+    import duckdb
+    rows = duckdb.sql(f"""
+        SELECT doc_id, text
+        FROM read_parquet('{SF_DIR}/documents.parquet')""").fetchall()
+    from collections import Counter
+    wf: Counter = Counter()
+    for _, t in rows:
+        wf.update((t or "").split())
+    merges = _ts.bpe_merges_from_word_freq(dict(wf), BPE_N_MERGES)
+
+    def replay(word):
+        sym = list(word)
+        for la, rb, _ in merges:
+            i = 0
+            while i < len(sym) - 1:
+                if sym[i] == la and sym[i + 1] == rb:
+                    sym[i:i + 2] = [la + rb]
+                else:
+                    i += 1
+        return sym
+
+    for did, t in rows:
+        toks = (t or "").split()
+        nb = sum(len(replay(w)) for w in toks)
+        nch = len(t or "")
+        comp = (nb * 10000) // max(nch, 1) if nch > 0 else 0
+        assert got[did] == (len(toks), nb, comp), did
+    assert set(got) == {d for d, _ in rows}
