@@ -30,6 +30,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # remainder are pinned by CORRECTNESS_r03 + the committed CHECK_r4 sweep.
     return {
         # round-4 additions (driver-uncovered by construction)
+        "dom_stats": _q.dom_stats,
+        "dom_select": _q.dom_select,
+        "extract_tables": _q.extract_tables,
         "nb_lang_classify": _q.nb_lang_classify,
         "pmi_bigrams": _q.pmi_bigrams,
         "inverted_index": _q.inverted_index,
@@ -202,6 +205,57 @@ _JACCARD_PAIRS_SQL = r"""
 
 def oracle_sql() -> dict[str, str]:
     d = {
+        "dom_stats": r"""
+            -- every metric is a closed-form function of the fixed page
+            -- template (sources/synthetic.py:page_html node layout)
+            SELECT doc_id,
+                   CAST(25 AS INTEGER) AS n_nodes,
+                   CAST(14 AS INTEGER) AS n_elements,
+                   CAST(10 AS INTEGER) AS n_text_nodes,
+                   CAST(3 AS INTEGER) AS n_attrs,
+                   CAST(5 AS INTEGER) AS max_depth,
+                   CAST(51 + 2 * length(CAST(doc_id AS VARCHAR))
+                        + length(lang) + length(source)
+                        + length(text) AS BIGINT) AS text_chars,
+                   '' AS error
+            FROM documents ORDER BY doc_id
+        """,
+        "dom_select": r"""
+            -- selector "nav a": exactly two nav anchors per template
+            -- page ('home', then the lang label)
+            SELECT doc_id, CAST(0 AS BIGINT) AS match_idx,
+                   'a' AS tag, 'home' AS text
+            FROM documents
+            UNION ALL
+            SELECT doc_id, CAST(1 AS BIGINT), 'a', lang
+            FROM documents
+            ORDER BY doc_id, match_idx
+        """,
+        "extract_tables": r"""
+            -- closed-form rebuild of the synthesized data table
+            -- (sources/synthetic.py:table_page_html): header row (k,v)
+            -- + rows lang/source/chars; the source value cell nests
+            -- <b>source</b>! so its text is source || '!'
+            SELECT doc_id, CAST(0 AS BIGINT) AS table_idx,
+                   r.row_idx, c.col_idx,
+                   CASE
+                     WHEN r.row_idx = 0 THEN
+                       CASE c.col_idx WHEN 0 THEN 'k' ELSE 'v' END
+                     WHEN r.row_idx = 1 THEN
+                       CASE c.col_idx WHEN 0 THEN 'lang' ELSE lang END
+                     WHEN r.row_idx = 2 THEN
+                       CASE c.col_idx WHEN 0 THEN 'source'
+                            ELSE source || '!' END
+                     ELSE
+                       CASE c.col_idx WHEN 0 THEN 'chars'
+                            ELSE CAST(n_chars AS VARCHAR) END
+                   END AS cell_text,
+                   r.row_idx = 0 AS is_header
+            FROM documents
+            CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS row_idx) r
+            CROSS JOIN (SELECT unnest([0, 1]) AS col_idx) c
+            ORDER BY doc_id, r.row_idx, c.col_idx
+        """,
         "extract_text": f"""
             SELECT doc_id,
                    {_EXTRACTED} AS extracted_text,

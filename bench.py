@@ -80,6 +80,7 @@ QUERY_NAMES = [
     "domain_pagerank", "nb_lang_classify", "pmi_bigrams",
     "inverted_index", "web_pipeline", "events_value_outliers",
     "bpe_encode",
+    "dom_stats", "dom_select", "extract_tables",
 ]
 
 

@@ -3103,3 +3103,65 @@ def bpe_encode(sf_dir: str) -> "ray.data.Dataset":
     return _documents(sf_dir, ["doc_id", "text"]).map_batches(
         Encode, concurrency=_q_pool(), batch_size=256,
         batch_format="pyarrow")
+
+
+# --- DOM analytics (round-4 second half) ---------------------------------
+
+
+def dom_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Per-page DOM structural stats (stages/dom_stage.py:DomStatsBatch)
+    over the synthesized CC-style corpus: node/element/text/attr
+    counts, max depth, total text chars. The fixed page template makes
+    every metric a closed-form function of the document row, so the
+    oracle rebuilds each value in SQL (sources/synthetic.py:page_html
+    layout comment). The crawl-quality sidecar shape: metrics computed
+    in the SAME actor pool pattern as extraction, never materializing
+    the tree."""
+    from ..stages import dom_stage as _ds
+
+    return _corpus(sf_dir).map_batches(
+        _ds.DomStatsBatch,
+        batch_format="pyarrow",
+        compute=ray.data.ActorPoolStrategy(
+            size=_q_pool(), max_tasks_in_flight_per_actor=4),
+        num_cpus=1,
+        fn_constructor_kwargs={"passthrough": ("doc_id",)})
+
+
+def dom_select(sf_dir: str) -> "ray.data.Dataset":
+    """CSS-lite descendant selection ("nav a") over the corpus — one
+    row per matched element with its descendant-concatenated text
+    (stages/dom_stage.py:DomSelectBatch). The template carries exactly
+    two nav anchors per page ('home' and the lang label), so the
+    oracle enumerates both in closed form."""
+    from ..stages import dom_stage as _ds
+
+    return _corpus(sf_dir).map_batches(
+        _ds.DomSelectBatch,
+        batch_format="pyarrow",
+        compute=ray.data.ActorPoolStrategy(
+            size=_q_pool(), max_tasks_in_flight_per_actor=4),
+        num_cpus=1,
+        fn_constructor_kwargs={"selector": "nav a",
+                               "passthrough": ("doc_id",)})
+
+
+def extract_tables(sf_dir: str) -> "ray.data.Dataset":
+    """WDC-style web-table extraction: HTML <table> -> relational
+    (doc_id, table_idx, row_idx, col_idx, cell_text, is_header) rows
+    (stages/dom_stage.py:TableExtractBatch) over a deterministic
+    data-table corpus (sources/synthetic.py:table_page_html: header
+    row + 3 data rows, one cell nesting <b> so descendant-text concat
+    is exercised on every page)."""
+    from ..stages import dom_stage as _ds
+
+    pages = _documents(sf_dir, ["doc_id", "lang", "source", "n_chars"]
+                       ).map_batches(
+        _synth.synthesize_table_batch, batch_format="pyarrow")
+    return pages.map_batches(
+        _ds.TableExtractBatch,
+        batch_format="pyarrow",
+        compute=ray.data.ActorPoolStrategy(
+            size=_q_pool(), max_tasks_in_flight_per_actor=4),
+        num_cpus=1,
+        fn_constructor_kwargs={"passthrough": ("doc_id",)})

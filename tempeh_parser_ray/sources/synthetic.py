@@ -112,6 +112,42 @@ def synthesize_encoded_batch(batch: pa.Table) -> pa.Table:
     return out.append_column("encoding", pa.array(encs, pa.string()))
 
 
+# --- table pages (web-table extraction corpus) ---------------------------
+
+def table_page_html(doc_id: int, lang: str, source: str,
+                    n_chars: int) -> bytes:
+    """Data-table page, pure function of the document row: a header
+    row + three data rows; the ``source`` cell nests a <b> element so
+    cell text must concatenate descendant text nodes (not just direct
+    children); <tbody> wraps the data rows (transparent for row
+    indexing)."""
+    return (
+        "<!DOCTYPE html>"
+        f"<html><body><h1>t{doc_id}</h1>"
+        '<table id="t1"><tr><th>k</th><th>v</th></tr>'
+        f"<tbody><tr><td>lang</td><td>{lang}</td></tr>"
+        f"<tr><td>source</td><td><b>{source}</b>!</td></tr>"
+        f"<tr><td>chars</td><td>{n_chars}</td></tr></tbody></table>"
+        "</body></html>"
+    ).encode("utf-8")
+
+
+def synthesize_table_batch(batch: pa.Table) -> pa.Table:
+    """documents rows -> table-page corpus rows (map_batches)."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    langs = batch.column("lang").to_pylist()
+    sources = batch.column("source").to_pylist()
+    n_chars = batch.column("n_chars").to_pylist()
+    html = [table_page_html(d, l, s, c)
+            for d, l, s, c in zip(doc_ids, langs, sources, n_chars)]
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "url": pa.array([f"synth://table/{d}" for d in doc_ids],
+                        pa.string()),
+        "html": pa.array(html, pa.binary()),
+    })
+
+
 # --- bench corpus (size-skewed, deterministic) --------------------------
 
 def _size_factor(doc_id: int) -> int:
