@@ -30,6 +30,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # remainder are pinned by CORRECTNESS_r03 + the committed CHECK_r4 sweep.
     return {
         # round-4 additions (driver-uncovered by construction)
+        "surt_index": _q.surt_index,
+        "robots_filter": _q.robots_filter,
+        "anchor_text_index": _q.anchor_text_index,
+        "latest_capture": _q.latest_capture,
         "dom_stats": _q.dom_stats,
         "dom_select": _q.dom_select,
         "extract_tables": _q.extract_tables,
@@ -205,6 +209,87 @@ _JACCARD_PAIRS_SQL = r"""
 
 def oracle_sql() -> dict[str, str]:
     d = {
+        "surt_index": r"""
+            -- closed-form SURT key per generating row
+            -- (sources/synthetic.py:crawl_url): reversed host labels
+            -- (www stripped), ')', path, sorted query params; scheme
+            -- and port dropped
+            SELECT doc_id,
+                   (CASE doc_id % 5 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                         WHEN 2 THEN 'net' WHEN 3 THEN 'uk,co'
+                         ELSE 'cn,com' END)
+                   || ',' || source || '-site'
+                   || (CASE doc_id % 4 WHEN 1 THEN ',blog'
+                            WHEN 3 THEN ',news' ELSE '' END)
+                   || ')'
+                   || (CASE WHEN doc_id % 6 = 0
+                            THEN '/' || lang || '/p' || doc_id || '/'
+                            ELSE '/' || lang || '/a' || (doc_id % 10)
+                                 || '/p' || doc_id END)
+                   || (CASE doc_id % 3 WHEN 0 THEN ''
+                            WHEN 1 THEN '?ref=' || source
+                            ELSE '?q=t' || (doc_id % 100)
+                                 || '&ref=' || source END) AS surt
+            FROM documents ORDER BY surt, doc_id
+        """,
+        "robots_filter": r"""
+            -- rule k = (2*source_idx + doc_id%5) % 10 disallows
+            -- /*/a{k}/ except the Allow override /*/a{k}/p1
+            -- (sources/synthetic.py:robots_txt); pages with the
+            -- trailing-slash path shape (doc_id%6=0) have no
+            -- a-segment and are always allowed
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 3 = 0 THEN 'http'
+                         ELSE 'https' END) || '://'
+                   || (CASE doc_id % 4 WHEN 0 THEN 'www.'
+                            WHEN 1 THEN 'blog.' WHEN 2 THEN ''
+                            ELSE 'news.' END)
+                   || source || '-site.'
+                   || (CASE doc_id % 5 WHEN 0 THEN 'com'
+                            WHEN 1 THEN 'org' WHEN 2 THEN 'net'
+                            WHEN 3 THEN 'co.uk' ELSE 'com.cn' END)
+                   || (CASE WHEN doc_id % 7 = 0 THEN ':8080'
+                            ELSE '' END)
+                   || (CASE WHEN doc_id % 6 = 0
+                            THEN '/' || lang || '/p' || doc_id || '/'
+                            ELSE '/' || lang || '/a' || (doc_id % 10)
+                                 || '/p' || doc_id END)
+                   || (CASE doc_id % 3 WHEN 0 THEN ''
+                            WHEN 1 THEN '?ref=' || source
+                            ELSE '?ref=' || source
+                                 || '&q=t' || (doc_id % 100) END) AS url,
+                   NOT (doc_id % 6 <> 0
+                        AND doc_id % 10 =
+                            (2 * CAST(substr(source, 4) AS INTEGER)
+                             + doc_id % 5) % 10
+                        AND substr(CAST(doc_id AS VARCHAR), 1, 1)
+                            <> '1') AS allowed
+            FROM documents ORDER BY doc_id
+        """,
+        "anchor_text_index": r"""
+            -- the template's three links per page in closed form
+            SELECT '/' AS href, CAST(COUNT(*) AS BIGINT) AS n_refs,
+                   CAST(1 AS BIGINT) AS n_distinct_anchors,
+                   'home' AS top_anchor
+            FROM documents
+            UNION ALL
+            SELECT 'mailto:x@example.com', CAST(COUNT(*) AS BIGINT),
+                   CAST(1 AS BIGINT), 'mail'
+            FROM documents
+            UNION ALL
+            SELECT '/l/' || lang, CAST(COUNT(*) AS BIGINT),
+                   CAST(1 AS BIGINT), lang
+            FROM documents GROUP BY lang
+            ORDER BY href
+        """,
+        "latest_capture": r"""
+            -- the r1 re-crawl (one day later, same url) always wins
+            SELECT doc_id, 'synth://doc/' || doc_id AS url,
+                   TIMESTAMP '2025-01-02 00:00:00'
+                       + to_seconds(doc_id) AS warc_ts,
+                   'r1' AS crawl
+            FROM documents ORDER BY doc_id
+        """,
         "dom_stats": r"""
             -- every metric is a closed-form function of the fixed page
             -- template (sources/synthetic.py:page_html node layout)

@@ -81,6 +81,7 @@ QUERY_NAMES = [
     "inverted_index", "web_pipeline", "events_value_outliers",
     "bpe_encode",
     "dom_stats", "dom_select", "extract_tables",
+    "surt_index", "robots_filter", "anchor_text_index", "latest_capture",
 ]
 
 

@@ -33,9 +33,12 @@ _RD_RE = (r"(?P<rd>[^.]+\.(?:"
           + r")|[^.]+\.[^.]+)$")
 
 
-def parse_url_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
+def parse_url_batch(batch: pa.Table, url_col: str = "url",
+                    include_path: bool = False) -> pa.Table:
     """Append scheme/host/registered_domain/path_depth/n_query_params
-    columns. Two vectorized regex kernels; no Python row loop."""
+    columns. Two vectorized regex kernels; no Python row loop.
+    ``include_path`` additionally appends the raw ``path`` string
+    (consumed by the robots matcher, ``webops.robots_filter``)."""
     urls = batch.column(url_col)
     parts = pc.extract_regex(urls, _URL_RE)
     scheme = pc.struct_field(parts, "scheme")
@@ -73,4 +76,6 @@ def parse_url_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
             ("path_depth", depth.cast(pa.int64())),
             ("n_query_params", n_params)):
         out = out.append_column(name, col)
+    if include_path:
+        out = out.append_column("path", path_f)
     return out

@@ -3165,3 +3165,91 @@ def extract_tables(sf_dir: str) -> "ray.data.Dataset":
             size=_q_pool(), max_tasks_in_flight_per_actor=4),
         num_cpus=1,
         fn_constructor_kwargs={"passthrough": ("doc_id",)})
+
+
+# --- web-crawl index / politeness ops -------------------------------------
+
+
+def surt_index(sf_dir: str) -> "ray.data.Dataset":
+    """CDX-style URL index build: SURT canonical key per frontier URL
+    (functions/webops.py:surt_batch — host-label reversal and query-
+    param sorting as flat numpy permutations + one binary_join, fully
+    vectorized) followed by a DISTRIBUTED range-partitioned sort on the
+    key — exactly how a web-scale capture index is laid out for binary-
+    searchable Parquet. Oracle rebuilds each key in closed form from
+    the generating row (sources/synthetic.py:crawl_url)."""
+    from ..functions import webops as _web
+
+    frontier = _documents(sf_dir, ["doc_id", "lang", "source"]
+                          ).map_batches(
+        _synth.synthesize_url_batch, batch_format="pyarrow")
+    keyed = frontier.map_batches(_web.surt_batch, batch_format="pyarrow")
+    return keyed.select_columns(["doc_id", "surt"]).sort("surt")
+
+
+def robots_filter(sf_dir: str) -> "ray.data.Dataset":
+    """Crawl-politeness gate: per-registered-domain robots.txt
+    (synthesized text, REALLY parsed — group selection past a decoy
+    full-block agent, wildcard patterns, Allow-overrides-Disallow
+    longest-match precedence) applied to every frontier URL
+    (functions/webops.py). Size-adaptive: compiled-rule broadcast here;
+    a distributed explode+join+argmax path above the limit (pytest pins
+    both equal). Output: (doc_id, url, allowed)."""
+    from ..functions import urls as _urls
+    from ..functions import webops as _web
+
+    frontier = _documents(sf_dir, ["doc_id", "lang", "source"]
+                          ).map_batches(
+        _synth.synthesize_url_batch, batch_format="pyarrow")
+    parsed = frontier.map_batches(
+        _urls.parse_url_batch, batch_format="pyarrow",
+        fn_kwargs={"include_path": True})
+    robots = _documents(sf_dir, ["doc_id", "source"]).map_batches(
+        _synth.synthesize_robots_batch, batch_format="pyarrow"
+    ).groupby("registered_domain").aggregate(
+        ray.data.aggregate.Min("robots_txt")).map_batches(
+        lambda b: pa.table({
+            "registered_domain": b.column("registered_domain"),
+            "robots_txt": b.column("min(robots_txt)")}),
+        batch_format="pyarrow")
+    out = _web.robots_filter(parsed, robots)
+    return out.select_columns(["doc_id", "url", "allowed"])
+
+
+def anchor_text_index(sf_dir: str) -> "ray.data.Dataset":
+    """Web-graph anchor-text rollup: link edges (the real parser's
+    LinksBatch flat-map) -> per-href (n_refs, n_distinct_anchors,
+    lexicographic top_anchor) via two PURE aggregate exchanges, no join
+    (functions/webops.py:anchor_index)."""
+    from ..functions import webops as _web
+
+    return _web.anchor_index(extract_links(sf_dir))
+
+
+def latest_capture(sf_dir: str) -> "ray.data.Dataset":
+    """Keep-newest-capture dedup across crawls (the CDX re-crawl rule):
+    two deterministic crawl replicas of the corpus (r1 re-crawled one
+    day later, same urls) unioned, then
+    functions/webops.py:keep_latest — one pure groupby(url).Max
+    exchange + size-adaptive winner recovery, the argmax mirror of
+    exact_dedup. Every winner is the r1 capture by construction."""
+    import datetime as _dt
+
+    from ..functions import webops as _web
+
+    docs = _documents(sf_dir, ["doc_id", "text", "lang", "source"])
+
+    def tag(crawl: str, shift_s: int):
+        def f(batch: pa.Table) -> pa.Table:
+            t = _synth.synthesize_batch(batch)
+            ts = pc.add(t.column("warc_ts"), pa.scalar(
+                _dt.timedelta(seconds=shift_s), pa.duration("s")))
+            t = t.drop_columns(["warc_ts"]).append_column("warc_ts", ts)
+            return t.append_column(
+                "crawl", pa.array([crawl] * t.num_rows, pa.string()))
+        return f
+
+    a = docs.map_batches(tag("r0", 0), batch_format="pyarrow")
+    b = docs.map_batches(tag("r1", 86400), batch_format="pyarrow")
+    u = a.union(b).select_columns(["doc_id", "url", "warc_ts", "crawl"])
+    return _web.keep_latest(u, key="url", ts_col="warc_ts")

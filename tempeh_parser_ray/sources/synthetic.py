@@ -228,3 +228,34 @@ def synthesize_url_batch(batch: pa.Table) -> pa.Table:
                                batch.column("source").to_pylist())]
     return pa.table({"doc_id": batch.column("doc_id"),
                      "url": pa.array(urls, pa.string())})
+
+
+def robots_txt(source: str, tld_idx: int) -> str:
+    """Deterministic robots.txt per registered domain
+    ``{source}-site.{tld}``: a decoy full-block group for another
+    agent (exercises group selection), then a ``*`` group with one
+    wildcard Disallow and a more-specific Allow override —
+    ``k = (2*s + tld_idx) % 10`` where ``s`` is the source index, so
+    the SQL oracle rebuilds the verdict per URL row in closed form."""
+    s = int(source[3:])
+    k = (2 * s + tld_idx) % 10
+    return ("User-agent: gptbot\nDisallow: /\n\n"
+            "User-agent: *\n"
+            f"Disallow: /*/a{k}/\n"
+            f"Allow: /*/a{k}/p1\n"
+            "Disallow:\n"  # empty pattern = no-op (spec edge case)
+            )
+
+
+def synthesize_robots_batch(batch: pa.Table) -> pa.Table:
+    """documents rows -> per-registered-domain robots rows (duplicates
+    collapse downstream; tld cycles doc_id%5 like crawl_url)."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    sources = batch.column("source").to_pylist()
+    doms, txts = [], []
+    for d, s in zip(doc_ids, sources):
+        t = int(d) % 5
+        doms.append(f"{s}-site.{_URL_TLDS[t]}")
+        txts.append(robots_txt(s, t))
+    return pa.table({"registered_domain": pa.array(doms, pa.string()),
+                     "robots_txt": pa.array(txts, pa.string())})
