@@ -30,6 +30,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # remainder are pinned by CORRECTNESS_r03 + the committed CHECK_r4 sweep.
     return {
         # round-4 additions (driver-uncovered by construction)
+        "events_funnel": _q.events_funnel,
+        "user_retention": _q.user_retention,
+        "events_gapfill": _q.events_gapfill,
         "surt_index": _q.surt_index,
         "robots_filter": _q.robots_filter,
         "anchor_text_index": _q.anchor_text_index,
@@ -209,6 +212,49 @@ _JACCARD_PAIRS_SQL = r"""
 
 def oracle_sql() -> dict[str, str]:
     d = {
+        "events_funnel": r"""
+            -- stage k counts users whose earliest stage-k event
+            -- strictly follows their stage-(k-1) min time
+            WITH v AS (SELECT user_id, MIN(ts) AS mv FROM events
+                       WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT e.user_id, MIN(e.ts) AS mc
+                  FROM events e JOIN v USING (user_id)
+                  WHERE e.event_type = 'click' AND e.ts > v.mv
+                  GROUP BY e.user_id),
+            p AS (SELECT e.user_id, MIN(e.ts) AS mp
+                  FROM events e JOIN c USING (user_id)
+                  WHERE e.event_type = 'purchase' AND e.ts > c.mc
+                  GROUP BY e.user_id)
+            SELECT 'view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM v
+            UNION ALL
+            SELECT 'click', CAST(COUNT(*) AS BIGINT) FROM c
+            UNION ALL
+            SELECT 'purchase', CAST(COUNT(*) AS BIGINT) FROM p
+        """,
+        "user_retention": r"""
+            WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE)
+                                AS day FROM events),
+            coh AS (SELECT user_id, MIN(day) AS cohort_day
+                    FROM act GROUP BY user_id)
+            SELECT CAST(coh.cohort_day AS TIMESTAMP) AS cohort_day,
+                   CAST(act.day - coh.cohort_day AS BIGINT)
+                       AS day_offset,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM act JOIN coh USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_gapfill": r"""
+            WITH c AS (SELECT date_trunc('hour', ts) AS hour_ts,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1),
+            b AS (SELECT MIN(hour_ts) AS mn, MAX(hour_ts) AS mx FROM c),
+            g AS (SELECT unnest(generate_series(b.mn, b.mx,
+                                INTERVAL 1 HOUR)) AS hour_ts FROM b)
+            SELECT g.hour_ts, COALESCE(c.n, 0) AS n_events
+            FROM g LEFT JOIN c USING (hour_ts)
+            ORDER BY g.hour_ts
+        """,
         "surt_index": r"""
             -- closed-form SURT key per generating row
             -- (sources/synthetic.py:crawl_url): reversed host labels

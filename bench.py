@@ -82,6 +82,7 @@ QUERY_NAMES = [
     "bpe_encode",
     "dom_stats", "dom_select", "extract_tables",
     "surt_index", "robots_filter", "anchor_text_index", "latest_capture",
+    "events_funnel", "user_retention", "events_gapfill",
 ]
 
 

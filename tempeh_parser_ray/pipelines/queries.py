@@ -3253,3 +3253,32 @@ def latest_capture(sf_dir: str) -> "ray.data.Dataset":
     b = docs.map_batches(tag("r1", 86400), batch_format="pyarrow")
     u = a.union(b).select_columns(["doc_id", "url", "warc_ts", "crawl"])
     return _web.keep_latest(u, key="url", ts_col="warc_ts")
+
+
+# --- event-stream product analytics ---------------------------------------
+
+
+def events_funnel(sf_dir: str) -> pa.Table:
+    """view -> click -> purchase ordered-conversion funnel over the
+    event stream (pipelines/windows.py:funnel_stages): per stage one
+    filtered pure Min exchange; only one (user, ts) scalar per user
+    crosses a stage boundary (size-adaptive broadcast / inner join)."""
+    return _win.funnel_stages(
+        _events(sf_dir, ["ts", "user_id", "event_type"]))
+
+
+def user_retention(sf_dir: str) -> "ray.data.Dataset":
+    """Day-cohort retention matrix (cohort_day, day_offset, n_users)
+    (pipelines/windows.py:retention_cohorts): distinct-(user, day)
+    pure aggregate, per-user Min cohort, size-adaptive attach, bounded
+    (cohort x offset) final count."""
+    return _win.retention_cohorts(_events(sf_dir, ["ts", "user_id"]))
+
+
+def events_gapfill(sf_dir: str) -> "ray.data.Dataset":
+    """Zero-filled hourly event-count series
+    (pipelines/windows.py:gapfill_hourly): one map-side-combined
+    hourly count over the stream; the grid is generated distributedly
+    and filled by vectorized searchsorted against the broadcast
+    (time-span-bounded) hourly table."""
+    return _win.gapfill_hourly(_events(sf_dir, ["ts"]))

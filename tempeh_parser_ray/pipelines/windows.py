@@ -973,3 +973,203 @@ def running_total_events(events: "ray.data.Dataset", *,
         })
 
     return grouped.map_batches(match, batch_format="pyarrow")
+
+
+# --- funnel / retention / gap-fill (event-stream analytics) ----------------
+
+HOUR_US = 3_600_000_000
+
+
+def _assert_nonneg(ts: np.ndarray, what: str) -> None:
+    """Truncating and flooring division disagree below zero — the
+    operators here floor-divide, so negative timestamps are rejected at
+    the operator boundary rather than silently mis-bucketed."""
+    if ts.size and ts.min() < 0:
+        raise ValueError(f"{what}: negative timestamps unsupported")
+
+
+def attach_user_scalar(events: "ray.data.Dataset",
+                       scalars: "ray.data.Dataset", *,
+                       user_col: str = "user_id", val_col: str = "_ref",
+                       broadcast_limit: int = 5_000_000,
+                       num_partitions: int = 16) -> "ray.data.Dataset":
+    """Attach one per-user int64 scalar (a prior-stage min timestamp, a
+    cohort day) to an event-shaped dataset, size-adaptively: below
+    ``broadcast_limit`` users the (user -> value) map broadcasts once
+    via ``ray.put`` and attachment is a per-batch lookup; above it a
+    distributed inner hash join keeps the map off the driver. Users
+    absent from ``scalars`` are DROPPED (inner-join semantics on both
+    paths)."""
+    from ..functions.broadcast import cached_get
+
+    if scalars.count() <= broadcast_limit:
+        m: dict = {}
+        for b in scalars.iter_batches(batch_format="pyarrow",
+                                      batch_size=None):
+            m.update(zip(b.column(user_col).to_pylist(),
+                         b.column(val_col).to_pylist()))
+        ref = ray.put(m)
+
+        def attach(batch: pa.Table) -> pa.Table:
+            mm = cached_get(ref)
+            vals = [mm.get(u) for u in batch.column(user_col).to_pylist()]
+            keep = pa.array([v is not None for v in vals])
+            out = batch.append_column(val_col, pa.array(
+                [0 if v is None else v for v in vals], pa.int64()))
+            return out.filter(keep)
+
+        return events.map_batches(attach, batch_format="pyarrow")
+    return events.join(scalars, join_type="inner",
+                       num_partitions=num_partitions, on=(user_col,))
+
+
+def funnel_stages(events: "ray.data.Dataset", *,
+                  stages: tuple = ("view", "click", "purchase"),
+                  user_col: str = "user_id", type_col: str = "event_type",
+                  ts_col: str = "ts",
+                  broadcast_limit: int = 5_000_000,
+                  num_partitions: int = 16) -> pa.Table:
+    """Ordered-conversion funnel: stage k counts users whose earliest
+    stage-k event STRICTLY follows their recorded stage-(k-1) time.
+
+    The classic two-pass distributed funnel: per stage, one map-side
+    filter + projection and one PURE ``groupby(user).Min`` exchange;
+    between stages only one (user, ts) scalar per user moves — via the
+    size-adaptive ``attach_user_scalar`` — never event payloads or
+    per-user histories. Returns the small (stage, n_users) table."""
+    counts: list[tuple[str, int]] = []
+    prev: "ray.data.Dataset | None" = None
+    for etype in stages:
+        def project(batch: pa.Table, et: str = etype) -> pa.Table:
+            t = batch.filter(pc.equal(batch.column(type_col), et))
+            return pa.table({
+                user_col: t.column(user_col),
+                "_ts": t.column(ts_col).cast(pa.int64())})
+
+        f = events.map_batches(project, batch_format="pyarrow")
+        if prev is not None:
+            f = attach_user_scalar(
+                f, prev, user_col=user_col, val_col="_prev",
+                broadcast_limit=broadcast_limit,
+                num_partitions=num_partitions)
+            f = f.map_batches(
+                lambda b: b.filter(pc.greater(
+                    b.column("_ts"), b.column("_prev"))
+                ).drop_columns(["_prev"]),
+                batch_format="pyarrow")
+        mins = f.groupby(user_col).aggregate(
+            ray.data.aggregate.Min("_ts")).materialize()
+        counts.append((etype, mins.count()))
+        prev = mins.map_batches(
+            lambda b: pa.table({user_col: b.column(user_col),
+                                "_prev": b.column("min(_ts)")}),
+            batch_format="pyarrow")
+    return pa.table({
+        "stage": pa.array([s for s, _ in counts], pa.string()),
+        "n_users": pa.array([n for _, n in counts], pa.int64())})
+
+
+def retention_cohorts(events: "ray.data.Dataset", *,
+                      user_col: str = "user_id", ts_col: str = "ts",
+                      broadcast_limit: int = 5_000_000,
+                      num_partitions: int = 16) -> "ray.data.Dataset":
+    """Cohort retention matrix: users cohorted by first-seen DAY;
+    ``(cohort_day, day_offset, n_users)`` counts distinct users from
+    that cohort active ``day_offset`` days later.
+
+    Exchanges: one distinct-(user, day) pure aggregate (map-side
+    combinable), one per-user Min for the cohort, one size-adaptive
+    attach, one final bounded (cohort x offset) count — activity rows
+    are already distinct so the final count needs no distinct state."""
+    def project(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        _assert_nonneg(ts, "retention_cohorts")
+        return pa.table({
+            user_col: batch.column(user_col),
+            "_day": pa.array(ts // DAY_US, pa.int64())})
+
+    days = events.map_batches(project, batch_format="pyarrow")
+    pairs = days.groupby([user_col, "_day"]).aggregate(
+        ray.data.aggregate.Count()).map_batches(
+        lambda b: b.select([user_col, "_day"]), batch_format="pyarrow"
+    ).materialize()
+    cohort = pairs.groupby(user_col).aggregate(
+        ray.data.aggregate.Min("_day")).map_batches(
+        lambda b: pa.table({user_col: b.column(user_col),
+                            "_coh": b.column("min(_day)")}),
+        batch_format="pyarrow")
+    act = attach_user_scalar(pairs, cohort, user_col=user_col,
+                             val_col="_coh",
+                             broadcast_limit=broadcast_limit,
+                             num_partitions=num_partitions)
+    mat = act.map_batches(
+        lambda b: pa.table({
+            "_coh": b.column("_coh"),
+            "_off": pc.subtract(b.column("_day"), b.column("_coh"))}),
+        batch_format="pyarrow"
+    ).groupby(["_coh", "_off"]).aggregate(ray.data.aggregate.Count())
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            # midnight timestamp, not date32: pandas renders date32 as
+            # python date objects while SQL DATEs round-trip as
+            # datetime64 — a timestamp compares cleanly in both
+            "cohort_day": pc.multiply(batch.column("_coh"),
+                                      DAY_US).cast(pa.timestamp("us")),
+            "day_offset": batch.column("_off").cast(pa.int64()),
+            "n_users": batch.column("count()").cast(pa.int64())})
+
+    return mat.map_batches(finish, batch_format="pyarrow")
+
+
+def gapfill_hourly(events: "ray.data.Dataset", *,
+                   ts_col: str = "ts") -> "ray.data.Dataset":
+    """Zero-filled hourly event-count series between the stream's
+    first and last populated hour.
+
+    The event stream is touched exactly once, by a map-side-combined
+    ``groupby(hour)`` count; the resulting hourly table is bounded by
+    the TIME SPAN, not the event count (~10^5 rows per decade), so it
+    always broadcasts — the grid itself is generated distributedly
+    with ``ray.data.range`` and filled by vectorized searchsorted."""
+    def project(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        _assert_nonneg(ts, "gapfill_hourly")
+        return pa.table({"_hour": pa.array(ts // HOUR_US, pa.int64())})
+
+    counts = events.map_batches(project, batch_format="pyarrow"
+                                ).groupby("_hour").aggregate(
+        ray.data.aggregate.Count())
+    parts = list(counts.iter_batches(batch_format="pyarrow",
+                                     batch_size=None))
+    tbl = (pa.concat_tables(parts) if parts
+           else pa.table({"_hour": pa.array([], pa.int64()),
+                          "count()": pa.array([], pa.int64())}))
+    if tbl.num_rows == 0:
+        return ray.data.from_arrow(pa.table({
+            "hour_ts": pa.array([], pa.timestamp("us")),
+            "n_events": pa.array([], pa.int64())}))
+    hours = tbl.column("_hour").to_numpy(zero_copy_only=False)
+    ns = tbl.column("count()").to_numpy(zero_copy_only=False)
+    order = np.argsort(hours)
+    hours, ns = hours[order], ns[order]
+    h0, h1 = int(hours[0]), int(hours[-1])
+    ref = ray.put((hours, ns))
+
+    def fill(batch: pa.Table) -> pa.Table:
+        from ..functions.broadcast import cached_get
+
+        hs, counts_np = cached_get(ref)
+        h = batch.column("id").to_numpy(zero_copy_only=False) + h0
+        pos = np.searchsorted(hs, h)
+        pos_c = np.minimum(pos, len(hs) - 1)
+        n = np.where(hs[pos_c] == h, counts_np[pos_c], 0)
+        return pa.table({
+            "hour_ts": pa.array(h * HOUR_US,
+                                pa.int64()).cast(pa.timestamp("us")),
+            "n_events": pa.array(n, pa.int64())})
+
+    return ray.data.range(h1 - h0 + 1).map_batches(
+        fill, batch_format="pyarrow")
