@@ -30,6 +30,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # remainder are pinned by CORRECTNESS_r03 + the committed CHECK_r4 sweep.
     return {
         # round-4 additions (driver-uncovered by construction)
+        "chunk_documents": _q.chunk_documents,
+        "label_centroids": _q.label_centroids,
         "events_funnel": _q.events_funnel,
         "user_retention": _q.user_retention,
         "events_gapfill": _q.events_gapfill,
@@ -212,6 +214,40 @@ _JACCARD_PAIRS_SQL = r"""
 
 def oracle_sql() -> dict[str, str]:
     d = {
+        "chunk_documents": r"""
+            -- sliding 32-token windows every 24 tokens; a window is
+            -- emitted iff it starts at 0 or the previous window did
+            -- not already cover the end (start - 24 + 32 < n)
+            WITH w AS (SELECT doc_id,
+                              string_split_regex(trim(text), '\s+')
+                                  AS words
+                       FROM documents),
+            s AS (SELECT doc_id, words, len(words) AS n,
+                         unnest(range(0, greatest(len(words), 1), 24))
+                             AS start
+                  FROM w),
+            f AS (SELECT doc_id, start // 24 AS chunk_idx,
+                         words[start + 1 : least(start + 32, n)] AS cw
+                  FROM s WHERE start = 0 OR start + 8 < n)
+            SELECT doc_id, chunk_idx,
+                   CAST(len(cw) AS BIGINT) AS n_tokens,
+                   array_to_string(cw, ' ') AS chunk_text
+            FROM f ORDER BY doc_id, chunk_idx
+        """,
+        "label_centroids": r"""
+            -- fixed-point floor(v*1e5 + 0.5) int64 sums (exact,
+            -- order-independent); ONE final float division per cell
+            WITH e AS (SELECT label, unnest(embedding) AS v,
+                              generate_subscripts(embedding, 1) - 1
+                                  AS pos
+                       FROM embeddings)
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(pos AS BIGINT) AS pos,
+                   CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 100000
+                                       + 0.5) AS BIGINT)) AS DOUBLE)
+                       / COUNT(*) AS centroid
+            FROM e GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "events_funnel": r"""
             -- stage k counts users whose earliest stage-k event
             -- strictly follows their stage-(k-1) min time

@@ -3282,3 +3282,90 @@ def events_gapfill(sf_dir: str) -> "ray.data.Dataset":
     and filled by vectorized searchsorted against the broadcast
     (time-span-bounded) hourly table."""
     return _win.gapfill_hourly(_events(sf_dir, ["ts"]))
+
+
+# --- RAG chunking + embedding pooling --------------------------------------
+
+
+def chunk_documents(sf_dir: str, chunk: int = 32,
+                    stride: int = 24) -> "ray.data.Dataset":
+    """RAG-style sliding-window chunking: each document flat-maps to
+    overlapping ``chunk``-token windows every ``stride`` tokens
+    (whitespace-token contract, functions/textstats.py:tokenize);
+    emission stops with the first window that reaches the document end
+    (a window is emitted iff it starts at 0 or the previous window did
+    NOT already cover the end). Pure map-side flat-map — no exchange;
+    chunk boundaries are deterministic so the SQL oracle rebuilds them
+    with list slicing."""
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id, out_ci, out_n, out_txt = [], [], [], []
+        for d, t in zip(ids, texts):
+            toks = _ts.tokenize(t)
+            n = len(toks)
+            start = 0
+            while True:
+                w = toks[start:start + chunk]
+                out_id.append(d)
+                out_ci.append(start // stride)
+                out_n.append(len(w))
+                out_txt.append(" ".join(w))
+                if start + chunk >= n:
+                    break
+                start += stride
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "chunk_idx": pa.array(out_ci, pa.int64()),
+            "n_tokens": pa.array(out_n, pa.int64()),
+            "chunk_text": pa.array(out_txt, pa.string())})
+
+    return _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow")
+
+
+def label_centroids(sf_dir: str) -> "ray.data.Dataset":
+    """Per-label embedding centroid (the pooling step of SemDedup-style
+    clustering / class prototypes), BIT-EXACTLY: components are
+    fixed-point scaled with floor(v*1e5 + 0.5) (identical in numpy and
+    SQL — float SUMS are order-dependent, integer sums are not), summed
+    as int64 per (label, pos) with map-side np.add.at partials, and the
+    single final division is the one float op on each side. Long
+    (label, pos, centroid) output, |labels| x dim rows."""
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = batch.column("label").to_numpy(zero_copy_only=False
+                                                ).astype(np.int64)
+        emb = batch.column("embedding")
+        flat = emb.combine_chunks().flatten().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        dim = len(flat) // max(len(labels), 1)
+        q = np.floor(flat * 100000.0 + 0.5).astype(np.int64).reshape(
+            len(labels), dim)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), dim), np.int64)
+        np.add.at(sums, inv, q)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        lab = np.repeat(uniq, dim)
+        pos = np.tile(np.arange(dim, dtype=np.int64), len(uniq))
+        return pa.table({
+            "label": pa.array(lab, pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+            "_sum": pa.array(sums.reshape(-1), pa.int64()),
+            "_n": pa.array(np.repeat(cnt, dim), pa.int64())})
+
+    agg = _embeddings(sf_dir).map_batches(
+        partial, batch_format="pyarrow").groupby(["label", "pos"]
+                                                 ).aggregate(
+        ray.data.aggregate.Sum("_sum"), ray.data.aggregate.Sum("_n"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "label": batch.column("label"),
+            "pos": batch.column("pos"),
+            "centroid": pc.divide(
+                batch.column("sum(_sum)").cast(pa.float64()),
+                batch.column("sum(_n)").cast(pa.float64()))})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -92,3 +92,60 @@ def test_negative_ts_rejected(ray_session):
         win.gapfill_hourly(ev).take_all()
     with pytest.raises(Exception):
         win.retention_cohorts(ev).take_all()
+
+
+# --- chunking + centroids (queries-level ops) -------------------------------
+
+def test_chunk_boundaries(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from tempeh_parser_ray.pipelines import queries as q
+
+    texts = {
+        0: "a",                                  # n < chunk: 1 window
+        1: " ".join(f"w{i}" for i in range(32)),  # n == chunk: 1
+        2: " ".join(f"w{i}" for i in range(33)),  # n = chunk+1: 2
+        3: " ".join(f"w{i}" for i in range(56)),  # 24+32: 2, second full
+        4: " ".join(f"w{i}" for i in range(57)),  # 3 windows
+    }
+    pq.write_table(pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
+    }), tmp_path / "documents.parquet")
+    out = {}
+    for r in q.chunk_documents(str(tmp_path)).take_all():
+        out.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["n_tokens"]))
+    for d in out:
+        out[d].sort()
+    assert out[0] == [(0, 1)]
+    assert out[1] == [(0, 32)]
+    assert out[2] == [(0, 32), (1, 9)]
+    assert out[3] == [(0, 32), (1, 32)]
+    assert out[4] == [(0, 32), (1, 32), (2, 9)]
+    # overlap property: chunk 1 of doc 2 starts at token 24
+    rows = {(r["doc_id"], r["chunk_idx"]): r["chunk_text"]
+            for r in q.chunk_documents(str(tmp_path)).take_all()}
+    assert rows[(2, 1)].split()[0] == "w24"
+
+
+def test_label_centroids_exact_and_partition_invariant(ray_session):
+    import numpy as np
+
+    from tempeh_parser_ray.pipelines import queries as q
+
+    out = q.label_centroids("/root/testdata/sf0.001")
+    rows = {(r["label"], r["pos"]): r["centroid"]
+            for r in out.take_all()}
+    # brute-force reference with the same fixed-point contract
+    import pyarrow.parquet as pq_
+    t = pq_.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    emb = np.array(t.column("embedding").to_pylist(), np.float64)
+    lab = t.column("label").to_numpy(zero_copy_only=False)
+    qm = np.floor(emb * 100000.0 + 0.5).astype(np.int64)
+    for k in np.unique(lab):
+        m = lab == k
+        exp = qm[m].sum(0).astype(np.float64) / m.sum()
+        for p in range(emb.shape[1]):
+            assert rows[(int(k), p)] == exp[p]  # bit-exact
