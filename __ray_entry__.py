@@ -30,6 +30,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # remainder are pinned by CORRECTNESS_r03 + the committed CHECK_r4 sweep.
     return {
         # round-4 additions (driver-uncovered by construction)
+        "crawl_diff": _q.crawl_diff,
         "chunk_documents": _q.chunk_documents,
         "label_centroids": _q.label_centroids,
         "events_funnel": _q.events_funnel,
@@ -214,6 +215,27 @@ _JACCARD_PAIRS_SQL = r"""
 
 def oracle_sql() -> dict[str, str]:
     d = {
+        "crawl_diff": r"""
+            -- rebuild both snapshots and FULL OUTER JOIN on url
+            WITH a AS (SELECT 'synth://doc/' || doc_id AS url,
+                              md5(text) AS fp FROM documents),
+            b AS (SELECT 'synth://doc/' || doc_id AS url,
+                         md5(CASE WHEN doc_id % 10 = 0
+                                  THEN text || ' v2'
+                                  ELSE text END) AS fp
+                  FROM documents WHERE doc_id % 7 <> 0
+                  UNION ALL
+                  SELECT 'synth://doc/' || (doc_id + 1000000),
+                         md5(text)
+                  FROM documents WHERE doc_id % 13 = 0)
+            SELECT COALESCE(a.url, b.url) AS url,
+                   CASE WHEN a.url IS NULL THEN 'added'
+                        WHEN b.url IS NULL THEN 'removed'
+                        WHEN a.fp <> b.fp THEN 'changed'
+                        ELSE 'same' END AS status
+            FROM a FULL OUTER JOIN b ON a.url = b.url
+            ORDER BY url
+        """,
         "chunk_documents": r"""
             -- sliding 32-token windows every 24 tokens; a window is
             -- emitted iff it starts at 0 or the previous window did

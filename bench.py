@@ -83,7 +83,7 @@ QUERY_NAMES = [
     "dom_stats", "dom_select", "extract_tables",
     "surt_index", "robots_filter", "anchor_text_index", "latest_capture",
     "events_funnel", "user_retention", "events_gapfill",
-    "chunk_documents", "label_centroids",
+    "chunk_documents", "label_centroids", "crawl_diff",
 ]
 
 

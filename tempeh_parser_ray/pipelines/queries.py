@@ -3369,3 +3369,81 @@ def label_centroids(sf_dir: str) -> "ray.data.Dataset":
                 batch.column("sum(_n)").cast(pa.float64()))})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def crawl_diff(sf_dir: str) -> "ray.data.Dataset":
+    """Crawl-snapshot diff: per-url status across two crawls —
+    'added' / 'removed' / 'changed' (content fingerprint differs) /
+    'same' — in ONE pure aggregate exchange, no join: each side emits
+    (url, presence flags, fp-or-sentinel) and
+    ``groupby(url).aggregate(Sum, Sum, Min, Min)`` reconstructs both
+    sides' fingerprints ('~' sorts after every hex digest, so Min
+    recovers the present side's fp). Snapshot B is a deterministic
+    mutation of A: doc_id%7==0 removed, %10==0 content-changed,
+    %13==0 adds a new url — the oracle rebuilds the same two
+    snapshots and FULL OUTER JOINs them."""
+    import hashlib
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+
+    def _fp(texts: list) -> list[str]:
+        return [hashlib.md5((t or "").encode("utf-8")).hexdigest()
+                for t in texts]
+
+    def snap_a(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table({
+            "url": pa.array([f"synth://doc/{d}" for d in ids],
+                            pa.string()),
+            "_r": pa.array([0] * len(ids), pa.int64()),
+            "_fp": pa.array(_fp(batch.column("text").to_pylist()),
+                            pa.string())})
+
+    def snap_b(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        urls, fps = [], []
+        for d, t in zip(ids, texts):
+            if d % 7 != 0:
+                urls.append(f"synth://doc/{d}")
+                fps.append(_fp([t + " v2" if d % 10 == 0 else t])[0])
+            if d % 13 == 0:
+                urls.append(f"synth://doc/{d + 1000000}")
+                fps.append(_fp([t])[0])
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "_r": pa.array([1] * len(urls), pa.int64()),
+            "_fp": pa.array(fps, pa.string())})
+
+    a = docs.map_batches(snap_a, batch_format="pyarrow")
+    b = docs.map_batches(snap_b, batch_format="pyarrow")
+
+    def flags(batch: pa.Table) -> pa.Table:
+        r = batch.column("_r")
+        fp = batch.column("_fp")
+        is0 = pc.equal(r, 0)
+        return pa.table({
+            "url": batch.column("url"),
+            "_n0": pc.if_else(is0, 1, 0).cast(pa.int64()),
+            "_n1": pc.if_else(is0, 0, 1).cast(pa.int64()),
+            "_fp0": pc.if_else(is0, fp, "~"),
+            "_fp1": pc.if_else(is0, "~", fp)})
+
+    agg = a.union(b).map_batches(flags, batch_format="pyarrow"
+                                 ).groupby("url").aggregate(
+        ray.data.aggregate.Sum("_n0"), ray.data.aggregate.Sum("_n1"),
+        ray.data.aggregate.Min("_fp0"), ray.data.aggregate.Min("_fp1"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n0 = batch.column("sum(_n0)").to_numpy(zero_copy_only=False)
+        n1 = batch.column("sum(_n1)").to_numpy(zero_copy_only=False)
+        f0 = batch.column("min(_fp0)").to_pylist()
+        f1 = batch.column("min(_fp1)").to_pylist()
+        status = ["added" if a_ == 0 else
+                  "removed" if b_ == 0 else
+                  "changed" if x != y else "same"
+                  for a_, b_, x, y in zip(n0, n1, f0, f1)]
+        return pa.table({"url": batch.column("url"),
+                         "status": pa.array(status, pa.string())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -149,3 +149,23 @@ def test_label_centroids_exact_and_partition_invariant(ray_session):
         exp = qm[m].sum(0).astype(np.float64) / m.sum()
         for p in range(emb.shape[1]):
             assert rows[(int(k), p)] == exp[p]  # bit-exact
+
+
+def test_crawl_diff_status_rules(ray_session):
+    from tempeh_parser_ray.pipelines import queries as q
+
+    rows = {r["url"]: r["status"]
+            for r in q.crawl_diff("/root/testdata/sf0.001").take_all()}
+    for d in range(500):
+        url = f"synth://doc/{d}"
+        if d % 7 == 0:
+            exp = "removed"      # removal precedes the change rule
+        elif d % 10 == 0:
+            exp = "changed"
+        else:
+            exp = "same"
+        assert rows[url] == exp, (d, rows[url], exp)
+        if d % 13 == 0:
+            assert rows[f"synth://doc/{d + 1000000}"] == "added"
+    n_added = sum(1 for s in rows.values() if s == "added")
+    assert n_added == len([d for d in range(500) if d % 13 == 0])
