@@ -30,6 +30,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # remainder are pinned by CORRECTNESS_r03 + the committed CHECK_r4 sweep.
     return {
         # round-4 additions (driver-uncovered by construction)
+        "sitemap_parse": _q.sitemap_parse,
+        "tag_histogram": _q.tag_histogram,
         "crawl_diff": _q.crawl_diff,
         "chunk_documents": _q.chunk_documents,
         "label_centroids": _q.label_centroids,
@@ -215,6 +217,36 @@ _JACCARD_PAIRS_SQL = r"""
 
 def oracle_sql() -> dict[str, str]:
     d = {
+        "sitemap_parse": r"""
+            -- closed-form rebuild of the two-entry synthetic sitemap
+            SELECT doc_id, CAST(0 AS BIGINT) AS url_idx,
+                   'https://' || source || '-site.com/s/' || doc_id
+                       AS loc,
+                   '2025-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR),
+                                      2, '0') AS lastmod
+            FROM documents
+            UNION ALL
+            SELECT doc_id, CAST(1 AS BIGINT),
+                   'https://' || source || '-site.com/s/' || doc_id
+                       || '/alt',
+                   '2025-02-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR),
+                                      2, '0')
+            FROM documents
+            ORDER BY doc_id, url_idx
+        """,
+        "tag_histogram": r"""
+            -- fixed template: one of each element tag per page except
+            -- <a> (three)
+            SELECT t.tag,
+                   CAST(t.per_doc * (SELECT COUNT(*) FROM documents)
+                        AS BIGINT) AS n
+            FROM (VALUES ('a', 3), ('body', 1), ('footer', 1),
+                         ('h1', 1), ('head', 1), ('html', 1),
+                         ('main', 1), ('nav', 1), ('p', 1),
+                         ('script', 1), ('style', 1), ('title', 1))
+                 AS t(tag, per_doc)
+            ORDER BY t.tag
+        """,
         "crawl_diff": r"""
             -- rebuild both snapshots and FULL OUTER JOIN on url
             WITH a AS (SELECT 'synth://doc/' || doc_id AS url,

@@ -3447,3 +3447,43 @@ def crawl_diff(sf_dir: str) -> "ray.data.Dataset":
                          "status": pa.array(status, pa.string())})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def sitemap_parse(sf_dir: str) -> "ray.data.Dataset":
+    """Sitemap ingestion (the crawl-frontier seed source): XML sitemaps
+    through the SAME HTML5 parser in an actor pool
+    (stages/dom_stage.py:SitemapBatch) -> one row per <url> entry
+    (doc_id, url_idx, loc, lastmod). The two-entry synthetic sitemap
+    (sources/synthetic.py:sitemap_xml) makes every field closed-form."""
+    from ..stages import dom_stage as _ds
+
+    maps = _documents(sf_dir, ["doc_id", "source"]).map_batches(
+        _synth.synthesize_sitemap_batch, batch_format="pyarrow")
+    return maps.map_batches(
+        _ds.SitemapBatch,
+        batch_format="pyarrow",
+        compute=ray.data.ActorPoolStrategy(
+            size=_q_pool(), max_tasks_in_flight_per_actor=4),
+        num_cpus=1,
+        fn_constructor_kwargs={"passthrough": ("doc_id",)})
+
+
+def tag_histogram(sf_dir: str) -> "ray.data.Dataset":
+    """Corpus-wide element-tag histogram with MAP-SIDE COMBINING:
+    stages/dom_stage.py:TagCountBatch emits one (tag, n) partial per
+    distinct tag per BATCH, so the groupby(tag).Sum exchange moves a
+    few dozen rows per block regardless of corpus size — the shape
+    every corpus-census aggregation should have at 10^12 docs."""
+    from ..stages import dom_stage as _ds
+
+    partials = _corpus(sf_dir).map_batches(
+        _ds.TagCountBatch,
+        batch_format="pyarrow",
+        compute=ray.data.ActorPoolStrategy(
+            size=_q_pool(), max_tasks_in_flight_per_actor=4),
+        num_cpus=1)
+    agg = partials.groupby("tag").aggregate(ray.data.aggregate.Sum("n"))
+    return agg.map_batches(
+        lambda b: pa.table({"tag": b.column("tag"),
+                            "n": b.column("sum(n)").cast(pa.int64())}),
+        batch_format="pyarrow")

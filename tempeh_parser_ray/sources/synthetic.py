@@ -148,6 +148,33 @@ def synthesize_table_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+# --- sitemaps (second real web format through the same parser) -----------
+
+def sitemap_xml(doc_id: int, source: str) -> bytes:
+    """Two-entry sitemap, pure function of the row; lastmod days cycle
+    doc_id%28 so every field is SQL-rebuildable."""
+    d = int(doc_id)
+    u1 = f"https://{source}-site.com/s/{d}"
+    lm1 = f"2025-01-{1 + d % 28:02d}"
+    lm2 = f"2025-02-{1 + d % 28:02d}"
+    return (
+        "<urlset>"
+        f"<url><loc>{u1}</loc><lastmod>{lm1}</lastmod></url>"
+        f"<url><loc>{u1}/alt</loc><lastmod>{lm2}</lastmod></url>"
+        "</urlset>"
+    ).encode("utf-8")
+
+
+def synthesize_sitemap_batch(batch: pa.Table) -> pa.Table:
+    doc_ids = batch.column("doc_id").to_pylist()
+    sources = batch.column("source").to_pylist()
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "html": pa.array([sitemap_xml(d, s)
+                          for d, s in zip(doc_ids, sources)],
+                         pa.binary())})
+
+
 # --- bench corpus (size-skewed, deterministic) --------------------------
 
 def _size_factor(doc_id: int) -> int:

@@ -281,3 +281,105 @@ class TableExtractBatch(_BaseParseStage):
             ("is_header", pa.array(is_header, pa.bool_())),
         ])
         return pa.table(dict(cols))
+
+
+class SitemapBatch(_BaseParseStage):
+    """Sitemap parse: ``<urlset><url><loc>..</loc><lastmod>..</lastmod>
+    </url>...</urlset>`` -> one row per ``<url>`` entry —
+    (passthrough..., url_idx, loc, lastmod). Child texts concatenate
+    descendant text nodes via the nearest-ancestor climb (LinksBatch
+    rule); a missing child yields ''. Entries outside ``<urlset>`` are
+    ignored. XML is parsed by the same HTML5 lexer (sitemaps carry no
+    HTML quirks: no raw-text tags, no void tags)."""
+
+    TRACK_POSITIONS = False
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        html = batch.column(self.html_column)
+        pass_cols = self._passthrough_columns(batch)
+
+        out_rows: list[int] = []
+        idxs: list[int] = []
+        locs: list[str] = []
+        lastmods: list[str] = []
+
+        for i in range(batch.num_rows):
+            data = html[i].as_py()
+            doc = (self._parse_doc(data) if data is not None
+                   else _parser.ParsedDoc())
+            kinds, tags, parents = doc.kinds, doc.tags, doc.parents
+            n = doc.n_nodes
+            in_set = [False] * n   # has an <urlset> ancestor (or is one)
+            near_url = [-1] * n
+            near_child = [-1] * n  # nearest loc/lastmod ancestor
+            for j in range(n):
+                p = parents[j]
+                if p == -1:
+                    in_set[j] = (kinds[j] == _parser.KIND_ELEMENT
+                                 and tags[j] == "urlset")
+                    continue
+                pe = kinds[p] == _parser.KIND_ELEMENT
+                in_set[j] = in_set[p] or (
+                    kinds[j] == _parser.KIND_ELEMENT
+                    and tags[j] == "urlset")
+                near_url[j] = p if pe and tags[p] == "url" \
+                    else near_url[p]
+                near_child[j] = p if pe and tags[p] in ("loc", "lastmod") \
+                    else near_child[p]
+            entries = [j for j in range(n)
+                       if kinds[j] == _parser.KIND_ELEMENT
+                       and tags[j] == "url" and in_set[j]]
+            if not entries:
+                continue
+            order = {j: k for k, j in enumerate(entries)}
+            buf: dict[tuple[int, str], list[str]] = {}
+            for j in range(n):
+                if kinds[j] != _parser.KIND_TEXT:
+                    continue
+                c = near_child[j]
+                if c == -1:
+                    continue
+                u = near_url[c]
+                if u in order:
+                    buf.setdefault((u, tags[c]), []).append(
+                        doc.texts[j] or "")
+            for j in entries:
+                out_rows.append(i)
+                idxs.append(order[j])
+                locs.append("".join(buf.get((j, "loc"), [])))
+                lastmods.append("".join(buf.get((j, "lastmod"), [])))
+
+        take = pa.array(out_rows, pa.int64())
+        cols = [(name, col.take(take)) for name, col in pass_cols]
+        cols.extend([
+            ("url_idx", pa.array(idxs, pa.int64())),
+            ("loc", pa.array(locs, pa.string())),
+            ("lastmod", pa.array(lastmods, pa.string())),
+        ])
+        return pa.table(dict(cols))
+
+
+class TagCountBatch(_BaseParseStage):
+    """Corpus-wide element-tag histogram, MAP-SIDE COMBINED: one
+    ``(tag, n)`` partial row per distinct tag per BATCH (not per doc,
+    not per node) — the downstream ``groupby(tag).Sum`` shuffles a few
+    dozen rows per block regardless of corpus size."""
+
+    TRACK_POSITIONS = False
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        html = batch.column(self.html_column)
+        c: Counter = Counter()
+        for i in range(batch.num_rows):
+            data = html[i].as_py()
+            doc = (self._parse_doc(data) if data is not None
+                   else _parser.ParsedDoc())
+            for k, t in zip(doc.kinds, doc.tags):
+                if k == _parser.KIND_ELEMENT:
+                    c[t] += 1
+        tags = sorted(c)
+        return pa.table({
+            "tag": pa.array(tags, pa.string()),
+            "n": pa.array([c[t] for t in tags], pa.int64())})

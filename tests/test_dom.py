@@ -94,3 +94,32 @@ def test_table_extract_tbody_transparent_and_stray_cells():
 def test_table_extract_no_tables_emits_nothing():
     out = TableExtractBatch()(_batch("<p>just text</p>"))
     assert out.num_rows == 0
+
+
+def test_sitemap_entries_and_missing_children():
+    from tempeh_parser_ray.stages.dom_stage import SitemapBatch
+
+    out = SitemapBatch(passthrough=("doc_id",))(_batch(
+        "<urlset><url><loc>https://a/1</loc>"
+        "<lastmod>2025-01-01</lastmod></url>"
+        "<url><loc>https://a/<b>2</b></loc></url></urlset>"
+        "<url><loc>outside</loc></url>",  # not under <urlset>: ignored
+        "<p>no sitemap</p>",
+    )).to_pylist()
+    assert out == [
+        {"doc_id": 0, "url_idx": 0, "loc": "https://a/1",
+         "lastmod": "2025-01-01"},
+        {"doc_id": 0, "url_idx": 1, "loc": "https://a/2",  # descendant
+         "lastmod": ""},                                   # missing
+    ]
+
+
+def test_tag_count_partials_combine_per_batch():
+    from tempeh_parser_ray.stages.dom_stage import TagCountBatch
+
+    out = TagCountBatch()(_batch(
+        "<div><p>a</p><p>b</p></div>",
+        "<div></div><span>c</span>",
+    )).to_pylist()
+    assert {(r["tag"], r["n"]) for r in out} == {
+        ("div", 2), ("p", 2), ("span", 1)}
