@@ -30,6 +30,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # remainder are pinned by CORRECTNESS_r03 + the committed CHECK_r4 sweep.
     return {
         # round-4 additions (driver-uncovered by construction)
+        "token_quantiles_sketch": _q.token_quantiles_sketch,
         "sitemap_parse": _q.sitemap_parse,
         "tag_histogram": _q.tag_histogram,
         "crawl_diff": _q.crawl_diff,

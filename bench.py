@@ -84,7 +84,7 @@ QUERY_NAMES = [
     "surt_index", "robots_filter", "anchor_text_index", "latest_capture",
     "events_funnel", "user_retention", "events_gapfill",
     "chunk_documents", "label_centroids", "crawl_diff",
-    "sitemap_parse", "tag_histogram",
+    "sitemap_parse", "tag_histogram", "token_quantiles_sketch",
 ]
 
 

@@ -368,3 +368,151 @@ def grouped_hll_distinct(ds: "ray.data.Dataset", group_col: str,
     })
     idx = pa.compute.sort_indices(out, sort_keys=[(group_col, "ascending")])
     return out.take(idx)
+
+
+# --- mergeable quantile sketch (KLL/MRL-style, deterministic) -------------
+
+KLL_K = 256
+
+
+def kll_new() -> dict:
+    """Empty sketch: per-level sorted value arrays (weight 2^level) +
+    per-level compaction parity. Compaction is DETERMINISTIC (parity
+    alternates which half survives) rather than randomized — merge
+    results depend on merge order (so sketch queries are rows-only,
+    pinned by rank-error pytest bounds), but a given pipeline is
+    reproducible run-to-run, which randomized KLL is not."""
+    return {"levels": [np.empty(0, np.float64)], "parity": [0]}
+
+
+def _kll_compact_cascade(sk: dict) -> None:
+    levels, parity = sk["levels"], sk["parity"]
+    lvl = 0
+    while lvl < len(levels):
+        if len(levels[lvl]) <= KLL_K:
+            lvl += 1
+            continue
+        buf = np.sort(levels[lvl])
+        keep = buf[parity[lvl]::2]
+        parity[lvl] ^= 1
+        levels[lvl] = np.empty(0, np.float64)
+        if lvl + 1 == len(levels):
+            levels.append(np.empty(0, np.float64))
+            parity.append(0)
+        levels[lvl + 1] = np.concatenate([levels[lvl + 1], keep])
+        lvl += 1
+
+
+def kll_update(sk: dict, values: np.ndarray) -> dict:
+    sk["levels"][0] = np.concatenate(
+        [sk["levels"][0], np.asarray(values, np.float64)])
+    _kll_compact_cascade(sk)
+    return sk
+
+
+def kll_merge(a: dict | None, b: dict | None) -> dict | None:
+    if a is None:
+        return b
+    if b is None:
+        return a
+    la, lb = a["levels"], b["levels"]
+    n = max(len(la), len(lb))
+    levels, parity = [], []
+    for i in range(n):
+        xs = la[i] if i < len(la) else np.empty(0, np.float64)
+        ys = lb[i] if i < len(lb) else np.empty(0, np.float64)
+        levels.append(np.concatenate([xs, ys]))
+        parity.append((a["parity"][i] if i < len(la) else 0)
+                      ^ (b["parity"][i] if i < len(lb) else 0))
+    out = {"levels": levels, "parity": parity}
+    _kll_compact_cascade(out)
+    return out
+
+
+def kll_serialize(sk: dict) -> bytes:
+    import struct
+
+    parts = [struct.pack("<i", len(sk["levels"]))]
+    for arr, par in zip(sk["levels"], sk["parity"]):
+        parts.append(struct.pack("<ii", len(arr), par))
+        parts.append(np.ascontiguousarray(arr, np.float64).tobytes())
+    return b"".join(parts)
+
+
+def kll_deserialize(buf: bytes) -> dict:
+    import struct
+
+    n = struct.unpack_from("<i", buf, 0)[0]
+    off = 4
+    levels, parity = [], []
+    for _ in range(n):
+        ln, par = struct.unpack_from("<ii", buf, off)
+        off += 8
+        levels.append(np.frombuffer(buf, np.float64, ln, off).copy())
+        off += 8 * ln
+        parity.append(par)
+    return {"levels": levels, "parity": parity}
+
+
+def kll_quantiles(sk: dict, qs: list[float]) -> np.ndarray:
+    """Discrete lower quantile over the weighted sample: smallest
+    value whose cumulative weight reaches ``ceil(q * W)`` (same rule
+    as ``quantile_disc_from_hist``)."""
+    vals = np.concatenate([a for a in sk["levels"]]
+                          ) if sk["levels"] else np.empty(0)
+    if vals.size == 0:
+        return np.full(len(qs), np.nan)
+    ws = np.concatenate([np.full(len(a), 1 << i, np.int64)
+                         for i, a in enumerate(sk["levels"])])
+    order = np.argsort(vals, kind="stable")
+    vals, ws = vals[order], ws[order]
+    cum = np.cumsum(ws)
+    total = cum[-1]
+    out = np.empty(len(qs), np.float64)
+    for j, q in enumerate(qs):
+        target = max(1, int(math.ceil(q * total)))
+        out[j] = vals[np.searchsorted(cum, target)]
+    return out
+
+
+def kll_merge_agg(sketch_col: str = "kll", name: str = "kll"):
+    """Global/grouped aggregate merging serialized sketch rows."""
+    from ray.data.block import BlockAccessor
+
+    def acc_block(acc, block):
+        t = BlockAccessor.for_block(block).to_arrow()
+        for buf in t.column(sketch_col).to_pylist():
+            acc = kll_merge(acc, kll_deserialize(buf))
+        return acc
+
+    return ray.data.aggregate.AggregateFn(
+        init=lambda k: None,
+        accumulate_block=acc_block,
+        merge=kll_merge,
+        finalize=lambda a: kll_serialize(a if a is not None
+                                         else kll_new()),
+        name=name)
+
+
+def sketch_quantiles(ds: "ray.data.Dataset", value_col: str,
+                     qs: list[float]) -> pa.Table:
+    """Approximate quantiles of a numeric column via one map-side
+    sketch pass + one tiny global merge: each block contributes ONE
+    ~k*log(n) serialized sketch row, so the reduce moves kilobytes at
+    any corpus size — the streaming complement to the exact
+    value-count-histogram percentile path (``grouped_quantiles``),
+    for value domains too large to histogram."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False
+                                             ).astype(np.float64)
+        return pa.table({"kll": pa.array(
+            [kll_serialize(kll_update(kll_new(), v))], pa.binary())})
+
+    merged = ds.map_batches(partial, batch_format="pyarrow"
+                            ).aggregate(kll_merge_agg("kll", "kll"))
+    sk = kll_deserialize(merged["kll"])
+    est = kll_quantiles(sk, qs)
+    return pa.table({
+        "q": pa.array(qs, pa.float64()),
+        "estimate": pa.array(est, pa.float64())})

@@ -3487,3 +3487,24 @@ def tag_histogram(sf_dir: str) -> "ray.data.Dataset":
         lambda b: pa.table({"tag": b.column("tag"),
                             "n": b.column("sum(n)").cast(pa.int64())}),
         batch_format="pyarrow")
+
+
+def token_quantiles_sketch(sf_dir: str) -> pa.Table:
+    """Approximate per-doc token-count quantiles via the mergeable
+    KLL/MRL-style sketch (functions/sketches.py:sketch_quantiles): one
+    map-side sketch row per block, a kilobyte-scale global merge —
+    the streaming path for value domains too large for the exact
+    value-count histogram (doc_length_percentiles). Deterministic
+    compaction makes runs reproducible but merge-order-dependent, so
+    this is rows-only; the rank-error contract is pinned by pytest."""
+    import numpy as np
+
+    def counts(batch: pa.Table) -> pa.Table:
+        toks = [len(_ts.tokenize(t))
+                for t in batch.column("text").to_pylist()]
+        return pa.table({"n_tokens": pa.array(toks, pa.int64())})
+
+    ds = _documents(sf_dir, ["text"]).map_batches(
+        counts, batch_format="pyarrow")
+    return _sk.sketch_quantiles(ds, "n_tokens",
+                                [0.1, 0.25, 0.5, 0.75, 0.9, 0.99])

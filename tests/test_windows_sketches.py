@@ -441,3 +441,59 @@ def test_empty_input_robustness_round3(ray_session):
         assert _collect(incremental.incremental_dedup(
             empty_docs, empty_docs, join_parts=2,
             **kw)).num_rows == 0
+
+
+# --- KLL quantile sketch -----------------------------------------------
+
+def test_kll_rank_error_and_merge_order():
+    import numpy as np
+
+    from tempeh_parser_ray.functions import sketches as sk
+
+    rng = np.random.default_rng(11)
+    data = rng.lognormal(3.0, 1.5, 100_000)
+    chunks = np.array_split(data, 23)
+    qs = [0.1, 0.5, 0.9, 0.99]
+    srt = np.sort(data)
+    for order in (range(23), range(22, -1, -1)):
+        s = None
+        for i in order:
+            s = sk.kll_merge(s, sk.kll_update(sk.kll_new(), chunks[i]))
+        est = sk.kll_quantiles(s, qs)
+        lo = np.searchsorted(srt, est, side="left") / len(data)
+        hi = np.searchsorted(srt, est, side="right") / len(data)
+        for q, a, b in zip(qs, lo, hi):
+            # estimate's rank interval within 3% of the target rank
+            assert a - 0.03 <= q <= b + 0.03, (q, a, b)
+
+
+def test_kll_serialize_roundtrip_and_empty():
+    import numpy as np
+
+    from tempeh_parser_ray.functions import sketches as sk
+
+    s = sk.kll_update(sk.kll_new(), np.arange(5000, dtype=np.float64))
+    s2 = sk.kll_deserialize(sk.kll_serialize(s))
+    assert [a.tolist() for a in s["levels"]] == [
+        a.tolist() for a in s2["levels"]]
+    assert s["parity"] == s2["parity"]
+    empty = sk.kll_deserialize(sk.kll_serialize(sk.kll_new()))
+    assert np.isnan(sk.kll_quantiles(empty, [0.5])).all()
+
+
+def test_token_quantiles_sketch_matches_exact_small(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from tempeh_parser_ray.pipelines import queries as q
+
+    t = q.token_quantiles_sketch("/root/testdata/sf0.001")
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    counts = np.sort([len((x or "").split())
+                      for x in docs.column("text").to_pylist()])
+    n = len(counts)
+    for row in t.to_pylist():
+        est, qq = row["estimate"], row["q"]
+        lo = np.searchsorted(counts, est, side="left") / n
+        hi = np.searchsorted(counts, est, side="right") / n
+        assert lo - 0.05 <= qq <= hi + 0.05, row
