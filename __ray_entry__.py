@@ -30,6 +30,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # remainder are pinned by CORRECTNESS_r03 + the committed CHECK_r4 sweep.
     return {
         # round-4 additions (driver-uncovered by construction)
+        "resolve_links": _q.resolve_links,
         "token_quantiles_sketch": _q.token_quantiles_sketch,
         "sitemap_parse": _q.sitemap_parse,
         "tag_histogram": _q.tag_histogram,
@@ -218,6 +219,32 @@ _JACCARD_PAIRS_SQL = r"""
 
 def oracle_sql() -> dict[str, str]:
     d = {
+        "resolve_links": r"""
+            -- origin rebuilt from the generating row; link 0/1 are
+            -- root-relative, link 2 is an absolute mailto
+            WITH o AS (SELECT doc_id, lang,
+                   (CASE WHEN doc_id % 3 = 0 THEN 'http'
+                         ELSE 'https' END) || '://'
+                   || (CASE doc_id % 4 WHEN 0 THEN 'www.'
+                            WHEN 1 THEN 'blog.' WHEN 2 THEN ''
+                            ELSE 'news.' END)
+                   || source || '-site.'
+                   || (CASE doc_id % 5 WHEN 0 THEN 'com'
+                            WHEN 1 THEN 'org' WHEN 2 THEN 'net'
+                            WHEN 3 THEN 'co.uk' ELSE 'com.cn' END)
+                   || (CASE WHEN doc_id % 7 = 0 THEN ':8080'
+                            ELSE '' END) AS origin
+                   FROM documents)
+            SELECT doc_id, CAST(0 AS BIGINT) AS link_idx,
+                   origin || '/' AS abs_url FROM o
+            UNION ALL
+            SELECT doc_id, CAST(1 AS BIGINT), origin || '/l/' || lang
+            FROM o
+            UNION ALL
+            SELECT doc_id, CAST(2 AS BIGINT), 'mailto:x@example.com'
+            FROM o
+            ORDER BY doc_id, link_idx
+        """,
         "sitemap_parse": r"""
             -- closed-form rebuild of the two-entry synthetic sitemap
             SELECT doc_id, CAST(0 AS BIGINT) AS url_idx,

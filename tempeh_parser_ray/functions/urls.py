@@ -79,3 +79,121 @@ def parse_url_batch(batch: pa.Table, url_col: str = "url",
     if include_path:
         out = out.append_column("path", path_f)
     return out
+
+
+# --- reference resolution (RFC 3986 par.5, the crawl-frontier step) --------
+
+_SCHEME_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*:"
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 par.5.2.4 (exact algorithm, applied only to rows whose
+    merged path contains a dot segment — the vectorized fast paths
+    below never call this)."""
+    out: list[str] = []
+    buf = path
+    while buf:
+        if buf.startswith("../"):
+            buf = buf[3:]
+        elif buf.startswith("./"):
+            buf = buf[2:]
+        elif buf.startswith("/./"):
+            buf = "/" + buf[3:]
+        elif buf == "/.":
+            buf = "/"
+        elif buf.startswith("/../"):
+            buf = "/" + buf[4:]
+            if out:
+                out.pop()
+        elif buf == "/..":
+            buf = "/"
+            if out:
+                out.pop()
+        elif buf in (".", ".."):
+            buf = ""
+        else:
+            i = buf.find("/", 1)
+            if i < 0:
+                out.append(buf)
+                buf = ""
+            else:
+                out.append(buf[:i])
+                buf = buf[i:]
+    return "".join(out)
+
+
+def resolve_url_batch(base: pa.Array, href: pa.Array) -> pa.Array:
+    """Resolve each ``href`` against its row's ``base`` URL
+    (RFC 3986 par.5 reference resolution — what turns extracted link
+    edges into crawl-frontier URLs). Vectorized by case mask: absolute
+    (own scheme) kept; ``//netloc`` takes the base scheme; ``/root``
+    joins the base origin; query-only joins the base path; everything
+    else merges with the base directory. Dot segments are removed via
+    the exact RFC algorithm, invoked per-row ONLY where a dot segment
+    exists. Null/malformed bases yield the href unchanged."""
+    import numpy as np
+
+    base = base.combine_chunks() if isinstance(
+        base, pa.ChunkedArray) else base
+    href = href.combine_chunks() if isinstance(
+        href, pa.ChunkedArray) else href
+    parts = pc.extract_regex(base, _URL_RE)
+    scheme = pc.fill_null(pc.struct_field(parts, "scheme"), "")
+    host = pc.fill_null(pc.struct_field(parts, "host"), "")
+    port = pc.fill_null(pc.struct_field(parts, "port"), "")
+    bpath = pc.fill_null(pc.struct_field(parts, "path"), "")
+    bpath = pc.if_else(pc.equal(bpath, ""), "/", bpath)
+    origin = pc.binary_join_element_wise(
+        scheme, "://", host,
+        pc.if_else(pc.equal(port, ""), "",
+                   pc.binary_join_element_wise(":", port, "")), "")
+
+    h = pc.fill_null(href, "")
+    is_abs = pc.match_substring_regex(h, _SCHEME_RE)
+    is_net = pc.starts_with(h, "//")
+    is_root = pc.and_(pc.starts_with(h, "/"), pc.invert(is_net))
+    is_query = pc.starts_with(h, "?")
+    # base directory: path up to (and including) the last '/'
+    dir_rx = pc.struct_field(
+        pc.extract_regex(bpath, r"^(?P<d>.*/)"), "d")
+    bdir = pc.fill_null(dir_rx, "/")
+
+    resolved = pc.if_else(
+        is_abs, h,
+        pc.if_else(
+            is_net, pc.binary_join_element_wise(scheme, ":", h, ""),
+            pc.if_else(
+                is_root, pc.binary_join_element_wise(origin, h, ""),
+                pc.if_else(
+                    is_query,
+                    pc.binary_join_element_wise(origin, bpath, h, ""),
+                    pc.binary_join_element_wise(origin, bdir, h, "")))))
+    # malformed base (no origin): keep href as-is
+    resolved = pc.if_else(pc.equal(origin, "://"), h, resolved)
+
+    # per-row dot-segment cleanup only where needed
+    needs = pc.match_substring_regex(
+        resolved, r"://[^/]*/(?:[^?#]*/)?\.\.?(?:/|$|\?)")
+    if pc.any(needs).as_py():
+        vals = resolved.to_pylist()
+        mask = needs.to_numpy(zero_copy_only=False)
+        out = []
+        for v, m in zip(vals, mask):
+            if not m or v is None:
+                out.append(v)
+                continue
+            mpar = pc.extract_regex(pa.array([v]), _URL_RE)
+            sch = mpar[0]["scheme"].as_py() if mpar[0].is_valid else ""
+            hst = (mpar[0]["host"].as_py() or "") if mpar[0].is_valid \
+                else ""
+            prt = (mpar[0]["port"].as_py() or "") if mpar[0].is_valid \
+                else ""
+            pth = (mpar[0]["path"].as_py() or "/") if mpar[0].is_valid \
+                else "/"
+            qry = (mpar[0]["query"].as_py() or "") if mpar[0].is_valid \
+                else ""
+            o = f"{sch}://{hst}" + (f":{prt}" if prt else "")
+            out.append(o + _remove_dot_segments(pth)
+                       + (f"?{qry}" if qry else ""))
+        resolved = pa.array(out, pa.string())
+    return resolved

@@ -3508,3 +3508,39 @@ def token_quantiles_sketch(sf_dir: str) -> pa.Table:
         counts, batch_format="pyarrow")
     return _sk.sketch_quantiles(ds, "n_tokens",
                                 [0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+
+
+def resolve_links(sf_dir: str) -> "ray.data.Dataset":
+    """Crawl-frontier URL resolution: link edges resolved to absolute
+    URLs against each page's base (functions/urls.py:resolve_url_batch,
+    RFC 3986 par.5 — vectorized case masks, per-row dot-segment cleanup
+    only where one exists). The base travels WITH the row through the
+    LinksBatch flat-map (passthrough column) so resolution is pure
+    map-side — no (doc -> base) join ever forms. Bases are the
+    realistic crawl_url frontier URLs; hrefs are the template's three
+    links (root-relative, root-relative, mailto)."""
+    from ..functions import urls as _urls
+    from ..stages import parse_stage as _ps
+
+    def with_base(batch: pa.Table) -> pa.Table:
+        t = _synth.synthesize_batch(batch)
+        base = _synth.synthesize_url_batch(batch).column("url")
+        return t.drop_columns(["url"]).append_column("url", base)
+
+    edges = _documents(sf_dir).map_batches(
+        with_base, batch_format="pyarrow").map_batches(
+        _ps.LinksBatch,
+        batch_format="pyarrow",
+        compute=ray.data.ActorPoolStrategy(
+            size=_q_pool(), max_tasks_in_flight_per_actor=4),
+        num_cpus=1,
+        fn_constructor_kwargs={"passthrough": ("doc_id", "url")})
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "link_idx": batch.column("link_idx"),
+            "abs_url": _urls.resolve_url_batch(
+                batch.column("url"), batch.column("href"))})
+
+    return edges.map_batches(resolve, batch_format="pyarrow")

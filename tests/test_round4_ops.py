@@ -488,6 +488,55 @@ def test_crawl_url_round_trips_through_parser():
         assert r["registered_domain"].startswith(f"src{d % 20}-site.")
 
 
+def test_resolve_url_batch_rfc3986_cases():
+    """RFC 3986 §5.4 reference-resolution examples (base with a path),
+    plus the crawl-realistic cases: protocol-relative, query-only,
+    dot-segment cleanup, ports, and malformed bases."""
+    from tempeh_parser_ray.functions.urls import resolve_url_batch
+
+    base = "https://h.example.org:8080/b/c/d;p?q"
+    cases = [
+        # (href, expected) — the §5.4.1 normal examples that our case
+        # masks cover (no bare-fragment/empty-href rows in the crawl
+        # path; LinksBatch never emits those)
+        ("g:h", "g:h"),
+        ("g", f"https://h.example.org:8080/b/c/g"),
+        ("g/", f"https://h.example.org:8080/b/c/g/"),
+        ("/g", f"https://h.example.org:8080/g"),
+        ("//other.net/x", "https://other.net/x"),
+        ("?y", "https://h.example.org:8080/b/c/d;p?y"),
+        ("g?y", "https://h.example.org:8080/b/c/g?y"),
+        # §5.4.1 dot-segment examples
+        ("./g", "https://h.example.org:8080/b/c/g"),
+        ("..", "https://h.example.org:8080/b/"),
+        ("../", "https://h.example.org:8080/b/"),
+        ("../g", "https://h.example.org:8080/b/g"),
+        ("../..", "https://h.example.org:8080/"),
+        ("../../g", "https://h.example.org:8080/g"),
+        # §5.4.2 abnormal: pops past root clamp at root
+        ("../../../g", "https://h.example.org:8080/g"),
+        ("/./g", "https://h.example.org:8080/g"),
+        ("/../g", "https://h.example.org:8080/g"),
+        ("mailto:x@example.com", "mailto:x@example.com"),
+    ]
+    got = resolve_url_batch(
+        pa.array([base] * len(cases), pa.string()),
+        pa.array([c[0] for c in cases], pa.string()))
+    assert got.to_pylist() == [c[1] for c in cases]
+
+    # malformed / empty base: href passes through unchanged
+    got2 = resolve_url_batch(
+        pa.array(["not a url", "", None], pa.string()),
+        pa.array(["/a", "b/c", "x"], pa.string()))
+    assert got2.to_pylist() == ["/a", "b/c", "x"]
+
+    # base with no path: directory is "/"
+    got3 = resolve_url_batch(
+        pa.array(["http://p.net"], pa.string()),
+        pa.array(["a/b"], pa.string()))
+    assert got3.to_pylist() == ["http://p.net/a/b"]
+
+
 # ---------------------------------------------------------------------------
 # DSIR importance weights
 
