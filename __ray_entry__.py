@@ -30,6 +30,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # remainder are pinned by CORRECTNESS_r03 + the committed CHECK_r4 sweep.
     return {
         # round-4 additions (driver-uncovered by construction)
+        "extract_metadata": _q.extract_metadata,
+        "epoch_shuffle": _q.epoch_shuffle,
+        "embedding_quantize": _q.embedding_quantize,
         "resolve_links": _q.resolve_links,
         "token_quantiles_sketch": _q.token_quantiles_sketch,
         "sitemap_parse": _q.sitemap_parse,
@@ -219,6 +222,54 @@ _JACCARD_PAIRS_SQL = r"""
 
 def oracle_sql() -> dict[str, str]:
     d = {
+        "extract_metadata": r"""
+            -- every head field is a closed-form function of the
+            -- generating row (sources/synthetic.py:meta_page_html)
+            SELECT doc_id,
+                   'Doc ' || CAST(doc_id AS VARCHAR) || ' | ' || source
+                       AS title,
+                   source || ' page ' || CAST(doc_id AS VARCHAR)
+                       || ' (' || lang || ')' AS description,
+                   'OG ' || CAST(doc_id AS VARCHAR) AS og_title,
+                   CASE WHEN doc_id % 9 = 0 THEN 'noindex' ELSE '' END
+                       AS robots_meta,
+                   'https://' || source || '-site.com/d/'
+                       || CAST(doc_id AS VARCHAR) AS canonical,
+                   lang AS html_lang
+            FROM documents ORDER BY doc_id
+        """,
+        "epoch_shuffle": r"""
+            -- md5(seed:id) keyed permutation; ties by doc_id
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY md5('ep7:' || CAST(doc_id AS VARCHAR)),
+                                doc_id) - 1 AS BIGINT) AS global_rank,
+                   CAST((ROW_NUMBER() OVER (
+                       ORDER BY md5('ep7:' || CAST(doc_id AS VARCHAR)),
+                                doc_id) - 1) // 100 AS BIGINT) AS shard,
+                   CAST((ROW_NUMBER() OVER (
+                       ORDER BY md5('ep7:' || CAST(doc_id AS VARCHAR)),
+                                doc_id) - 1) % 100 AS BIGINT)
+                       AS shard_pos
+            FROM documents
+        """,
+        "embedding_quantize": r"""
+            -- fixed-point floor(v*1e5+0.5) int64 components, per-dim
+            -- min/max, pure INTEGER floor-division quantize (levels=255)
+            WITH v AS (SELECT vec_id,
+                              generate_subscripts(embedding, 1) - 1
+                                  AS pos,
+                              CAST(FLOOR(CAST(unnest(embedding)
+                                              AS DOUBLE) * 100000 + 0.5)
+                                   AS BIGINT) AS iv
+                       FROM embeddings),
+            b AS (SELECT pos, MIN(iv) AS mn,
+                         GREATEST(MAX(iv) - MIN(iv), 1) AS span
+                  FROM v GROUP BY pos)
+            SELECT v.vec_id, CAST(v.pos AS BIGINT) AS pos,
+                   ((v.iv - b.mn) * 255) // b.span AS q
+            FROM v JOIN b USING (pos) ORDER BY vec_id, pos
+        """,
         "resolve_links": r"""
             -- origin rebuilt from the generating row; link 0/1 are
             -- root-relative, link 2 is an absolute mailto

@@ -502,3 +502,72 @@ def semdedup(embeddings: "ray.data.Dataset", *, threshold: float = 0.95,
     return embeddings.map_batches(
         assign, batch_format="pyarrow").groupby("cluster").map_groups(
         prune, batch_format="pyarrow")
+
+
+def scalar_quantize(embeddings: "ray.data.Dataset",
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    scale: int = 100_000,
+                    levels: int = 255) -> "ray.data.Dataset":
+    """Per-dimension int8-style scalar quantization (the vector-index
+    compression step: FAISS ``SQ8`` / Milvus SQ): each component is
+    mapped to ``floor((v - min_d) * levels / (max_d - min_d))`` with
+    the min/max taken over the WHOLE corpus per dimension.
+
+    Bit-exact by fixed-point: components become ``floor(v*scale + 0.5)``
+    int64 first (identical in numpy and SQL), so the quantization is a
+    pure INTEGER floor-division — no float sums or divisions anywhere.
+
+    Two bounded exchanges, both independent of corpus size:
+
+    1. per-block (pos, mn, mx) partials — ONE row per dimension per
+       block — then ``groupby(pos).aggregate(Min, Max)``: the exchange
+       moves ``dim x n_blocks`` int64 rows;
+    2. the dim-row (mn, mx) table broadcasts via ``ray.put`` and the
+       quantize pass is pure map-side, emitting long-format
+       ``(id, pos, q)`` rows (a production sink would keep
+       ``fixed_size_list<int8>``; long format here for exact SQL
+       comparability).
+
+    Constant dimensions (mx == mn) quantize to 0.
+    """
+    def fixpoint(mat: np.ndarray) -> np.ndarray:
+        return np.floor(mat * float(scale) + 0.5).astype(np.int64)
+
+    def minmax_partial(batch: pa.Table) -> pa.Table:
+        iv = fixpoint(_batch_matrix(batch, vec_col))
+        if iv.size == 0:
+            return pa.table({"pos": pa.array([], pa.int64()),
+                             "mn": pa.array([], pa.int64()),
+                             "mx": pa.array([], pa.int64())})
+        return pa.table({
+            "pos": pa.array(np.arange(iv.shape[1], dtype=np.int64)),
+            "mn": pa.array(iv.min(axis=0)),
+            "mx": pa.array(iv.max(axis=0))})
+
+    bounds = embeddings.map_batches(
+        minmax_partial, batch_format="pyarrow").groupby("pos").aggregate(
+        ray.data.aggregate.Min("mn"), ray.data.aggregate.Max("mx")
+    ).take_all()
+    bounds.sort(key=lambda r: r["pos"])
+    mn = np.asarray([r["min(mn)"] for r in bounds], np.int64)
+    mx = np.asarray([r["max(mx)"] for r in bounds], np.int64)
+    span = np.maximum(mx - mn, 1)         # constant dims -> q = 0
+    bref = ray.put((mn, span))
+
+    from .broadcast import cached_get
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        lo, sp = cached_get(bref)
+        iv = fixpoint(_batch_matrix(batch, vec_col))
+        n, dim = iv.shape if iv.size else (0, len(lo))
+        q = ((iv - lo) * levels) // sp if n else \
+            np.zeros((0, dim), np.int64)
+        ids = np.repeat(
+            batch.column(id_col).to_numpy(zero_copy_only=False), dim)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "pos": pa.array(np.tile(np.arange(dim, dtype=np.int64), n)),
+            "q": pa.array(q.reshape(-1), pa.int64())})
+
+    return embeddings.map_batches(quantize, batch_format="pyarrow")

@@ -3544,3 +3544,43 @@ def resolve_links(sf_dir: str) -> "ray.data.Dataset":
                 batch.column("url"), batch.column("href"))})
 
     return edges.map_batches(resolve, batch_format="pyarrow")
+
+
+def extract_metadata(sf_dir: str) -> "ray.data.Dataset":
+    """Head-metadata extraction (the page-catalog sidecar): title /
+    meta description / og:title / robots / canonical link / html[lang]
+    per document through the REAL parser in an actor pool
+    (stages/dom_stage.py:MetadataBatch). The head-rich synthetic page
+    (sources/synthetic.py:meta_page_html) exercises void <meta>/<link>
+    tags and an unquoted charset attr; every field is a closed-form
+    function of the generating row, robots only for doc_id%9==0."""
+    from ..stages import dom_stage as _ds
+
+    pages = _documents(sf_dir, ["doc_id", "lang", "source"]).map_batches(
+        _synth.synthesize_meta_batch, batch_format="pyarrow")
+    return pages.map_batches(
+        _ds.MetadataBatch,
+        batch_format="pyarrow",
+        compute=ray.data.ActorPoolStrategy(
+            size=_q_pool(), max_tasks_in_flight_per_actor=4),
+        num_cpus=1,
+        fn_constructor_kwargs={"passthrough": ("doc_id",)})
+
+
+def epoch_shuffle(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic epoch shuffle (functions/shuffle.py): global
+    training order by md5(seed:doc_id) with ranks computed by the
+    bucketed distributed-rank scan — 65 536-row driver state regardless
+    of corpus size — then fixed-size shard assignment for the loader."""
+    from ..functions import shuffle as _shuf
+
+    return _shuf.epoch_shuffle(
+        _documents(sf_dir, ["doc_id"]), seed="ep7", shard_size=100)
+
+
+def embedding_quantize(sf_dir: str) -> "ray.data.Dataset":
+    """Int8-style per-dimension scalar quantization of the embedding
+    table (functions/similarity.py:scalar_quantize): fixed-point int64
+    components, one dim-bounded Min/Max exchange, broadcast bounds,
+    pure-integer map-side quantize — bit-exact vs the SQL oracle."""
+    return _sim.scalar_quantize(_embeddings(sf_dir))

@@ -148,6 +148,41 @@ def synthesize_table_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+# --- head-metadata pages (title / meta / link through the parser) --------
+
+def meta_page_html(doc_id: int, lang: str, source: str) -> bytes:
+    """Head-rich page, pure function of the row: <title>, named and
+    property= <meta> tags, a canonical <link>, and an html[lang]
+    attribute. <meta>/<link> are VOID tags and ``charset=utf-8`` is an
+    UNQUOTED attribute value, so the page exercises the void-element
+    and unquoted-attr lexer paths (SURVEY L5/L8); the robots meta only
+    exists for doc_id%9==0 so absent-field handling is covered."""
+    d = int(doc_id)
+    robots = ('<meta name="robots" content="noindex">'
+              if d % 9 == 0 else "")
+    return (
+        "<!DOCTYPE html>"
+        f'<html lang="{lang}"><head><meta charset=utf-8>'
+        f"<title>Doc {d} | {source}</title>"
+        f'<meta name="description" content="{source} page {d} ({lang})">'
+        f'<meta property="og:title" content="OG {d}">'
+        f"{robots}"
+        f'<link rel="canonical" href="https://{source}-site.com/d/{d}">'
+        "</head><body><p>x</p></body></html>"
+    ).encode("utf-8")
+
+
+def synthesize_meta_batch(batch: pa.Table) -> pa.Table:
+    doc_ids = batch.column("doc_id").to_pylist()
+    langs = batch.column("lang").to_pylist()
+    sources = batch.column("source").to_pylist()
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "html": pa.array([meta_page_html(d, l, s) for d, l, s
+                          in zip(doc_ids, langs, sources)],
+                         pa.binary())})
+
+
 # --- sitemaps (second real web format through the same parser) -----------
 
 def sitemap_xml(doc_id: int, source: str) -> bytes:

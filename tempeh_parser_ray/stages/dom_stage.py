@@ -383,3 +383,87 @@ class TagCountBatch(_BaseParseStage):
         return pa.table({
             "tag": pa.array(tags, pa.string()),
             "n": pa.array([c[t] for t in tags], pa.int64())})
+
+
+class MetadataBatch(_BaseParseStage):
+    """Head-metadata extraction — the page-catalog sidecar every crawl
+    curation pipeline keeps next to extracted text: one output row per
+    document with (title, description, og_title, robots_meta,
+    canonical, html_lang).
+
+    Rules (documented, deterministic): ``title`` concatenates every
+    text node under any ``<title>`` element in document order;
+    ``description`` / ``robots_meta`` come from the FIRST
+    ``<meta name=...>`` with a matching name, ``og_title`` from the
+    first ``<meta property="og:title">``, ``canonical`` from the first
+    ``<link rel="canonical">``, ``html_lang`` from the first
+    ``<html lang=...>``. Missing fields yield ''. Attribute access
+    uses the flat (attr_node, attr_name, attr_value) arrays — the
+    parser already applied the reference's last-attr-value-wins rule
+    (SURVEY P1), so a duplicated attribute on one tag reads as its
+    last value here too.
+    """
+
+    TRACK_POSITIONS = False
+
+    _META_NAMES = ("description", "robots")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        html = batch.column(self.html_column)
+        pass_cols = self._passthrough_columns(batch)
+
+        fields = ("title", "description", "og_title", "robots_meta",
+                  "canonical", "html_lang")
+        out: dict[str, list[str]] = {f: [] for f in fields}
+
+        for i in range(batch.num_rows):
+            data = html[i].as_py()
+            doc = (self._parse_doc(data) if data is not None
+                   else _parser.ParsedDoc())
+            kinds, tags, parents = doc.kinds, doc.tags, doc.parents
+            n = doc.n_nodes
+            # attr map only for the tag kinds we read
+            want = {j for j in range(n)
+                    if kinds[j] == _parser.KIND_ELEMENT
+                    and tags[j] in ("meta", "link", "html")}
+            attrs: dict[int, dict[str, str]] = {}
+            for node, name, value in zip(doc.attr_node, doc.attr_name,
+                                         doc.attr_value):
+                if node in want:
+                    attrs.setdefault(node, {})[name] = value
+            row = {f: "" for f in fields}
+            in_title = [False] * n
+            title_parts: list[str] = []
+            for j in range(n):
+                p = parents[j]
+                el = kinds[j] == _parser.KIND_ELEMENT
+                in_title[j] = (p != -1 and in_title[p]) or (
+                    el and tags[j] == "title")
+                if kinds[j] == _parser.KIND_TEXT and p != -1 \
+                        and in_title[p]:
+                    title_parts.append(doc.texts[j] or "")
+                if not el:
+                    continue
+                a = attrs.get(j, {})
+                if tags[j] == "meta":
+                    nm = a.get("name", "")
+                    if nm == "description" and not row["description"]:
+                        row["description"] = a.get("content", "")
+                    elif nm == "robots" and not row["robots_meta"]:
+                        row["robots_meta"] = a.get("content", "")
+                    elif a.get("property", "") == "og:title" \
+                            and not row["og_title"]:
+                        row["og_title"] = a.get("content", "")
+                elif tags[j] == "link":
+                    if a.get("rel", "") == "canonical" \
+                            and not row["canonical"]:
+                        row["canonical"] = a.get("href", "")
+                elif tags[j] == "html" and not row["html_lang"]:
+                    row["html_lang"] = a.get("lang", "")
+            row["title"] = "".join(title_parts)
+            for f in fields:
+                out[f].append(row[f])
+
+        cols = list(pass_cols)
+        cols.extend((f, pa.array(out[f], pa.string())) for f in fields)
+        return pa.table(dict(cols))

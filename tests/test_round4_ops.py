@@ -1002,3 +1002,110 @@ def test_bpe_encode_matches_training_order_replay(ray_session):
         comp = (nb * 10000) // max(nch, 1) if nch > 0 else 0
         assert got[did] == (len(toks), nb, comp), did
     assert set(got) == {d for d, _ in rows}
+
+
+# ---------------------------------------------------------------------------
+# Epoch shuffle / head metadata / scalar quantization
+
+
+def test_epoch_shuffle_is_a_seeded_permutation(ray_session):
+    import ray
+    from tempeh_parser_ray.functions.shuffle import epoch_shuffle
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(0, 400, 3)), pa.int64())}))
+    out = pa.concat_tables(list(epoch_shuffle(
+        docs, seed="s1", shard_size=16).iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    n = out.num_rows
+    ranks = sorted(out.column("global_rank").to_pylist())
+    assert ranks == list(range(n))          # exact permutation
+    by_id = dict(zip(out.column("doc_id").to_pylist(),
+                     out.column("global_rank").to_pylist()))
+    # deterministic: a second run gives identical ranks
+    out2 = pa.concat_tables(list(epoch_shuffle(
+        docs, seed="s1", shard_size=16).iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    assert dict(zip(out2.column("doc_id").to_pylist(),
+                    out2.column("global_rank").to_pylist())) == by_id
+    # a different seed gives a different permutation
+    out3 = pa.concat_tables(list(epoch_shuffle(
+        docs, seed="s2", shard_size=16).iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    assert dict(zip(out3.column("doc_id").to_pylist(),
+                    out3.column("global_rank").to_pylist())) != by_id
+    # shard layout is rank//size, rank%size
+    for r in out.to_pylist():
+        assert r["shard"] == r["global_rank"] // 16
+        assert r["shard_pos"] == r["global_rank"] % 16
+    # matches the straightforward single-machine formulation
+    import hashlib
+    ids = docs.take_all()
+    want = sorted((hashlib.md5(f"s1:{r['doc_id']}".encode()).hexdigest(),
+                   r["doc_id"]) for r in ids)
+    assert [d for _, d in want] == [
+        i for i, _ in sorted(by_id.items(), key=lambda kv: kv[1])]
+
+
+def test_metadata_batch_rules_and_hostile_inputs():
+    from tempeh_parser_ray.stages.dom_stage import MetadataBatch
+
+    pages = [
+        # duplicate metas: FIRST wins; <title> is RAW TEXT (reference
+        # L11 semantics) so embedded markup reads as literal text
+        b'<html lang="de"><head><title>A<b>B</b>C</title>'
+        b'<meta name="description" content="first">'
+        b'<meta name="description" content="second">'
+        b'<link rel="canonical" href="https://c/1">'
+        b'<link rel="canonical" href="https://c/2"></head></html>',
+        b"<html><body>no head at all</body></html>",
+        b"",
+        None,
+        # attrs on meta without name/property are ignored
+        b'<head><meta charset=utf-8><meta property="og:title" '
+        b'content="og!"></head>',
+    ]
+    out = MetadataBatch(passthrough=())(pa.table({
+        "html": pa.array(pages, pa.binary())}))
+    rows = out.to_pylist()
+    assert rows[0]["title"] == "A<b>B</b>C"
+    assert rows[0]["description"] == "first"
+    assert rows[0]["canonical"] == "https://c/1"
+    assert rows[0]["html_lang"] == "de"
+    assert rows[1] == {f: "" for f in rows[1]}
+    assert rows[2] == rows[3] == rows[1]
+    assert rows[4]["og_title"] == "og!" and rows[4]["title"] == ""
+
+
+def test_scalar_quantize_bounds_and_partition_invariance(ray_session):
+    import numpy as np
+    import ray
+    from tempeh_parser_ray.functions.similarity import scalar_quantize
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(60, 5).astype(np.float32)
+    vecs[:, 3] = 2.5           # constant dim -> q = 0
+    tbl = pa.table({
+        "vec_id": pa.array(range(60), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32()))})
+
+    def run(n_parts):
+        ds = ray.data.from_arrow(tbl).repartition(n_parts)
+        out = pa.concat_tables(list(scalar_quantize(ds).iter_batches(
+            batch_format="pyarrow", batch_size=None)))
+        return {(r["vec_id"], r["pos"]): r["q"] for r in out.to_pylist()}
+
+    q1 = run(1)
+    assert run(7) == q1                     # partition-invariant
+    qs = np.asarray(list(q1.values()))
+    assert qs.min() >= 0 and qs.max() <= 255
+    for pos in range(5):
+        col = [q1[(i, pos)] for i in range(60)]
+        if pos == 3:
+            assert set(col) == {0}          # constant dim
+        else:
+            # the min component hits 0 and the max hits 255 exactly
+            iv = np.floor(vecs[:, pos].astype(np.float64) * 1e5 + 0.5)
+            assert col[int(np.argmin(iv))] == 0
+            assert col[int(np.argmax(iv))] == 255
