@@ -30,6 +30,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # remainder are pinned by CORRECTNESS_r03 + the committed CHECK_r4 sweep.
     return {
         # round-4 additions (driver-uncovered by construction)
+        "decode_entities": _q.decode_entities,
+        "host_fetch_slots": _q.host_fetch_slots,
         "extract_metadata": _q.extract_metadata,
         "epoch_shuffle": _q.epoch_shuffle,
         "embedding_quantize": _q.embedding_quantize,
@@ -222,6 +224,32 @@ _JACCARD_PAIRS_SQL = r"""
 
 def oracle_sql() -> dict[str, str]:
     d = {
+        "decode_entities": r"""
+            -- the injected references are closed-form; single-pass
+            -- decode: &amp;lt; -> the five chars &lt; (no double
+            -- decode), &unknown; stays literal
+            SELECT doc_id,
+                   'A & B <x> ' || text || ' AB ' || chr(169)
+                       || ' &unknown; &lt;' AS decoded
+            FROM documents ORDER BY doc_id
+        """,
+        "host_fetch_slots": r"""
+            -- host rebuilt from the generating row (crawl_url);
+            -- slot = rank within host by doc_id
+            WITH f AS (SELECT doc_id,
+                   (CASE doc_id % 4 WHEN 0 THEN 'www.'
+                        WHEN 1 THEN 'blog.' WHEN 2 THEN ''
+                        ELSE 'news.' END)
+                   || source || '-site.'
+                   || (CASE doc_id % 5 WHEN 0 THEN 'com'
+                        WHEN 1 THEN 'org' WHEN 2 THEN 'net'
+                        WHEN 3 THEN 'co.uk' ELSE 'com.cn' END) AS host
+                   FROM documents)
+            SELECT doc_id, host,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY host
+                        ORDER BY doc_id) - 1 AS BIGINT) AS slot
+            FROM f ORDER BY doc_id
+        """,
         "extract_metadata": r"""
             -- every head field is a closed-form function of the
             -- generating row (sources/synthetic.py:meta_page_html)

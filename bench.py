@@ -85,6 +85,8 @@ QUERY_NAMES = [
     "events_funnel", "user_retention", "events_gapfill",
     "chunk_documents", "label_centroids", "crawl_diff",
     "sitemap_parse", "tag_histogram", "token_quantiles_sketch",
+    "resolve_links", "extract_metadata", "epoch_shuffle",
+    "embedding_quantize", "decode_entities", "host_fetch_slots",
 ]
 
 

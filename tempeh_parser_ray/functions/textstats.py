@@ -293,3 +293,62 @@ def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]
             break
         sym[bi:bi + 2] = [sym[bi] + sym[bi + 1]]
     return sym
+
+
+# --- HTML entity decoding (post-extraction text repair) -------------------
+
+# The reference parser keeps character references literal (its lexer has
+# no entity table — src/lexer.js emits text verbatim), so decoding is an
+# engine-side post-extraction step. Named table: the HTML5 core set a
+# web corpus actually contains; unknown names stay literal (the HTML5
+# "not a character reference" rule), as do invalid/surrogate numerics.
+_ENTITY_TABLE: dict[str, str] = {
+    "amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'",
+    "nbsp": " ", "copy": "©", "reg": "®",
+    "trade": "™", "hellip": "…", "mdash": "—",
+    "ndash": "–", "lsquo": "‘", "rsquo": "’",
+    "ldquo": "“", "rdquo": "”", "sect": "§",
+    "middot": "·", "times": "×", "divide": "÷",
+    "euro": "€", "pound": "£", "deg": "°",
+}
+
+_ENTITY_RE = re.compile(
+    r"&(?:#x([0-9a-fA-F]{1,6})|#([0-9]{1,7})|([a-zA-Z][a-zA-Z0-9]{1,30}));")
+
+
+def _entity_sub(m: "re.Match[str]") -> str:
+    hx, dec, name = m.groups()
+    if name is not None:
+        return _ENTITY_TABLE.get(name, m.group(0))
+    cp = int(hx, 16) if hx is not None else int(dec)
+    if cp == 0 or cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF:
+        return m.group(0)  # invalid reference stays literal
+    return chr(cp)
+
+
+def decode_entities_batch(batch: pa.Table, text_col: str = "text",
+                          out_col: str = "decoded") -> pa.Table:
+    """Single-pass HTML character-reference decoding of a text column.
+
+    ONE left-to-right regex pass per row — each reference is consumed
+    exactly once, so ``&amp;lt;`` decodes to the five characters
+    ``&lt;`` (never double-decodes to ``<``), matching browser
+    semantics. Vectorized gate: rows without ``&`` (the vast majority
+    of extracted web text) pass through untouched via an Arrow mask;
+    only flagged rows run the compiled single-pass substitution.
+    """
+    import pyarrow.compute as pc
+
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    has = pc.match_substring(pc.fill_null(col, ""), "&")
+    if pc.any(has).as_py():
+        mask = has.to_numpy(zero_copy_only=False)
+        vals = col.to_pylist()
+        out = pa.array(
+            [(_ENTITY_RE.sub(_entity_sub, v) if m and v is not None
+              else v) for v, m in zip(vals, mask)], pa.string())
+    else:
+        out = col.cast(pa.string())
+    return batch.append_column(out_col, out)

@@ -351,3 +351,102 @@ def keep_latest(ds: "ray.data.Dataset", key: str = "url",
         out = ds.join(keys, join_type="left_semi",
                       num_partitions=num_partitions, on=(key, "_ts"))
     return out.drop_columns(["_ts"])
+
+
+def fetch_slots(frontier: "ray.data.Dataset", *,
+                host_col: str = "host", id_col: str = "doc_id",
+                bucket_size: int = 65_536) -> "ray.data.Dataset":
+    """Crawl-politeness scheduling: assign each frontier URL its
+    per-host FETCH SLOT — the url's rank within its host under
+    ``id_col`` order. With one request per host per scheduler wave,
+    the slot IS the wave number, so a downstream fetcher groups by
+    ``slot`` and never hits a host twice in one wave.
+
+    A per-host rank is a windowed count, so this reuses the
+    time-bucketed prefix-carry shape (``windows.running_total_events``)
+    keyed by host — no group ever holds one host's full url list:
+
+    1. per-``(host, bucket = id // bucket_size)`` counts: ONE pure
+       aggregate, O(1) state, map-side combined;
+    2. per-host pass over the bounded populated-bucket list emits one
+       exclusive-prefix OFFSET carry row per later bucket;
+    3. regroup urls + carries by ``(host, bucket)``: each bucket sorts
+       its own ids and adds the carried offset — per-group state is
+       ``bucket_size`` rows max, even for a 10^9-url host.
+    """
+    from .dedup import collect_columns_agg
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).cast(pa.int64())
+        bucket = pc.divide(ids, bucket_size).cast(pa.int64())
+        return pa.table({
+            host_col: batch.column(host_col),
+            "bucket": bucket,
+            id_col: ids,
+            "is_carry": pa.array(
+                np.zeros(batch.num_rows, np.int64), pa.int64())})
+
+    proj = frontier.map_batches(project, batch_format="pyarrow")
+
+    counts = proj.map_batches(
+        lambda b: b.select([host_col, "bucket"]),
+        batch_format="pyarrow").groupby(
+        [host_col, "bucket"]).count()
+
+    per_host = counts.map_batches(
+        lambda b: pa.table({
+            host_col: b.column(host_col),
+            "bucket": b.column("bucket"),
+            "n": b.column("count()").cast(pa.int64())}),
+        batch_format="pyarrow").groupby(host_col).aggregate(
+        collect_columns_agg(["bucket", "n"], "meta"))
+
+    def offsets(batch: pa.Table) -> pa.Table:
+        out_h: list[str] = []
+        out_b: list[int] = []
+        out_off: list[int] = []
+        for host, rows in zip(batch.column(host_col).to_pylist(),
+                              batch.column("meta").to_pylist()):
+            arr = np.asarray(rows, dtype=np.int64)
+            arr = arr[np.argsort(arr[:, 0], kind="stable")]
+            pref = 0
+            for k in range(1, len(arr)):
+                pref += int(arr[k - 1, 1])
+                out_h.append(host)
+                out_b.append(int(arr[k, 0]))
+                out_off.append(pref)
+        n = len(out_h)
+        return pa.table({
+            host_col: pa.array(out_h, pa.string()),
+            "bucket": pa.array(out_b, pa.int64()),
+            id_col: pa.array(out_off, pa.int64()),
+            "is_carry": pa.array([1] * n, pa.int64())})
+
+    carries = per_host.map_batches(offsets, batch_format="pyarrow")
+
+    grouped = proj.union(carries).groupby(
+        [host_col, "bucket"]).aggregate(
+        collect_columns_agg([id_col, "is_carry"], "rows"))
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        out_h: list[str] = []
+        out_id: list[np.ndarray] = []
+        out_s: list[np.ndarray] = []
+        for host, rows in zip(batch.column(host_col).to_pylist(),
+                              batch.column("rows").to_pylist()):
+            arr = np.asarray(rows, dtype=np.int64)
+            carry = arr[:, 1].astype(bool)
+            offset = int(arr[carry, 0].sum())  # 0 or 1 carry rows
+            ids = np.sort(arr[~carry, 0])
+            out_h.extend([host] * len(ids))
+            out_id.append(ids)
+            out_s.append(offset + np.arange(len(ids), dtype=np.int64))
+        if not out_id:
+            z = np.zeros(0, np.int64)
+            out_id = out_s = [z]
+        return pa.table({
+            id_col: pa.array(np.concatenate(out_id), pa.int64()),
+            host_col: pa.array(out_h, pa.string()),
+            "slot": pa.array(np.concatenate(out_s), pa.int64())})
+
+    return grouped.map_batches(resolve, batch_format="pyarrow")

@@ -3584,3 +3584,48 @@ def embedding_quantize(sf_dir: str) -> "ray.data.Dataset":
     components, one dim-bounded Min/Max exchange, broadcast bounds,
     pure-integer map-side quantize — bit-exact vs the SQL oracle."""
     return _sim.scalar_quantize(_embeddings(sf_dir))
+
+
+def decode_entities(sf_dir: str) -> "ray.data.Dataset":
+    """Post-extraction HTML character-reference repair
+    (functions/textstats.py:decode_entities_batch): a SINGLE-PASS
+    regex decode — named core set + decimal/hex numerics; unknown
+    names and invalid codepoints stay literal; ``&amp;lt;`` yields the
+    five chars ``&lt;`` (no double decode, browser semantics) — behind
+    a vectorized has-'&' Arrow gate so entity-free rows never touch
+    Python. Entities are injected closed-form around the document
+    text, so the oracle rebuilds the decode with string concat."""
+    pre = "A &amp; B &lt;x&gt; "
+    suf = " &#65;&#x42; &copy; &unknown; &amp;lt;"
+
+    def inject(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "text": pc.binary_join_element_wise(
+                pre, batch.column("text"), suf, "")})
+
+    return _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        inject, batch_format="pyarrow").map_batches(
+        _ts.decode_entities_batch, batch_format="pyarrow").map_batches(
+        lambda b: b.select(["doc_id", "decoded"]),
+        batch_format="pyarrow")
+
+
+def host_fetch_slots(sf_dir: str) -> "ray.data.Dataset":
+    """Crawl-politeness scheduling (functions/webops.py:fetch_slots):
+    each frontier URL's per-host fetch slot (rank within host by
+    doc_id) via the bucketed prefix-carry rank — ONE pure count
+    aggregate + bounded carry rows; per-group state never exceeds
+    bucket_size urls even for a 10^9-url host. With one request per
+    host per wave, slot == scheduler wave."""
+    from ..functions import urls as _urls
+    from ..functions import webops as _web
+
+    def with_host(batch: pa.Table) -> pa.Table:
+        t = _urls.parse_url_batch(
+            _synth.synthesize_url_batch(batch))
+        return t.select(["doc_id", "host"])
+
+    frontier = _documents(sf_dir, ["doc_id", "lang", "source"]
+                          ).map_batches(with_host, batch_format="pyarrow")
+    return _web.fetch_slots(frontier, bucket_size=64)

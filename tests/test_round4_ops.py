@@ -1109,3 +1109,63 @@ def test_scalar_quantize_bounds_and_partition_invariance(ray_session):
             iv = np.floor(vecs[:, pos].astype(np.float64) * 1e5 + 0.5)
             assert col[int(np.argmin(iv))] == 0
             assert col[int(np.argmax(iv))] == 255
+
+
+def test_decode_entities_single_pass_and_hostile():
+    from tempeh_parser_ray.functions.textstats import \
+        decode_entities_batch
+
+    texts = [
+        "a &amp; b", "&lt;tag&gt;", "&#65;&#x42;&#x1F600;",
+        "&amp;lt; stays five chars",          # no double decode
+        "&unknown; &fake123; &amp",           # unknown / unterminated
+        "&#0; &#xD800; &#1114112;",           # invalid codepoints
+        "no entities at all", "", None,
+        "&copy;&euro;&deg;",
+    ]
+    out = decode_entities_batch(pa.table({
+        "text": pa.array(texts, pa.string())}))
+    got = out.column("decoded").to_pylist()
+    assert got[0] == "a & b"
+    assert got[1] == "<tag>"
+    assert got[2] == "AB\U0001F600"
+    assert got[3] == "&lt; stays five chars"
+    assert got[4] == "&unknown; &fake123; &amp"
+    assert got[5] == "&#0; &#xD800; &#1114112;"
+    assert got[6] == "no entities at all"
+    assert got[7] == "" and got[8] is None
+    assert got[9] == "©€°"
+    # python reference agreement on the supported named set + numerics
+    import html
+    for t, g in zip(texts, got):
+        if t and "&" in t and "unknown" not in t and "fake" not in t \
+                and "&amp" != t.split()[-1] and "#0;" not in t:
+            assert g == html.unescape(t), t
+
+
+def test_fetch_slots_bucket_carries_match_brute_rank(ray_session):
+    import ray
+    from tempeh_parser_ray.functions.webops import fetch_slots
+
+    # 3 hosts, interleaved ids; bucket_size=4 forces many carry rows
+    rows = [{"doc_id": i, "host": f"h{i % 3}"} for i in range(50)]
+    rows += [{"doc_id": 100 + i, "host": "h0"} for i in range(13)]
+    ds = ray.data.from_items(rows).repartition(5)
+    out = pa.concat_tables(list(fetch_slots(
+        ds, bucket_size=4).iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    got = {(r["host"], r["doc_id"]): r["slot"] for r in out.to_pylist()}
+    # brute force: rank within host by doc_id
+    byhost: dict[str, list[int]] = {}
+    for r in rows:
+        byhost.setdefault(r["host"], []).append(r["doc_id"])
+    want = {(h, d): i for h, ids in byhost.items()
+            for i, d in enumerate(sorted(ids))}
+    assert got == want
+    # partition invariance
+    out1 = pa.concat_tables(list(fetch_slots(
+        ray.data.from_items(rows).repartition(1),
+        bucket_size=4).iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    assert {(r["host"], r["doc_id"]): r["slot"]
+            for r in out1.to_pylist()} == want
