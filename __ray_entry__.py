@@ -30,6 +30,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # remainder are pinned by CORRECTNESS_r03 + the committed CHECK_r4 sweep.
     return {
         # round-4 additions (driver-uncovered by construction)
+        "domain_quality": _q.domain_quality,
+        "link_degree_hist": _q.link_degree_hist,
         "decode_entities": _q.decode_entities,
         "host_fetch_slots": _q.host_fetch_slots,
         "extract_metadata": _q.extract_metadata,
@@ -224,6 +226,51 @@ _JACCARD_PAIRS_SQL = r"""
 
 def oracle_sql() -> dict[str, str]:
     d = {
+        "domain_quality": f"""
+            -- registered domain rebuilt closed-form (public-suffix
+            -- reduction of crawl_url's host); mean is ONE float
+            -- division over exact int64 operands
+            WITH f AS (SELECT
+                   source || '-site.'
+                   || (CASE doc_id % 5 WHEN 0 THEN 'com'
+                        WHEN 1 THEN 'org' WHEN 2 THEN 'net'
+                        WHEN 3 THEN 'co.uk' ELSE 'com.cn' END)
+                       AS registered_domain,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len({_TOKENS}) END AS BIGINT) AS n_tokens
+                   FROM documents)
+            SELECT registered_domain,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+                   CAST(SUM(n_tokens) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS mean_tokens
+            FROM f GROUP BY 1 ORDER BY 1
+        """,
+        "link_degree_hist": r"""
+            -- in-degree histogram over the resolved link targets
+            WITH o AS (SELECT doc_id, lang,
+                   (CASE WHEN doc_id % 3 = 0 THEN 'http'
+                         ELSE 'https' END) || '://'
+                   || (CASE doc_id % 4 WHEN 0 THEN 'www.'
+                            WHEN 1 THEN 'blog.' WHEN 2 THEN ''
+                            ELSE 'news.' END)
+                   || source || '-site.'
+                   || (CASE doc_id % 5 WHEN 0 THEN 'com'
+                            WHEN 1 THEN 'org' WHEN 2 THEN 'net'
+                            WHEN 3 THEN 'co.uk' ELSE 'com.cn' END)
+                   || (CASE WHEN doc_id % 7 = 0 THEN ':8080'
+                            ELSE '' END) AS origin
+                   FROM documents),
+            e AS (SELECT origin || '/' AS abs_url FROM o
+                  UNION ALL
+                  SELECT origin || '/l/' || lang FROM o
+                  UNION ALL
+                  SELECT 'mailto:x@example.com' FROM o),
+            deg AS (SELECT abs_url, CAST(COUNT(*) AS BIGINT)
+                        AS in_degree FROM e GROUP BY abs_url)
+            SELECT in_degree, CAST(COUNT(*) AS BIGINT) AS n_targets
+            FROM deg GROUP BY in_degree ORDER BY in_degree
+        """,
         "decode_entities": r"""
             -- the injected references are closed-form; single-pass
             -- decode: &amp;lt; -> the five chars &lt; (no double

@@ -3629,3 +3629,58 @@ def host_fetch_slots(sf_dir: str) -> "ray.data.Dataset":
     frontier = _documents(sf_dir, ["doc_id", "lang", "source"]
                           ).map_batches(with_host, batch_format="pyarrow")
     return _web.fetch_slots(frontier, bucket_size=64)
+
+
+def domain_quality(sf_dir: str) -> "ray.data.Dataset":
+    """Per-registered-domain extraction-quality rollup — the crawl
+    curation dashboard table: (n_docs, sum_tokens, mean_tokens) per
+    domain. The URL dimension never joins: the frontier URL is
+    synthesized FROM the document row, parsed map-side
+    (functions/urls.py:parse_url_batch, one extract_regex kernel), and
+    the token count rides the same row — ONE pure groupby(domain)
+    exchange moves (domain, n, sum) partials only. mean is a single
+    final float division over exact int64 operands (bit-exact)."""
+    from ..functions import urls as _urls
+
+    def project(batch: pa.Table) -> pa.Table:
+        t = _ts.token_count_batch(batch)
+        u = _urls.parse_url_batch(_synth.synthesize_url_batch(batch))
+        return pa.table({
+            "registered_domain": u.column("registered_domain"),
+            "n_tokens": t.column("n_tokens")})
+
+    agg = _documents(sf_dir, ["doc_id", "text", "lang", "source"]
+                     ).map_batches(project, batch_format="pyarrow"
+                     ).groupby("registered_domain").aggregate(
+        ray.data.aggregate.Count(),
+        ray.data.aggregate.Sum("n_tokens"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("count()").cast(pa.int64())
+        s = batch.column("sum(n_tokens)").cast(pa.int64())
+        return pa.table({
+            "registered_domain": batch.column("registered_domain"),
+            "n_docs": n,
+            "sum_tokens": s,
+            "mean_tokens": pc.divide(s.cast(pa.float64()),
+                                     n.cast(pa.float64()))})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def link_degree_hist(sf_dir: str) -> "ray.data.Dataset":
+    """Web-graph in-degree distribution (the graph-census shape that
+    finds hubs/spam): resolved link targets (resolve_links) ->
+    groupby(abs_url).count -> groupby(in_degree).count. Aggregate OF an
+    aggregate — both exchanges pure and map-side combined; the second
+    moves at most |distinct degrees| rows per block."""
+    deg = resolve_links(sf_dir).groupby("abs_url").count()
+    hist = deg.map_batches(
+        lambda b: pa.table({
+            "in_degree": b.column("count()").cast(pa.int64())}),
+        batch_format="pyarrow").groupby("in_degree").count()
+    return hist.map_batches(
+        lambda b: pa.table({
+            "in_degree": b.column("in_degree"),
+            "n_targets": b.column("count()").cast(pa.int64())}),
+        batch_format="pyarrow")
