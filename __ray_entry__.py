@@ -30,6 +30,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # remainder are pinned by CORRECTNESS_r03 + the committed CHECK_r4 sweep.
     return {
         # round-4 additions (driver-uncovered by construction)
+        "url_canonical_dedup": _q.url_canonical_dedup,
         "domain_quality": _q.domain_quality,
         "link_degree_hist": _q.link_degree_hist,
         "decode_entities": _q.decode_entities,
@@ -226,6 +227,37 @@ _JACCARD_PAIRS_SQL = r"""
 
 def oracle_sql() -> dict[str, str]:
     d = {
+        "url_canonical_dedup": r"""
+            -- the canonical key is the closed-form base url; every
+            -- canonical collapses exactly its (base, utm-decorated)
+            -- pair, keeper = base doc_id
+            SELECT (CASE WHEN doc_id % 3 = 0 THEN 'http'
+                         ELSE 'https' END) || '://'
+                   || (CASE doc_id % 4 WHEN 0 THEN 'www.'
+                            WHEN 1 THEN 'blog.' WHEN 2 THEN ''
+                            ELSE 'news.' END)
+                   || source || '-site.'
+                   || (CASE doc_id % 5 WHEN 0 THEN 'com'
+                            WHEN 1 THEN 'org' WHEN 2 THEN 'net'
+                            WHEN 3 THEN 'co.uk' ELSE 'com.cn' END)
+                   || (CASE WHEN doc_id % 7 = 0 THEN ':8080'
+                            ELSE '' END)
+                   || (CASE WHEN doc_id % 6 = 0
+                            THEN '/' || lang || '/p'
+                                 || CAST(doc_id AS VARCHAR) || '/'
+                            ELSE '/' || lang || '/a'
+                                 || CAST(doc_id % 10 AS VARCHAR)
+                                 || '/p' || CAST(doc_id AS VARCHAR)
+                       END)
+                   || (CASE doc_id % 3
+                       WHEN 1 THEN '?ref=' || source
+                       WHEN 2 THEN '?ref=' || source || '&q=t'
+                                   || CAST(doc_id % 100 AS VARCHAR)
+                       ELSE '' END) AS canon_url,
+                   doc_id AS keeper,
+                   CAST(2 AS BIGINT) AS n_variants
+            FROM documents ORDER BY canon_url
+        """,
         "domain_quality": f"""
             -- registered domain rebuilt closed-form (public-suffix
             -- reduction of crawl_url's host); mean is ONE float

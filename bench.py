@@ -87,7 +87,7 @@ QUERY_NAMES = [
     "sitemap_parse", "tag_histogram", "token_quantiles_sketch",
     "resolve_links", "extract_metadata", "epoch_shuffle",
     "embedding_quantize", "decode_entities", "host_fetch_slots",
-    "domain_quality", "link_degree_hist",
+    "domain_quality", "link_degree_hist", "url_canonical_dedup",
 ]
 
 

@@ -197,3 +197,20 @@ def resolve_url_batch(base: pa.Array, href: pa.Array) -> pa.Array:
                        + (f"?{qry}" if qry else ""))
         resolved = pa.array(out, pa.string())
     return resolved
+
+
+def canonicalize_url_batch(arr: pa.Array | pa.ChunkedArray,
+                           ) -> pa.Array:
+    """Crawl-frontier URL canonicalization: strip the fragment and
+    every ``utm_*`` tracking parameter, then repair dangling ``?``/
+    ``&`` separators — three Arrow regex kernels, no per-row Python.
+    Two frontier entries that differ only in tracking decoration
+    collapse to one canonical key (the dedup step every crawler runs
+    before the fetch queue; Common Crawl's URL normalizer does the
+    same strip)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    x = pc.replace_substring_regex(arr, r"#.*$", "")
+    x = pc.replace_substring_regex(x, r"utm_[A-Za-z0-9_]*=[^&#]*&?", "")
+    x = pc.replace_substring_regex(x, r"[?&]$", "")
+    return x

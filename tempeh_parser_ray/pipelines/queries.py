@@ -3684,3 +3684,48 @@ def link_degree_hist(sf_dir: str) -> "ray.data.Dataset":
             "in_degree": b.column("in_degree"),
             "n_targets": b.column("count()").cast(pa.int64())}),
         batch_format="pyarrow")
+
+
+def url_canonical_dedup(sf_dir: str) -> "ray.data.Dataset":
+    """Crawl-frontier URL canonicalization dedup: the frontier is the
+    base urls UNIONed with a tracking-decorated replica (same url +
+    ``utm_source``/``utm_campaign`` params, doc_id+1e6 — the shape ad
+    links inject into every real crawl). Canonicalization
+    (functions/urls.py:canonicalize_url_batch — fragment + utm_* strip,
+    three Arrow regex kernels) collapses each pair; ONE pure
+    ``groupby(canon).aggregate(Min, Count)`` emits (canon_url, keeper,
+    n_variants). By construction every canonical has exactly its base
+    doc_id as keeper and 2 variants — which the oracle asserts, so a
+    canonicalizer that fails to collapse a pair hash-mismatches."""
+    from ..functions import urls as _urls
+
+    base = _documents(sf_dir, ["doc_id", "lang", "source"]).map_batches(
+        _synth.synthesize_url_batch, batch_format="pyarrow")
+
+    def decorate(batch: pa.Table) -> pa.Table:
+        u = batch.column("url")
+        sep = pc.if_else(pc.match_substring(u, "?"), "&", "?")
+        return pa.table({
+            "doc_id": pc.add(batch.column("doc_id"), 1_000_000),
+            "url": pc.binary_join_element_wise(
+                u, sep, "utm_source=ads&utm_campaign=c1", "")})
+
+    frontier = base.union(base.map_batches(
+        decorate, batch_format="pyarrow"))
+
+    def canon(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "canon_url": _urls.canonicalize_url_batch(
+                batch.column("url")),
+            "doc_id": batch.column("doc_id")})
+
+    agg = frontier.map_batches(canon, batch_format="pyarrow").groupby(
+        "canon_url").aggregate(
+        ray.data.aggregate.Min("doc_id"),
+        ray.data.aggregate.Count())
+    return agg.map_batches(
+        lambda b: pa.table({
+            "canon_url": b.column("canon_url"),
+            "keeper": b.column("min(doc_id)").cast(pa.int64()),
+            "n_variants": b.column("count()").cast(pa.int64())}),
+        batch_format="pyarrow")

@@ -1169,3 +1169,23 @@ def test_fetch_slots_bucket_carries_match_brute_rank(ray_session):
         batch_format="pyarrow", batch_size=None)))
     assert {(r["host"], r["doc_id"]): r["slot"]
             for r in out1.to_pylist()} == want
+
+
+def test_canonicalize_url_tracking_strip():
+    from tempeh_parser_ray.functions.urls import canonicalize_url_batch
+
+    cases = [
+        ("https://a/p?utm_source=x", "https://a/p"),
+        ("https://a/p?utm_source=x&q=2", "https://a/p?q=2"),
+        ("https://a/p?q=2&utm_medium=y", "https://a/p?q=2"),
+        ("https://a/p?ref=s&q=t1", "https://a/p?ref=s&q=t1"),
+        ("https://a/p#frag", "https://a/p"),
+        ("https://a/p?utm_a=1&utm_b=2", "https://a/p"),
+        ("https://a/p?q=1&utm_a=2&r=3", "https://a/p?q=1&r=3"),
+        ("https://a/p?utm_a=1#f", "https://a/p"),
+        ("", ""),
+        (None, None),
+    ]
+    got = canonicalize_url_batch(pa.array(
+        [c[0] for c in cases], pa.string())).to_pylist()
+    assert got == [c[1] for c in cases]
