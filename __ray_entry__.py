@@ -30,6 +30,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # remainder are pinned by CORRECTNESS_r03 + the committed CHECK_r4 sweep.
     return {
         # round-4 additions (driver-uncovered by construction)
+        "embedding_cov": _q.embedding_cov,
         "url_canonical_dedup": _q.url_canonical_dedup,
         "domain_quality": _q.domain_quality,
         "link_degree_hist": _q.link_degree_hist,
@@ -227,6 +228,27 @@ _JACCARD_PAIRS_SQL = r"""
 
 def oracle_sql() -> dict[str, str]:
     d = {
+        "embedding_cov": r"""
+            -- exact integer moments (SUM(BIGINT) is HUGEINT-exact),
+            -- population covariance via CAST-to-double then divide
+            WITH v AS (SELECT vec_id,
+                              generate_subscripts(embedding, 1) - 1
+                                  AS pos,
+                              CAST(FLOOR(CAST(unnest(embedding)
+                                              AS DOUBLE) * 10000 + 0.5)
+                                   AS BIGINT) AS iv
+                       FROM embeddings),
+            p AS (SELECT a.pos AS pos_i, b.pos AS pos_j,
+                         COUNT(*) AS n, SUM(a.iv * b.iv) AS sij,
+                         SUM(a.iv) AS si, SUM(b.iv) AS sj
+                  FROM v a JOIN v b
+                      ON a.vec_id = b.vec_id AND a.pos <= b.pos
+                  GROUP BY 1, 2)
+            SELECT pos_i, pos_j,
+                   CAST(n * sij - si * sj AS DOUBLE)
+                       / CAST(n * n AS DOUBLE) AS cov
+            FROM p ORDER BY pos_i, pos_j
+        """,
         "url_canonical_dedup": r"""
             -- the canonical key is the closed-form base url; every
             -- canonical collapses exactly its (base, utm-decorated)

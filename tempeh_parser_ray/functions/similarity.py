@@ -571,3 +571,75 @@ def scalar_quantize(embeddings: "ray.data.Dataset",
             "q": pa.array(q.reshape(-1), pa.int64())})
 
     return embeddings.map_batches(quantize, batch_format="pyarrow")
+
+
+def embedding_cov(embeddings: "ray.data.Dataset",
+                  vec_col: str = "embedding",
+                  scale: int = 10_000) -> pa.Table:
+    """Corpus feature covariance over the embedding column — the
+    second-moment pass PCA / whitening / ZCA preprocessing runs before
+    training. Returns the upper triangle as ``(pos_i, pos_j, cov)``
+    with population covariance ``(n*Sij - Si*Sj) / n^2``.
+
+    Bit-exact: components become ``floor(v*scale + 0.5)`` int64 first,
+    so every moment is an exact INTEGER sum — per block ONE numpy
+    int64 matmul (``iv.T @ iv``) emits (pos_i, pos_j, s) partial rows
+    for the upper triangle plus first-moment and count rows; a single
+    ``groupby.sum`` exchange (map-side combined, **bounded by
+    dim^2/2 + dim + 1 rows** regardless of corpus size) merges them;
+    the driver combines Python ints (arbitrary precision) and mirrors
+    the SQL's CAST-to-DOUBLE-then-divide exactly.
+
+    Overflow bound: per-pair sums stay in int64 while
+    ``n * (scale*|v|_max)^2 < 2^63`` — at scale 1e4 and |v| <= 3 that
+    is ~10^10 rows; beyond that lower ``scale`` or shard the corpus
+    into row ranges and merge the (exact-int) partials driver-side.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        iv = np.floor(_batch_matrix(batch, vec_col)
+                      * float(scale) + 0.5).astype(np.int64)
+        n, d = iv.shape if iv.size else (0, 0)
+        if n == 0:
+            return pa.table({"pos_i": pa.array([], pa.int64()),
+                             "pos_j": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        prod = iv.T @ iv                      # (d, d) exact int64
+        ii, jj = np.triu_indices(d)
+        pos_i = np.concatenate(
+            [ii, np.arange(d, dtype=np.int64), [-1]])
+        pos_j = np.concatenate(
+            [jj, np.full(d, -1, np.int64), [-1]])
+        s = np.concatenate(
+            [prod[ii, jj], iv.sum(axis=0), [n]])
+        return pa.table({"pos_i": pa.array(pos_i, pa.int64()),
+                         "pos_j": pa.array(pos_j, pa.int64()),
+                         "s": pa.array(s, pa.int64())})
+
+    merged = embeddings.map_batches(
+        partial, batch_format="pyarrow").groupby(
+        ["pos_i", "pos_j"]).aggregate(
+        ray.data.aggregate.Sum("s")).take_all()
+
+    n = 0
+    first: dict[int, int] = {}
+    second: dict[tuple[int, int], int] = {}
+    for r in merged:
+        i, j, s = int(r["pos_i"]), int(r["pos_j"]), int(r["sum(s)"])
+        if i == -1:
+            n = s
+        elif j == -1:
+            first[i] = s
+        else:
+            second[(i, j)] = s
+    out_i: list[int] = []
+    out_j: list[int] = []
+    out_c: list[float] = []
+    for (i, j) in sorted(second):
+        num = n * second[(i, j)] - first[i] * first[j]  # exact ints
+        # mirror SQL: CAST(num AS DOUBLE) / CAST(n*n AS DOUBLE)
+        out_i.append(i)
+        out_j.append(j)
+        out_c.append(float(num) / float(n * n))
+    return pa.table({"pos_i": pa.array(out_i, pa.int64()),
+                     "pos_j": pa.array(out_j, pa.int64()),
+                     "cov": pa.array(out_c, pa.float64())})

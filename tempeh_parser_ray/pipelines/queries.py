@@ -3729,3 +3729,11 @@ def url_canonical_dedup(sf_dir: str) -> "ray.data.Dataset":
             "keeper": b.column("min(doc_id)").cast(pa.int64()),
             "n_variants": b.column("count()").cast(pa.int64())}),
         batch_format="pyarrow")
+
+
+def embedding_cov(sf_dir: str) -> pa.Table:
+    """Corpus feature covariance (functions/similarity.py:embedding_cov)
+    — the PCA/whitening second-moment pass: exact integer moments via
+    one per-block int64 matmul, ONE dim^2-bounded groupby.sum exchange,
+    bit-exact CAST-to-double division on the driver."""
+    return _sim.embedding_cov(_embeddings(sf_dir))

@@ -1189,3 +1189,34 @@ def test_canonicalize_url_tracking_strip():
     got = canonicalize_url_batch(pa.array(
         [c[0] for c in cases], pa.string())).to_pylist()
     assert got == [c[1] for c in cases]
+
+
+def test_embedding_cov_exact_and_partition_invariant(ray_session):
+    import ray
+    from tempeh_parser_ray.functions.similarity import embedding_cov
+
+    rng = np.random.RandomState(5)
+    mat = rng.randn(45, 6).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(range(45), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float32()))})
+
+    def run(parts):
+        out = embedding_cov(
+            ray.data.from_arrow(tbl).repartition(parts))
+        return {(r["pos_i"], r["pos_j"]): r["cov"]
+                for r in out.to_pylist()}
+
+    got = run(1)
+    assert run(9) == got                       # partition-invariant
+    # exact reference: integer moments over the fixed-point matrix
+    iv = np.floor(mat.astype(np.float64) * 10_000 + 0.5).astype(object)
+    n = len(iv)
+    for i in range(6):
+        for j in range(i, 6):
+            sij = int(sum(iv[:, i] * iv[:, j]))
+            si, sj = int(sum(iv[:, i])), int(sum(iv[:, j]))
+            want = float(n * sij - si * sj) / float(n * n)
+            assert got[(i, j)] == want, (i, j)
+    assert len(got) == 6 * 7 // 2
