@@ -30,6 +30,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # remainder are pinned by CORRECTNESS_r03 + the committed CHECK_r4 sweep.
     return {
         # round-4 additions (driver-uncovered by construction)
+        "dataset_split": _q.dataset_split,
+        "lang_source_pivot": _q.lang_source_pivot,
         "embedding_cov": _q.embedding_cov,
         "url_canonical_dedup": _q.url_canonical_dedup,
         "domain_quality": _q.domain_quality,
@@ -228,6 +230,31 @@ _JACCARD_PAIRS_SQL = r"""
 
 def oracle_sql() -> dict[str, str]:
     d = {
+        "dataset_split": r"""
+            -- hex-lexicographic md5 prefix boundaries (240/8/8 of 256)
+            SELECT doc_id,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                             < 'f0' THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                             < 'f8' THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM documents ORDER BY doc_id
+        """,
+        "lang_source_pivot": r"""
+            SELECT source,
+                   CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_de,
+                   CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_en,
+                   CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_es,
+                   CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_fr,
+                   CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_zh,
+                   CAST(COUNT(*) AS BIGINT) AS n_total
+            FROM documents GROUP BY source ORDER BY source
+        """,
         "embedding_cov": r"""
             -- exact integer moments (SUM(BIGINT) is HUGEINT-exact),
             -- population covariance via CAST-to-double then divide

@@ -88,7 +88,7 @@ QUERY_NAMES = [
     "resolve_links", "extract_metadata", "epoch_shuffle",
     "embedding_quantize", "decode_entities", "host_fetch_slots",
     "domain_quality", "link_degree_hist", "url_canonical_dedup",
-    "embedding_cov",
+    "embedding_cov", "lang_source_pivot", "dataset_split",
 ]
 
 

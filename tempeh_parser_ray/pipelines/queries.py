@@ -3737,3 +3737,62 @@ def embedding_cov(sf_dir: str) -> pa.Table:
     one per-block int64 matmul, ONE dim^2-bounded groupby.sum exchange,
     bit-exact CAST-to-double division on the driver."""
     return _sim.embedding_cov(_embeddings(sf_dir))
+
+
+def lang_source_pivot(sf_dir: str) -> "ray.data.Dataset":
+    """Pivot / wide reshape — the corpus-composition matrix every
+    mixture planner reads: one row per source with one count column
+    per language. No collect and no second exchange: a map pass emits
+    one-hot int64 indicator columns and ONE ``groupby(source)`` of
+    Sum aggregates (map-side combined per block) produces the wide
+    table directly — the pivot never exists as a long table."""
+    langs = ("de", "en", "es", "fr", "zh")
+
+    def onehot(batch: pa.Table) -> pa.Table:
+        lang = batch.column("lang")
+        cols = {"source": batch.column("source")}
+        for lg in langs:
+            cols[f"n_{lg}"] = pc.cast(
+                pc.equal(lang, lg), pa.int64())
+        return pa.table(cols)
+
+    agg = _documents(sf_dir, ["source", "lang"]).map_batches(
+        onehot, batch_format="pyarrow").groupby("source").aggregate(
+        *[ray.data.aggregate.Sum(f"n_{lg}") for lg in langs])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cols = {"source": batch.column("source")}
+        total = None
+        for lg in langs:
+            c = batch.column(f"sum(n_{lg})").cast(pa.int64())
+            cols[f"n_{lg}"] = c
+            total = c if total is None else pc.add(total, c)
+        cols["n_total"] = total
+        return pa.table(cols)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def dataset_split(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic train/valid/test assignment — the split every
+    training corpus pins BEFORE any other processing so reruns and
+    late-arriving shards land consistently: split by the md5(doc_id)
+    hex prefix (pure map-side, zero exchanges; new documents never
+    reshuffle existing assignments, unlike a rank-based split).
+    Boundaries are hex-lexicographic: < 'f0' train (240/256),
+    < 'f8' valid (8/256), else test (8/256)."""
+    import hashlib
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        pre = [hashlib.md5(str(i).encode()).hexdigest()[:2]
+               for i in ids]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "split": pa.array(
+                ["train" if p < "f0" else
+                 ("valid" if p < "f8" else "test") for p in pre],
+                pa.string())})
+
+    return _documents(sf_dir, ["doc_id"]).map_batches(
+        assign, batch_format="pyarrow")
