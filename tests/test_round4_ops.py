@@ -1220,3 +1220,46 @@ def test_embedding_cov_exact_and_partition_invariant(ray_session):
             want = float(n * sij - si * sj) / float(n * n)
             assert got[(i, j)] == want, (i, j)
     assert len(got) == 6 * 7 // 2
+
+
+# ---------------------------------------------------------------------------
+# JSONL export sink
+
+
+def test_jsonl_sink_round_trip_idempotent_and_pruned(ray_session, tmp_path):
+    import json
+
+    import duckdb
+    import ray
+    from tempeh_parser_ray.sinks.jsonl_sink import write_jsonl_sharded
+
+    rows = [{"doc_id": i, "text": f"t{i} é", "lang": "en"}
+            for i in range(37)]
+    ds = ray.data.from_items(rows).repartition(4)
+    out = tmp_path / "exp"
+    m1 = write_jsonl_sharded(ds, out)
+    assert m1["n_rows"] == 37 and (out / "_DONE").exists()
+    files1 = sorted(f.name for f in out.glob("part-*.jsonl"))
+    assert files1 == sorted(s["file"] for s in m1["shards"])
+
+    # round trip through an independent reader
+    got = duckdb.sql(
+        f"select doc_id, text, lang from read_json_auto('{out}/part-*.jsonl')"
+        " order by doc_id").fetchall()
+    assert got == [(r["doc_id"], r["text"], r["lang"]) for r in rows]
+
+    # idempotent: a re-run writes the identical file set, no dupes
+    m2 = write_jsonl_sharded(ds, out)
+    files2 = sorted(f.name for f in out.glob("part-*.jsonl"))
+    assert files2 == files1 and m2["n_rows"] == 37
+
+    # a SHRUNKEN composition prunes the stale shard files
+    m3 = write_jsonl_sharded(
+        ray.data.from_items(rows[:9]).repartition(1), out)
+    files3 = sorted(f.name for f in out.glob("part-*.jsonl"))
+    assert files3 == sorted(s["file"] for s in m3["shards"])
+    n = duckdb.sql(
+        f"select count(*) from read_json_auto('{out}/part-*.jsonl')"
+    ).fetchone()[0]
+    assert n == 9
+    assert json.loads((out / "manifest.json").read_text())["n_rows"] == 9
