@@ -30,6 +30,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # remainder are pinned by CORRECTNESS_r03 + the committed CHECK_r4 sweep.
     return {
         # round-4 additions (driver-uncovered by construction)
+        "extract_text_ipc": _q.extract_text_ipc,
         "dataset_split": _q.dataset_split,
         "lang_source_pivot": _q.lang_source_pivot,
         "embedding_cov": _q.embedding_cov,
@@ -1617,6 +1618,7 @@ def oracle_sql() -> dict[str, str]:
     }
     # alternate-source queries share the base oracles (same output contract)
     d["extract_text_jsonl"] = d["extract_text"]
+    d["extract_text_ipc"] = d["extract_text"]
     d["extract_text_warc"] = d["extract_text"]
     d["token_count_csv"] = d["token_count"]
     d["user_sessions_salted"] = d["user_sessions"]

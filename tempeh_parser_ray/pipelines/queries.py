@@ -3796,3 +3796,23 @@ def dataset_split(sf_dir: str) -> "ray.data.Dataset":
 
     return _documents(sf_dir, ["doc_id"]).map_batches(
         assign, batch_format="pyarrow")
+
+
+def extract_text_ipc(sf_dir: str) -> "ray.data.Dataset":
+    """The flagship extraction fed from an Arrow IPC (Feather V2)
+    corpus (sources/ipc_corpus.py: distributed content-hash-named
+    writer, file-parallel zero-copy reader; html stays BINARY end to
+    end) — same fused actor-pool stage, same byte-identical oracle as
+    ``extract_text``: the third source format proven
+    oracle-equivalent (parquet, jsonl, ipc)."""
+    from ..sources.ipc_corpus import ipc_corpus_dir, read_ipc
+
+    corpus = read_ipc(ipc_corpus_dir(sf_dir))
+    ex = _ep.extract_dataset(corpus, spans=False,
+                             concurrency=_q_pool(),
+                             passthrough=("doc_id",))
+    return ex.map_batches(
+        lambda b: b.select(["doc_id", "extracted_text",
+                            "n_chars_extracted", "n_nodes", "n_links",
+                            "error"]),
+        batch_format="pyarrow")

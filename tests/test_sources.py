@@ -111,3 +111,29 @@ def test_source_cache_rebuild_after_interrupted_build(ray_session, tmp_path):
     # second call: marker present -> no rebuild
     jc._materialize(out, build)
     assert len(calls) == 1
+
+
+def test_ipc_corpus_round_trips_binary_html(ray_session):
+    SF_DIR = "/root/testdata/sf0.001"
+
+    from tempeh_parser_ray.sources import synthetic as synth
+    from tempeh_parser_ray.sources.ipc_corpus import (ipc_corpus_dir,
+                                                      read_ipc)
+
+    d = ipc_corpus_dir(SF_DIR)
+    ds = read_ipc(d)
+    got = {}
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        assert b.schema.field("html").type == pa.binary()
+        for r in b.to_pylist():
+            got[r["doc_id"]] = r["html"]
+
+    import ray.data as rd
+    ref = {}
+    docs = rd.read_parquet(f"{SF_DIR}/documents.parquet")
+    for b in docs.map_batches(synth.synthesize_batch,
+                              batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for r in b.to_pylist():
+            ref[r["doc_id"]] = r["html"]
+    assert got == ref
