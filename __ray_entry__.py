@@ -30,6 +30,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # remainder are pinned by CORRECTNESS_r03 + the committed CHECK_r4 sweep.
     return {
         # round-4 additions (driver-uncovered by construction)
+        "lang_confusion": _q.lang_confusion,
         "extract_text_ipc": _q.extract_text_ipc,
         "dataset_split": _q.dataset_split,
         "lang_source_pivot": _q.lang_source_pivot,
@@ -1619,6 +1620,10 @@ def oracle_sql() -> dict[str, str]:
     # alternate-source queries share the base oracles (same output contract)
     d["extract_text_jsonl"] = d["extract_text"]
     d["extract_text_ipc"] = d["extract_text"]
+    d["lang_confusion"] = (
+        "WITH p AS (" + d["nb_lang_classify"] + ") "
+        "SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM p GROUP BY 1, 2 ORDER BY 1, 2")
     d["extract_text_warc"] = d["extract_text"]
     d["token_count_csv"] = d["token_count"]
     d["user_sessions_salted"] = d["user_sessions"]

@@ -3816,3 +3816,19 @@ def extract_text_ipc(sf_dir: str) -> "ray.data.Dataset":
                             "n_chars_extracted", "n_nodes", "n_links",
                             "error"]),
         batch_format="pyarrow")
+
+
+def lang_confusion(sf_dir: str) -> "ray.data.Dataset":
+    """Model evaluation: the (true lang, predicted lang) confusion
+    matrix of the trained NB classifier — ONE pure
+    groupby(lang, pred_lang).count over the classify output (bounded
+    by |langs|^2 regardless of corpus size). The eval loop every
+    in-pipeline classifier needs next to its train+apply."""
+    agg = nb_lang_classify(sf_dir).groupby(
+        ["lang", "pred_lang"]).count()
+    return agg.map_batches(
+        lambda b: pa.table({
+            "lang": b.column("lang"),
+            "pred_lang": b.column("pred_lang"),
+            "n": b.column("count()").cast(pa.int64())}),
+        batch_format="pyarrow")
