@@ -1263,3 +1263,52 @@ def test_jsonl_sink_round_trip_idempotent_and_pruned(ray_session, tmp_path):
     ).fetchone()[0]
     assert n == 9
     assert json.loads((out / "manifest.json").read_text())["n_rows"] == 9
+
+
+def test_resolve_url_batch_differential_vs_urljoin():
+    """Differential oracle: urllib.parse.urljoin IS an RFC 3986 §5
+    implementation — fuzz the documented input domain (absolute /
+    protocol-relative / root-relative / query-only / relative hrefs,
+    incl. dot-segment stacks; no fragments, no empty hrefs) and
+    require byte-identical agreement."""
+    from urllib.parse import urljoin
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tempeh_parser_ray.functions.urls import resolve_url_batch
+
+    seg = st.text(alphabet="abcXY019-_.", min_size=1, max_size=5
+                  ).filter(lambda s: s.strip(".") != "")
+    base = st.builds(
+        lambda sch, host, port, segs, q:
+            f"{sch}://{host}{port}/" + "/".join(segs)
+            + ("?" + q if q else ""),
+        st.sampled_from(["http", "https"]),
+        st.sampled_from(["h.example.org", "x.co.uk", "p1.net"]),
+        st.sampled_from(["", ":8080", ":80"]),
+        st.lists(seg, min_size=0, max_size=4),
+        st.sampled_from(["", "q=1", "a=b&c=d"]))
+    rel = st.builds(
+        lambda dots, segs, tail, q:
+            "/".join(dots + segs) + tail
+            + ("?" + q if (q and (dots or segs or tail)) else q and "?" + q or ""),
+        st.lists(st.sampled_from(["..", "."]), min_size=0, max_size=3),
+        st.lists(seg, min_size=0, max_size=3),
+        st.sampled_from(["", "/"]),
+        st.sampled_from(["", "y=2"]))
+    href = st.one_of(
+        rel.filter(lambda h: h not in ("", "/")),
+        st.builds(lambda p: "/" + p, st.lists(seg, max_size=3).map("/".join)),
+        st.sampled_from(["//other.net/x", "mailto:a@b", "g:h",
+                         "?y", "/./g", "/../g", "../..", "."]))
+
+    @settings(max_examples=300, deadline=None)
+    @given(b=base, h=href)
+    def check(b, h):
+        got = resolve_url_batch(
+            pa.array([b], pa.string()), pa.array([h], pa.string())
+        ).to_pylist()[0]
+        assert got == urljoin(b, h), (b, h, got, urljoin(b, h))
+
+    check()
