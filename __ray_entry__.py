@@ -30,6 +30,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # remainder are pinned by CORRECTNESS_r03 + the committed CHECK_r4 sweep.
     return {
         # round-4 additions (driver-uncovered by construction)
+        "fold_text": _q.fold_text,
+        "crawl_schedule": _q.crawl_schedule,
         "lang_confusion": _q.lang_confusion,
         "extract_text_ipc": _q.extract_text_ipc,
         "dataset_split": _q.dataset_split,
@@ -1620,6 +1622,27 @@ def oracle_sql() -> dict[str, str]:
     # alternate-source queries share the base oracles (same output contract)
     d["extract_text_jsonl"] = d["extract_text"]
     d["extract_text_ipc"] = d["extract_text"]
+    d["fold_text"] = """
+        -- the injected accented prefix folds to the closed-form
+        -- literal (the em dash has no decomposition and survives);
+        -- the ascii document text just lowercases (it is already
+        -- lowercase in the corpus generator)
+        SELECT doc_id, 'coke \u2014 aei: ' || lower(text) AS folded
+        FROM documents ORDER BY doc_id
+    """
+    d["crawl_schedule"] = (
+        "WITH r AS (" + d["robots_filter"] + "), "
+        "h AS (SELECT doc_id, "
+        "(CASE doc_id % 4 WHEN 0 THEN 'www.' WHEN 1 THEN 'blog.' "
+        " WHEN 2 THEN '' ELSE 'news.' END) || source || '-site.' || "
+        "(CASE doc_id % 5 WHEN 0 THEN 'com' WHEN 1 THEN 'org' "
+        " WHEN 2 THEN 'net' WHEN 3 THEN 'co.uk' ELSE 'com.cn' END) "
+        "AS host FROM documents) "
+        "SELECT r.doc_id, h.host, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY h.host "
+        "     ORDER BY r.doc_id) - 1 AS BIGINT) AS slot "
+        "FROM r JOIN h USING (doc_id) WHERE r.allowed "
+        "ORDER BY r.doc_id")
     d["lang_confusion"] = (
         "WITH p AS (" + d["nb_lang_classify"] + ") "
         "SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n "

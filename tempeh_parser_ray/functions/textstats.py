@@ -352,3 +352,37 @@ def decode_entities_batch(batch: pa.Table, text_col: str = "text",
     else:
         out = col.cast(pa.string())
     return batch.append_column(out_col, out)
+
+
+# --- unicode case/accent folding (match-key normalization) ---------------
+
+_NON_ASCII = r"[^\x00-\x7F]"
+
+
+def fold_text_batch(batch: pa.Table, text_col: str = "text",
+                    out_col: str = "folded") -> pa.Table:
+    """Search/match-key normalization: lowercase, then NFKD-decompose
+    and drop combining marks (``Čökè`` -> ``coke``) — the fold every
+    dedup/matching key pipeline applies before hashing so accent
+    variants collide. Vectorized gate: the lowercase pass is one Arrow
+    kernel; only rows containing a non-ASCII byte (a small minority of
+    web text) take the per-row unicodedata path."""
+    import pyarrow.compute as pc
+    import unicodedata
+
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    low = pc.utf8_lower(col)
+    needs = pc.match_substring_regex(pc.fill_null(low, ""), _NON_ASCII)
+    if pc.any(needs).as_py():
+        mask = needs.to_numpy(zero_copy_only=False)
+        vals = low.to_pylist()
+        out = pa.array(
+            [("".join(ch for ch in unicodedata.normalize("NFKD", v)
+                      if not unicodedata.combining(ch))
+              if m and v is not None else v)
+             for v, m in zip(vals, mask)], pa.string())
+    else:
+        out = low
+    return batch.append_column(out_col, out)

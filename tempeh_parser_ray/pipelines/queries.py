@@ -3832,3 +3832,46 @@ def lang_confusion(sf_dir: str) -> "ray.data.Dataset":
             "pred_lang": b.column("pred_lang"),
             "n": b.column("count()").cast(pa.int64())}),
         batch_format="pyarrow")
+
+
+def fold_text(sf_dir: str) -> "ray.data.Dataset":
+    """Unicode case/accent folding (functions/textstats.py:
+    fold_text_batch) — the match-key normalization dedup pipelines
+    apply before hashing: one Arrow lowercase kernel; NFKD-strip runs
+    per-row ONLY behind a non-ASCII gate. An accented closed-form
+    prefix is injected so the fold is actually exercised (the
+    documents text itself is ASCII)."""
+    pre = "Čökè — ÀÉÎ: "
+
+    def inject(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "text": pc.binary_join_element_wise(
+                pre, batch.column("text"), "")})
+
+    return _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        inject, batch_format="pyarrow").map_batches(
+        _ts.fold_text_batch, batch_format="pyarrow").map_batches(
+        lambda b: b.select(["doc_id", "folded"]),
+        batch_format="pyarrow")
+
+
+def crawl_schedule(sf_dir: str) -> "ray.data.Dataset":
+    """Politeness-pipeline composite: robots gate -> per-host fetch
+    slots over the ALLOWED frontier only (functions/webops.py
+    robots_filter + fetch_slots chained) — the actual order a crawler
+    schedules in. Slots are contiguous per host across the allowed
+    urls, so a blocked url never wastes a scheduler wave."""
+    from ..functions import urls as _urls
+    from ..functions import webops as _web
+
+    allowed = robots_filter(sf_dir).map_batches(
+        lambda b: b.filter(pc.cast(b.column("allowed"), pa.bool_())),
+        batch_format="pyarrow")
+
+    def with_host(batch: pa.Table) -> pa.Table:
+        t = _urls.parse_url_batch(batch)
+        return t.select(["doc_id", "host"])
+
+    frontier = allowed.map_batches(with_host, batch_format="pyarrow")
+    return _web.fetch_slots(frontier, bucket_size=64)
