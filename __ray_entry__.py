@@ -30,6 +30,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # remainder are pinned by CORRECTNESS_r03 + the committed CHECK_r4 sweep.
     return {
         # round-4 additions (driver-uncovered by construction)
+        "image_pixel_stats_color": _q.image_pixel_stats_color,
         "fold_text": _q.fold_text,
         "crawl_schedule": _q.crawl_schedule,
         "lang_confusion": _q.lang_confusion,
@@ -2093,6 +2094,65 @@ def oracle_sql() -> dict[str, str]:
     # closed form of the REAL pixel codec path: pixel (x, y, ch) of
     # image doc_id is (x*3 + y*7 + ch*11 + doc_id) % 256; the resize
     # picks source indexes ((x*w)//8, (y*h)//8)
+    d["image_pixel_stats_color"] = """
+        -- per-8x8-block-constant YCbCr planes; the fixed-point BT.601
+        -- integer conversion below is character-for-character the
+        -- engine's _ycbcr_to_rgb (nonneg numerators: floor == trunc)
+        WITH params AS (
+            SELECT doc_id AS media_id,
+                   4 + doc_id % 13 AS width,
+                   3 + doc_id % 11 AS height
+            FROM documents),
+        pix AS (
+            SELECT media_id, width, height, x, y,
+                   (5*(x//8) + 9*(y//8) + 3*media_id) % 256 AS yy,
+                   (7*(x//8) + 11*(y//8) + media_id) % 256 AS cb,
+                   (13*(x//8) + 17*(y//8) + 5*media_id) % 256 AS cr
+            FROM params, range(16) rx(x), range(13) ry(y)
+            WHERE x < width AND y < height),
+        rgb AS (
+            SELECT media_id,
+                   GREATEST(0, LEAST(255,
+                       (1000000*yy + 1402000*(cr-128) + 256500000)
+                           // 1000000 - 256))
+                 + GREATEST(0, LEAST(255,
+                       (1000000*yy - 344136*(cb-128) - 714136*(cr-128)
+                        + 256500000) // 1000000 - 256))
+                 + GREATEST(0, LEAST(255,
+                       (1000000*yy + 1772000*(cb-128) + 256500000)
+                           // 1000000 - 256)) AS s
+            FROM pix),
+        px AS (SELECT media_id, SUM(s) AS pixel_sum FROM rgb
+               GROUP BY media_id),
+        rpix AS (
+            SELECT media_id,
+                   (5*(((x*width)//8)//8) + 9*(((y*height)//8)//8)
+                    + 3*media_id) % 256 AS yy,
+                   (7*(((x*width)//8)//8) + 11*(((y*height)//8)//8)
+                    + media_id) % 256 AS cb,
+                   (13*(((x*width)//8)//8) + 17*(((y*height)//8)//8)
+                    + 5*media_id) % 256 AS cr
+            FROM params, range(8) rx(x), range(8) ry(y)),
+        rrgb AS (
+            SELECT media_id,
+                   GREATEST(0, LEAST(255,
+                       (1000000*yy + 1402000*(cr-128) + 256500000)
+                           // 1000000 - 256))
+                 + GREATEST(0, LEAST(255,
+                       (1000000*yy - 344136*(cb-128) - 714136*(cr-128)
+                        + 256500000) // 1000000 - 256))
+                 + GREATEST(0, LEAST(255,
+                       (1000000*yy + 1772000*(cb-128) + 256500000)
+                           // 1000000 - 256)) AS s
+            FROM rpix),
+        rz AS (SELECT media_id, SUM(s) AS resized_sum FROM rrgb
+               GROUP BY media_id)
+        SELECT p.media_id, CAST(p.width AS BIGINT) AS width,
+               CAST(p.height AS BIGINT) AS height,
+               CAST(px.pixel_sum AS BIGINT) AS pixel_sum,
+               CAST(rz.resized_sum AS BIGINT) AS resized_sum
+        FROM params p JOIN px USING (media_id) JOIN rz USING (media_id)
+    """
     d["image_pixel_stats"] = """
         WITH params AS (
             SELECT doc_id AS media_id,

@@ -363,12 +363,12 @@ def decode_image_pixels(blob: bytes) -> Optional[np.ndarray]:
     """REAL pixel decode -> (h, w, channels) uint8, or ``None`` when the
     payload is not an 8-bit non-interlaced gray/RGB/RGBA PNG, a
     global-palette non-interlaced GIF (real LZW inflate below), an
-    uncompressed bottom-up 24-bit BMP, or a baseline sequential
-    grayscale JPEG (full Huffman + IDCT decode below; callers fall
-    back to the header/stub path)."""
+    uncompressed bottom-up 24-bit BMP, or a baseline sequential JPEG
+    (grayscale OR 4:4:4 color; full Huffman + IDCT decode below;
+    callers fall back to the header/stub path)."""
     n = len(blob)
     if n >= 4 and blob[:2] == b"\xff\xd8":
-        return decode_jpeg_gray(blob)
+        return decode_jpeg(blob)
     if n > 45 and blob[:8] == b"\x89PNG\r\n\x1a\n":
         w = int.from_bytes(blob[16:20], "big")
         h = int.from_bytes(blob[20:24], "big")
@@ -913,6 +913,43 @@ def _jpeg_size_cat(v: int) -> int:
     return int(v).bit_length() if v >= 0 else int(-v).bit_length()
 
 
+def _jpeg_write_block(bw: "_JpegBitWriter", block_u8: np.ndarray,
+                      q: np.ndarray, prev_dc: int,
+                      dc_codes: dict, ac_codes: dict) -> int:
+    """FDCT + quantize + zigzag + DC-diff/AC-RLE Huffman for ONE 8x8
+    block; returns the new DC predictor."""
+    block = block_u8.astype(np.float64)
+    f = _DCT_M @ (block - 128.0) @ _DCT_M.T
+    zz = np.round(f / q).astype(np.int64).flatten()[_JPEG_ZZ]
+    np.clip(zz[1:], -1023, 1023, out=zz[1:])      # AC size <= 10
+    diff = int(zz[0]) - prev_dc
+    new_dc = int(zz[0])
+    s = _jpeg_size_cat(diff)
+    code, ln = dc_codes[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        s = _jpeg_size_cat(v)
+        code, ln = ac_codes[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        code, ln = ac_codes[0x00]
+        bw.write(code, ln)
+    return new_dc
+
+
 def encode_jpeg_gray(img: np.ndarray, *,
                      q_table: Optional[np.ndarray] = None) -> bytes:
     """REAL baseline-JPEG encoder for 8-bit grayscale: FDCT + quantize
@@ -934,35 +971,9 @@ def encode_jpeg_gray(img: np.ndarray, *,
     prev_dc = 0
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
-            block = pad[by:by + 8, bx:bx + 8].astype(np.float64)
-            f = _DCT_M @ (block - 128.0) @ _DCT_M.T
-            zz = np.round(f / q).astype(np.int64).flatten()[_JPEG_ZZ]
-            np.clip(zz[1:], -1023, 1023, out=zz[1:])  # AC size <= 10
-            diff = int(zz[0]) - prev_dc
-            prev_dc = int(zz[0])
-            s = _jpeg_size_cat(diff)
-            code, ln = dc_codes[s]
-            bw.write(code, ln)
-            if s:
-                bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
-            run = 0
-            for k in range(1, 64):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    code, ln = ac_codes[0xF0]
-                    bw.write(code, ln)
-                    run -= 16
-                s = _jpeg_size_cat(v)
-                code, ln = ac_codes[(run << 4) | s]
-                bw.write(code, ln)
-                bw.write(v if v > 0 else v + (1 << s) - 1, s)
-                run = 0
-            if run:
-                code, ln = ac_codes[0x00]
-                bw.write(code, ln)
+            prev_dc = _jpeg_write_block(
+                bw, pad[by:by + 8, bx:bx + 8], q, prev_dc,
+                dc_codes, ac_codes)
     bw.flush()
 
     out = bytearray(b"\xff\xd8")
@@ -982,15 +993,75 @@ def encode_jpeg_gray(img: np.ndarray, *,
     return bytes(out)
 
 
-def decode_jpeg_gray(blob: bytes) -> Optional[np.ndarray]:
-    """REAL baseline-JPEG pixel decode -> (h, w, 1) uint8, or ``None``
-    for anything outside the supported tier (progressive/color/
-    subsampled/restart-interval streams, truncated or hostile bytes)."""
+def encode_jpeg_color(ycbcr: np.ndarray, *,
+                      q_table: Optional[np.ndarray] = None) -> bytes:
+    """REAL baseline-JPEG encoder for three-component 4:4:4 color:
+    input is (h, w, 3) uint8 Y/Cb/Cr PLANES (callers that start from
+    RGB convert first; the deterministic test corpus generates YCbCr
+    directly so the all-ones-quant round trip stays bit-exact),
+    interleaved MCUs (one 8x8 per component at 1x1 sampling), shared
+    canonical Huffman tables, byte stuffing, edge-replicated padding."""
+    import struct
+    ycbcr = np.asarray(ycbcr, np.uint8)
+    h, w, nc = ycbcr.shape
+    assert nc == 3, "encode_jpeg_color expects (h, w, 3) YCbCr"
+    q = (np.ones((8, 8), np.int64) if q_table is None
+         else np.asarray(q_table, np.int64))
+    pad = np.pad(ycbcr, ((0, (-h) % 8), (0, (-w) % 8), (0, 0)),
+                 mode="edge")
+    ph, pw = pad.shape[:2]
+
+    dc_codes = _jpeg_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _JpegBitWriter()
+    prev_dc = [0, 0, 0]
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for ci in range(3):                  # interleaved MCU
+                prev_dc[ci] = _jpeg_write_block(
+                    bw, pad[by:by + 8, bx:bx + 8, ci], q,
+                    prev_dc[ci], dc_codes, ac_codes)
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0x00)
+    out += bytes(int(x) for x in q.flatten()[_JPEG_ZZ])
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    for cid in (1, 2, 3):
+        out += bytes([cid, 0x11, 0])             # 1x1, shared DQT 0
+    for cls, bits, vals in ((0x00, _JPEG_DC_BITS, _JPEG_DC_VALS),
+                            (0x10, _JPEG_AC_BITS, _JPEG_AC_VALS)):
+        out += b"\xff\xc4" + struct.pack(
+            ">HB", 2 + 1 + 16 + len(vals), cls)
+        out += bytes(bits[1:17]) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    for cid in (1, 2, 3):
+        out += bytes([cid, 0x00])                # shared DHT 0/0
+    out += bytes([0, 63, 0])
+    out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_jpeg(blob: bytes) -> Optional[np.ndarray]:
+    """REAL baseline-JPEG pixel decode -> (h, w, 1) uint8 for
+    grayscale, (h, w, 3) RGB for 4:4:4 three-component color
+    (fixed-point BT.601 conversion, see ``_ycbcr_to_rgb``), or
+    ``None`` for anything outside the tier (progressive, subsampled,
+    restart-interval streams, truncated or hostile bytes)."""
     try:
         return _decode_jpeg_gray(blob)
-    except (EOFError, IndexError, KeyError, ValueError,
+    except (EOFError, IndexError, KeyError, ValueError, TypeError,
             OverflowError, ZeroDivisionError):
         return None
+
+
+def decode_jpeg_gray(blob: bytes) -> Optional[np.ndarray]:
+    """Grayscale-only wrapper (original contract): (h, w, 1) or
+    ``None`` — color streams return ``None`` here; use
+    :func:`decode_jpeg` for the color-capable path."""
+    out = decode_jpeg(blob)
+    return out if out is not None and out.shape[2] == 1 else None
 
 
 def _decode_jpeg_gray(blob: bytes) -> Optional[np.ndarray]:
@@ -1000,7 +1071,7 @@ def _decode_jpeg_gray(blob: bytes) -> Optional[np.ndarray]:
     qtables: dict = {}
     hufftables: dict = {}   # (class, id) -> {(length, code): symbol}
     h = w = -1
-    comp_tq = 0
+    comp_tq: dict = {}
     p = 2
     data_start = -1
     while p + 4 <= n:
@@ -1050,15 +1121,27 @@ def _decode_jpeg_gray(blob: bytes) -> Optional[np.ndarray]:
                 return None
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
-            if seg[5] != 1 or seg[7] != 0x11:    # 1 component, 1x1
+            ncomp = seg[5]
+            if ncomp not in (1, 3):              # 1x1-sampled gray/color
                 return None
-            comp_tq = seg[8]
+            comp_tq = {}
+            for i in range(ncomp):
+                cid, samp, tq = seg[6 + 3 * i], seg[7 + 3 * i], \
+                    seg[8 + 3 * i]
+                if samp != 0x11:                 # subsampled: out of tier
+                    return None
+                comp_tq[cid] = tq
         elif 0xC1 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             return None                          # progressive & friends
         elif marker == 0xDA:                     # SOS
-            if seg[0] != 1:
+            if seg[0] != len(comp_tq):
                 return None
-            dc_tid, ac_tid = seg[2] >> 4, seg[2] & 0x0F
+            scan = []                            # (tq, dc_tid, ac_tid)
+            for i in range(seg[0]):
+                cid, tids = seg[1 + 2 * i], seg[2 + 2 * i]
+                if cid not in comp_tq:
+                    return None
+                scan.append((comp_tq[cid], tids >> 4, tids & 0x0F))
             data_start = p + 2 + seg_len
             break
         elif marker == 0xDD:                     # DRI: out of tier
@@ -1066,9 +1149,8 @@ def _decode_jpeg_gray(blob: bytes) -> Optional[np.ndarray]:
         p += 2 + seg_len
     if data_start < 0 or h <= 0 or w <= 0:
         return None
-    dc_tab = hufftables[(0, dc_tid)]
-    ac_tab = hufftables[(1, ac_tid)]
-    qt = qtables[comp_tq]
+    tabs = [(qtables[tq], hufftables[(0, dc)], hufftables[(1, ac)])
+            for tq, dc, ac in scan]
 
     # unstuff entropy bytes up to the next real marker
     data = bytearray()
@@ -1098,40 +1180,65 @@ def _decode_jpeg_gray(blob: bytes) -> Optional[np.ndarray]:
 
     rd = _JpegBitReader(bytes(data))
     nby, nbx = (h + 7) // 8, (w + 7) // 8
-    out = np.zeros((nby * 8, nbx * 8), np.uint8)
-    prev_dc = 0
+    planes = [np.zeros((nby * 8, nbx * 8), np.uint8) for _ in tabs]
+    prev_dc = [0] * len(tabs)
     for by in range(nby):
         for bx in range(nbx):
-            zz = np.zeros(64, np.int64)
-            s = huff_decode(rd, dc_tab)
-            if s > 11:                           # hostile DHT symbol
-                raise ValueError("bad DC category")
-            if s:
-                v = rd.read(s)
-                if v < (1 << (s - 1)):
-                    v -= (1 << s) - 1
-                prev_dc += v
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                sym = huff_decode(rd, ac_tab)
-                if sym == 0x00:                  # EOB
-                    break
-                if sym == 0xF0:                  # ZRL
-                    k += 16
-                    continue
-                run, size = sym >> 4, sym & 0x0F
-                k += run
-                if k > 63 or size == 0 or size > 10:
-                    raise ValueError("bad AC run/size")
-                v = rd.read(size)
-                if v < (1 << (size - 1)):
-                    v -= (1 << size) - 1
-                zz[k] = v
-                k += 1
-            coef = np.zeros(64, np.float64)
-            coef[_JPEG_ZZ] = zz * qt.flatten()[_JPEG_ZZ]
-            block = _DCT_M.T @ coef.reshape(8, 8) @ _DCT_M + 128.0
-            out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = np.clip(
-                np.round(block), 0, 255).astype(np.uint8)
-    return out[:h, :w, None]
+            # interleaved MCU at 1x1 sampling: one 8x8 per component
+            for ci, (qt, dc_tab, ac_tab) in enumerate(tabs):
+                zz = np.zeros(64, np.int64)
+                s = huff_decode(rd, dc_tab)
+                if s > 11:                       # hostile DHT symbol
+                    raise ValueError("bad DC category")
+                if s:
+                    v = rd.read(s)
+                    if v < (1 << (s - 1)):
+                        v -= (1 << s) - 1
+                    prev_dc[ci] += v
+                zz[0] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    sym = huff_decode(rd, ac_tab)
+                    if sym == 0x00:              # EOB
+                        break
+                    if sym == 0xF0:              # ZRL
+                        k += 16
+                        continue
+                    run, size = sym >> 4, sym & 0x0F
+                    k += run
+                    if k > 63 or size == 0 or size > 10:
+                        raise ValueError("bad AC run/size")
+                    v = rd.read(size)
+                    if v < (1 << (size - 1)):
+                        v -= (1 << size) - 1
+                    zz[k] = v
+                    k += 1
+                coef = np.zeros(64, np.float64)
+                coef[_JPEG_ZZ] = zz * qt.flatten()[_JPEG_ZZ]
+                block = _DCT_M.T @ coef.reshape(8, 8) @ _DCT_M + 128.0
+                planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                    np.clip(np.round(block), 0, 255).astype(np.uint8)
+    if len(planes) == 1:
+        return planes[0][:h, :w, None]
+    ycbcr = np.stack([p[:h, :w] for p in planes], axis=-1)
+    return _ycbcr_to_rgb(ycbcr)
+
+
+# fixed-point BT.601 YCbCr -> RGB in exact integer millionths with a
+# +256e6 bias so the numerator stays NONNEGATIVE — floor and truncating
+# division then agree, which is what lets a SQL oracle reproduce the
+# conversion bit-for-bit (round-half-up via the +500000 term)
+_YCC = {"r_cr": 1_402_000, "g_cb": 344_136, "g_cr": 714_136,
+        "b_cb": 1_772_000}
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y = ycc[:, :, 0].astype(np.int64) * 1_000_000
+    cb = ycc[:, :, 1].astype(np.int64) - 128
+    cr = ycc[:, :, 2].astype(np.int64) - 128
+    bias = 256_000_000 + 500_000
+    r = (y + _YCC["r_cr"] * cr + bias) // 1_000_000 - 256
+    g = (y - _YCC["g_cb"] * cb - _YCC["g_cr"] * cr
+         + bias) // 1_000_000 - 256
+    b = (y + _YCC["b_cb"] * cb + bias) // 1_000_000 - 256
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)

@@ -3875,3 +3875,57 @@ def crawl_schedule(sf_dir: str) -> "ray.data.Dataset":
 
     frontier = allowed.map_batches(with_host, batch_format="pyarrow")
     return _web.fetch_slots(frontier, bucket_size=64)
+
+
+def image_pixel_stats_color(sf_dir: str) -> "ray.data.Dataset":
+    """REAL color-JPEG pixel decode, no image library: deterministic
+    per-8x8-block-constant YCbCr planes are encoded by the in-repo
+    baseline 4:4:4 color encoder (interleaved MCUs, shared Huffman
+    tables) and decoded back through the full entropy+IDCT path plus
+    the FIXED-POINT BT.601 YCbCr->RGB conversion
+    (functions/multimodal.py:encode_jpeg_color / decode_jpeg /
+    _ycbcr_to_rgb) — all-ones quant keeps the transform bit-exact, and
+    the integer conversion is reproduced verbatim by the SQL oracle,
+    so pixel_sum / resized_sum verify the ENTIRE color path
+    bit-for-bit."""
+    import numpy as np
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        blobs: list[bytes] = []
+        for d in ids:
+            w, h = 4 + d % 13, 3 + d % 11
+            bx = (np.arange(w) // 8)[None, :]
+            by = (np.arange(h) // 8)[:, None]
+            ycc = np.stack([
+                (5 * bx + 9 * by + 3 * d) % 256,
+                (7 * bx + 11 * by + d) % 256,
+                (13 * bx + 17 * by + 5 * d) % 256,
+            ], axis=-1).astype(np.uint8)
+            blobs.append(_mm.encode_jpeg_color(ycc))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "media": pa.array(blobs, pa.binary())})
+
+    def decode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        ws, hs, sums, rsums = [], [], [], []
+        for blob in batch.column("media").to_pylist():
+            img = _mm.decode_image_pixels(blob)
+            h, w, c = img.shape
+            assert c == 3
+            ws.append(w)
+            hs.append(h)
+            sums.append(int(img.astype(np.int64).sum()))
+            rsums.append(int(_mm.resize_nearest(img, 8, 8)
+                             .astype(np.int64).sum()))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "pixel_sum": pa.array(sums, pa.int64()),
+            "resized_sum": pa.array(rsums, pa.int64())})
+
+    return _documents(sf_dir, ["doc_id"]).map_batches(
+        gen, batch_format="pyarrow").map_batches(
+        decode, batch_format="pyarrow")

@@ -267,3 +267,68 @@ def test_jpeg_survives_truncation_and_bitflips():
         flipped = bytearray(ba)
         flipped[pos] ^= 0xFF
         mm.decode_jpeg_gray(bytes(flipped))    # must not raise
+
+
+# --- baseline color JPEG (4:4:4, fixed-point BT.601) ----------------------
+
+
+def _block_constant_ycc(h, w, seed):
+    import numpy as np
+    bx = (np.arange(w) // 8)[None, :]
+    by = (np.arange(h) // 8)[:, None]
+    return np.stack([
+        (5 * bx + 9 * by + 3 * seed) % 256,
+        (7 * bx + 11 * by + seed) % 256,
+        (13 * bx + 17 * by + 5 * seed) % 256,
+    ], axis=-1).astype(np.uint8)
+
+
+def test_jpeg_color_round_trip_bit_exact():
+    import numpy as np
+    from tempeh_parser_ray.functions import multimodal as mm
+
+    for h, w, seed in [(3, 4, 0), (8, 8, 7), (11, 14, 123),
+                       (16, 9, 255), (1, 17, 42)]:
+        ycc = _block_constant_ycc(h, w, seed)
+        blob = mm.encode_jpeg_color(ycc)
+        rgb = mm.decode_jpeg(blob)
+        assert rgb is not None and rgb.shape == (h, w, 3), (h, w)
+        assert (rgb == mm._ycbcr_to_rgb(ycc)).all(), (h, w, seed)
+        # the gray-only wrapper must reject color streams
+        assert mm.decode_jpeg_gray(blob) is None
+        # and the generic dispatcher must accept them
+        assert (mm.decode_image_pixels(blob) == rgb).all()
+
+
+def test_jpeg_color_ycbcr_conversion_reference():
+    """Fixed-point conversion matches the float BT.601 formula within
+    the documented rounding (round-half-up at 1e-6 resolution)."""
+    import numpy as np
+    from tempeh_parser_ray.functions.multimodal import _ycbcr_to_rgb
+
+    rng = np.random.RandomState(3)
+    ycc = rng.randint(0, 256, (50, 50, 3)).astype(np.uint8)
+    got = _ycbcr_to_rgb(ycc).astype(np.float64)
+    y = ycc[:, :, 0].astype(np.float64)
+    cb = ycc[:, :, 1].astype(np.float64) - 128
+    cr = ycc[:, :, 2].astype(np.float64) - 128
+    ref = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=-1)
+    ref = np.clip(np.floor(ref + 0.5), 0, 255)
+    assert np.abs(got - ref).max() <= 1  # float-vs-fixed off-by-one max
+
+
+def test_jpeg_color_hostile_inputs_never_crash():
+    from tempeh_parser_ray.functions import multimodal as mm
+
+    ycc = _block_constant_ycc(11, 14, 9)
+    blob = mm.encode_jpeg_color(ycc)
+    for cut in range(2, len(blob), 37):
+        mm.decode_jpeg(blob[:cut])  # must not raise
+    # flipped bytes in the entropy stream must not raise either
+    b = bytearray(blob)
+    for pos in range(len(b) - 40, len(b) - 3, 7):
+        b2 = bytearray(b)
+        b2[pos] ^= 0x5A
+        mm.decode_jpeg(bytes(b2))
