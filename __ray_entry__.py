@@ -2101,13 +2101,14 @@ def oracle_sql() -> dict[str, str]:
         WITH params AS (
             SELECT doc_id AS media_id,
                    4 + doc_id % 13 AS width,
-                   3 + doc_id % 11 AS height
+                   3 + doc_id % 11 AS height,
+                   8 + 8 * (doc_id % 2) AS bs
             FROM documents),
         pix AS (
             SELECT media_id, width, height, x, y,
-                   (5*(x//8) + 9*(y//8) + 3*media_id) % 256 AS yy,
-                   (7*(x//8) + 11*(y//8) + media_id) % 256 AS cb,
-                   (13*(x//8) + 17*(y//8) + 5*media_id) % 256 AS cr
+                   (5*(x//bs) + 9*(y//bs) + 3*media_id) % 256 AS yy,
+                   (7*(x//bs) + 11*(y//bs) + media_id) % 256 AS cb,
+                   (13*(x//bs) + 17*(y//bs) + 5*media_id) % 256 AS cr
             FROM params, range(16) rx(x), range(13) ry(y)
             WHERE x < width AND y < height),
         rgb AS (
@@ -2126,11 +2127,11 @@ def oracle_sql() -> dict[str, str]:
                GROUP BY media_id),
         rpix AS (
             SELECT media_id,
-                   (5*(((x*width)//8)//8) + 9*(((y*height)//8)//8)
+                   (5*(((x*width)//8)//bs) + 9*(((y*height)//8)//bs)
                     + 3*media_id) % 256 AS yy,
-                   (7*(((x*width)//8)//8) + 11*(((y*height)//8)//8)
+                   (7*(((x*width)//8)//bs) + 11*(((y*height)//8)//bs)
                     + media_id) % 256 AS cb,
-                   (13*(((x*width)//8)//8) + 17*(((y*height)//8)//8)
+                   (13*(((x*width)//8)//bs) + 17*(((y*height)//8)//bs)
                     + 5*media_id) % 256 AS cr
             FROM params, range(8) rx(x), range(8) ry(y)),
         rrgb AS (

@@ -11,10 +11,11 @@ unfilters) and uncompressed BMP24, nearest-neighbor resize, WAV PCM16
 sample decode (RIFF walk + int16 LE), and MP4 ``moov/mvhd`` duration
 (versions 0/1) — each verified bit-for-bit against closed-form SQL
 oracles plus encode->decode round-trip pytests. GIF pixels decode too
-(an in-repo LZW inflate), and baseline sequential grayscale JPEG gets
-a REAL transform decode (marker parse, canonical Huffman, dequantize,
-dezigzag, 2-D IDCT — see the JPEG section at the bottom). Only WebP
-VP8(L) pixels and out-of-tier JPEG (progressive/color/subsampled)
+(an in-repo LZW inflate), and baseline sequential JPEG gets a REAL
+transform decode — grayscale, 4:4:4 color AND 4:2:0 subsampled color
+(marker parse, canonical Huffman, dequantize, dezigzag, 2-D IDCT,
+fixed-point BT.601 conversion — see the JPEG section at the bottom).
+Only WebP VP8(L) pixels and progressive JPEG
 still require a codec library: those paths fall back to deterministic
 byte-level features behind the ``try: import PIL`` gate
 (``strict=True`` raises ``NotImplementedError``).
@@ -994,20 +995,25 @@ def encode_jpeg_gray(img: np.ndarray, *,
 
 
 def encode_jpeg_color(ycbcr: np.ndarray, *,
-                      q_table: Optional[np.ndarray] = None) -> bytes:
-    """REAL baseline-JPEG encoder for three-component 4:4:4 color:
-    input is (h, w, 3) uint8 Y/Cb/Cr PLANES (callers that start from
-    RGB convert first; the deterministic test corpus generates YCbCr
-    directly so the all-ones-quant round trip stays bit-exact),
-    interleaved MCUs (one 8x8 per component at 1x1 sampling), shared
-    canonical Huffman tables, byte stuffing, edge-replicated padding."""
+                      q_table: Optional[np.ndarray] = None,
+                      subsample: bool = False) -> bytes:
+    """REAL baseline-JPEG encoder for three-component color: input is
+    (h, w, 3) uint8 Y/Cb/Cr PLANES (callers that start from RGB
+    convert first; the deterministic test corpus generates YCbCr
+    directly so the all-ones-quant round trip stays bit-exact).
+    ``subsample=False`` emits 4:4:4 (one 8x8 per component per MCU);
+    ``subsample=True`` emits the standard 4:2:0 (four Y blocks + one
+    Cb + one Cr per 16x16 MCU, chroma taken at the top-left of each
+    2x2 — exact for per-16x16-constant planes). Shared canonical
+    Huffman tables, byte stuffing, edge-replicated padding."""
     import struct
     ycbcr = np.asarray(ycbcr, np.uint8)
     h, w, nc = ycbcr.shape
     assert nc == 3, "encode_jpeg_color expects (h, w, 3) YCbCr"
     q = (np.ones((8, 8), np.int64) if q_table is None
          else np.asarray(q_table, np.int64))
-    pad = np.pad(ycbcr, ((0, (-h) % 8), (0, (-w) % 8), (0, 0)),
+    mcu = 16 if subsample else 8
+    pad = np.pad(ycbcr, ((0, (-h) % mcu), (0, (-w) % mcu), (0, 0)),
                  mode="edge")
     ph, pw = pad.shape[:2]
 
@@ -1015,20 +1021,37 @@ def encode_jpeg_color(ycbcr: np.ndarray, *,
     ac_codes = _jpeg_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
     bw = _JpegBitWriter()
     prev_dc = [0, 0, 0]
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for ci in range(3):                  # interleaved MCU
-                prev_dc[ci] = _jpeg_write_block(
-                    bw, pad[by:by + 8, bx:bx + 8, ci], q,
-                    prev_dc[ci], dc_codes, ac_codes)
+    if not subsample:
+        for by in range(0, ph, 8):
+            for bx in range(0, pw, 8):
+                for ci in range(3):              # interleaved MCU
+                    prev_dc[ci] = _jpeg_write_block(
+                        bw, pad[by:by + 8, bx:bx + 8, ci], q,
+                        prev_dc[ci], dc_codes, ac_codes)
+    else:
+        chroma = pad[::2, ::2, 1:]               # top-left of each 2x2
+        for my in range(0, ph, 16):
+            for mx in range(0, pw, 16):
+                for dy in (0, 8):
+                    for dx in (0, 8):
+                        prev_dc[0] = _jpeg_write_block(
+                            bw, pad[my + dy:my + dy + 8,
+                                    mx + dx:mx + dx + 8, 0], q,
+                            prev_dc[0], dc_codes, ac_codes)
+                cy, cx = my // 2, mx // 2
+                for ci in (1, 2):
+                    prev_dc[ci] = _jpeg_write_block(
+                        bw, chroma[cy:cy + 8, cx:cx + 8, ci - 1], q,
+                        prev_dc[ci], dc_codes, ac_codes)
     bw.flush()
 
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xdb" + struct.pack(">HB", 67, 0x00)
     out += bytes(int(x) for x in q.flatten()[_JPEG_ZZ])
     out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
-    for cid in (1, 2, 3):
-        out += bytes([cid, 0x11, 0])             # 1x1, shared DQT 0
+    y_samp = 0x22 if subsample else 0x11
+    for cid, samp in ((1, y_samp), (2, 0x11), (3, 0x11)):
+        out += bytes([cid, samp, 0])             # shared DQT 0
     for cls, bits, vals in ((0x00, _JPEG_DC_BITS, _JPEG_DC_VALS),
                             (0x10, _JPEG_AC_BITS, _JPEG_AC_VALS)):
         out += b"\xff\xc4" + struct.pack(
@@ -1072,6 +1095,8 @@ def _decode_jpeg_gray(blob: bytes) -> Optional[np.ndarray]:
     hufftables: dict = {}   # (class, id) -> {(length, code): symbol}
     h = w = -1
     comp_tq: dict = {}
+    comp_samp: dict = {}
+    luma_420 = False
     p = 2
     data_start = -1
     while p + 4 <= n:
@@ -1122,26 +1147,36 @@ def _decode_jpeg_gray(blob: bytes) -> Optional[np.ndarray]:
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             ncomp = seg[5]
-            if ncomp not in (1, 3):              # 1x1-sampled gray/color
+            if ncomp not in (1, 3):
                 return None
             comp_tq = {}
+            comp_samp = {}
+            order = []
             for i in range(ncomp):
                 cid, samp, tq = seg[6 + 3 * i], seg[7 + 3 * i], \
                     seg[8 + 3 * i]
-                if samp != 0x11:                 # subsampled: out of tier
-                    return None
                 comp_tq[cid] = tq
+                comp_samp[cid] = samp
+                order.append(cid)
+            samps = [comp_samp[c] for c in order]
+            # supported grids: all 1x1 (gray / 4:4:4 color), or the
+            # standard 4:2:0 (luma 2x2, both chromas 1x1)
+            if not (all(s == 0x11 for s in samps)
+                    or (ncomp == 3 and samps == [0x22, 0x11, 0x11])):
+                return None
+            luma_420 = ncomp == 3 and samps[0] == 0x22
         elif 0xC1 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             return None                          # progressive & friends
         elif marker == 0xDA:                     # SOS
             if seg[0] != len(comp_tq):
                 return None
-            scan = []                            # (tq, dc_tid, ac_tid)
+            scan = []          # (tq, dc_tid, ac_tid, n_blocks_in_mcu)
             for i in range(seg[0]):
                 cid, tids = seg[1 + 2 * i], seg[2 + 2 * i]
                 if cid not in comp_tq:
                     return None
-                scan.append((comp_tq[cid], tids >> 4, tids & 0x0F))
+                nb = 4 if comp_samp[cid] == 0x22 else 1
+                scan.append((comp_tq[cid], tids >> 4, tids & 0x0F, nb))
             data_start = p + 2 + seg_len
             break
         elif marker == 0xDD:                     # DRI: out of tier
@@ -1149,8 +1184,8 @@ def _decode_jpeg_gray(blob: bytes) -> Optional[np.ndarray]:
         p += 2 + seg_len
     if data_start < 0 or h <= 0 or w <= 0:
         return None
-    tabs = [(qtables[tq], hufftables[(0, dc)], hufftables[(1, ac)])
-            for tq, dc, ac in scan]
+    tabs = [(qtables[tq], hufftables[(0, dc)], hufftables[(1, ac)], nb)
+            for tq, dc, ac, nb in scan]
 
     # unstuff entropy bytes up to the next real marker
     data = bytearray()
@@ -1179,48 +1214,76 @@ def _decode_jpeg_gray(blob: bytes) -> Optional[np.ndarray]:
         raise ValueError("invalid huffman code")
 
     rd = _JpegBitReader(bytes(data))
-    nby, nbx = (h + 7) // 8, (w + 7) // 8
-    planes = [np.zeros((nby * 8, nbx * 8), np.uint8) for _ in tabs]
+
+    def read_block(ci: int) -> np.ndarray:
+        qt, dc_tab, ac_tab, _ = tabs[ci]
+        zz = np.zeros(64, np.int64)
+        s = huff_decode(rd, dc_tab)
+        if s > 11:                               # hostile DHT symbol
+            raise ValueError("bad DC category")
+        if s:
+            v = rd.read(s)
+            if v < (1 << (s - 1)):
+                v -= (1 << s) - 1
+            prev_dc[ci] += v
+        zz[0] = prev_dc[ci]
+        k = 1
+        while k < 64:
+            sym = huff_decode(rd, ac_tab)
+            if sym == 0x00:                      # EOB
+                break
+            if sym == 0xF0:                      # ZRL
+                k += 16
+                continue
+            run, size = sym >> 4, sym & 0x0F
+            k += run
+            if k > 63 or size == 0 or size > 10:
+                raise ValueError("bad AC run/size")
+            v = rd.read(size)
+            if v < (1 << (size - 1)):
+                v -= (1 << size) - 1
+            zz[k] = v
+            k += 1
+        coef = np.zeros(64, np.float64)
+        coef[_JPEG_ZZ] = zz * qt.flatten()[_JPEG_ZZ]
+        block = _DCT_M.T @ coef.reshape(8, 8) @ _DCT_M + 128.0
+        return np.clip(np.round(block), 0, 255).astype(np.uint8)
+
     prev_dc = [0] * len(tabs)
-    for by in range(nby):
-        for bx in range(nbx):
-            # interleaved MCU at 1x1 sampling: one 8x8 per component
-            for ci, (qt, dc_tab, ac_tab) in enumerate(tabs):
-                zz = np.zeros(64, np.int64)
-                s = huff_decode(rd, dc_tab)
-                if s > 11:                       # hostile DHT symbol
-                    raise ValueError("bad DC category")
-                if s:
-                    v = rd.read(s)
-                    if v < (1 << (s - 1)):
-                        v -= (1 << s) - 1
-                    prev_dc[ci] += v
-                zz[0] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    sym = huff_decode(rd, ac_tab)
-                    if sym == 0x00:              # EOB
-                        break
-                    if sym == 0xF0:              # ZRL
-                        k += 16
-                        continue
-                    run, size = sym >> 4, sym & 0x0F
-                    k += run
-                    if k > 63 or size == 0 or size > 10:
-                        raise ValueError("bad AC run/size")
-                    v = rd.read(size)
-                    if v < (1 << (size - 1)):
-                        v -= (1 << size) - 1
-                    zz[k] = v
-                    k += 1
-                coef = np.zeros(64, np.float64)
-                coef[_JPEG_ZZ] = zz * qt.flatten()[_JPEG_ZZ]
-                block = _DCT_M.T @ coef.reshape(8, 8) @ _DCT_M + 128.0
-                planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
-                    np.clip(np.round(block), 0, 255).astype(np.uint8)
-    if len(planes) == 1:
-        return planes[0][:h, :w, None]
-    ycbcr = np.stack([p[:h, :w] for p in planes], axis=-1)
+    if not luma_420:
+        nby, nbx = (h + 7) // 8, (w + 7) // 8
+        planes = [np.zeros((nby * 8, nbx * 8), np.uint8) for _ in tabs]
+        for by in range(nby):
+            for bx in range(nbx):
+                # interleaved MCU at 1x1 sampling: one 8x8 per comp
+                for ci in range(len(tabs)):
+                    planes[ci][by * 8:by * 8 + 8,
+                               bx * 8:bx * 8 + 8] = read_block(ci)
+        if len(planes) == 1:
+            return planes[0][:h, :w, None]
+        ycbcr = np.stack([p[:h, :w] for p in planes], axis=-1)
+        return _ycbcr_to_rgb(ycbcr)
+
+    # 4:2:0: each MCU covers 16x16 luma pixels — four Y blocks
+    # (left-to-right, top-to-bottom) then one Cb and one Cr block at
+    # half resolution; chroma upsamples by pixel replication
+    nmy, nmx = (h + 15) // 16, (w + 15) // 16
+    yplane = np.zeros((nmy * 16, nmx * 16), np.uint8)
+    cplanes = [np.zeros((nmy * 8, nmx * 8), np.uint8) for _ in range(2)]
+    for my in range(nmy):
+        for mx in range(nmx):
+            for dy in range(2):
+                for dx in range(2):
+                    yplane[my * 16 + dy * 8:my * 16 + dy * 8 + 8,
+                           mx * 16 + dx * 8:mx * 16 + dx * 8 + 8] = \
+                        read_block(0)
+            for ci in range(2):
+                cplanes[ci][my * 8:my * 8 + 8,
+                            mx * 8:mx * 8 + 8] = read_block(ci + 1)
+    up = [np.repeat(np.repeat(c, 2, axis=0), 2, axis=1)
+          for c in cplanes]
+    ycbcr = np.stack([yplane[:h, :w], up[0][:h, :w], up[1][:h, :w]],
+                     axis=-1)
     return _ycbcr_to_rgb(ycbcr)
 
 

@@ -3887,7 +3887,10 @@ def image_pixel_stats_color(sf_dir: str) -> "ray.data.Dataset":
     _ycbcr_to_rgb) — all-ones quant keeps the transform bit-exact, and
     the integer conversion is reproduced verbatim by the SQL oracle,
     so pixel_sum / resized_sum verify the ENTIRE color path
-    bit-for-bit."""
+    bit-for-bit. Sampling cycles by parity: even docs 4:4:4
+    (per-8x8-constant planes), odd docs the standard 4:2:0
+    (per-16x16-constant planes, four-Y+Cb+Cr MCUs, chroma
+    replication upsample)."""
     import numpy as np
 
     def gen(batch: pa.Table) -> pa.Table:
@@ -3895,14 +3898,16 @@ def image_pixel_stats_color(sf_dir: str) -> "ray.data.Dataset":
         blobs: list[bytes] = []
         for d in ids:
             w, h = 4 + d % 13, 3 + d % 11
-            bx = (np.arange(w) // 8)[None, :]
-            by = (np.arange(h) // 8)[:, None]
+            bs = 8 if d % 2 == 0 else 16
+            bx = (np.arange(w) // bs)[None, :]
+            by = (np.arange(h) // bs)[:, None]
             ycc = np.stack([
                 (5 * bx + 9 * by + 3 * d) % 256,
                 (7 * bx + 11 * by + d) % 256,
                 (13 * bx + 17 * by + 5 * d) % 256,
             ], axis=-1).astype(np.uint8)
-            blobs.append(_mm.encode_jpeg_color(ycc))
+            blobs.append(_mm.encode_jpeg_color(
+                ycc, subsample=(d % 2 == 1)))
         return pa.table({
             "media_id": pa.array(ids, pa.int64()),
             "media": pa.array(blobs, pa.binary())})

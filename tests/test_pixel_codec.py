@@ -332,3 +332,38 @@ def test_jpeg_color_hostile_inputs_never_crash():
         b2 = bytearray(b)
         b2[pos] ^= 0x5A
         mm.decode_jpeg(bytes(b2))
+
+
+def test_jpeg_420_round_trip_bit_exact():
+    import numpy as np
+    from tempeh_parser_ray.functions import multimodal as mm
+
+    def block16(h, w, seed):
+        import numpy as np
+        bx = (np.arange(w) // 16)[None, :]
+        by = (np.arange(h) // 16)[:, None]
+        return np.stack([
+            (5 * bx + 9 * by + 3 * seed) % 256,
+            (7 * bx + 11 * by + seed) % 256,
+            (13 * bx + 17 * by + 5 * seed) % 256,
+        ], axis=-1).astype(np.uint8)
+
+    for h, w, seed in [(3, 4, 0), (16, 16, 7), (11, 14, 123),
+                       (17, 33, 200), (1, 1, 5), (32, 15, 99)]:
+        ycc = block16(h, w, seed)
+        blob = mm.encode_jpeg_color(ycc, subsample=True)
+        rgb = mm.decode_jpeg(blob)
+        assert rgb is not None and rgb.shape == (h, w, 3), (h, w)
+        assert (rgb == mm._ycbcr_to_rgb(ycc)).all(), (h, w, seed)
+        # header reports 3 components; gray wrapper rejects
+        assert mm.parse_image_header(blob)[:2] == (w, h)
+        assert mm.decode_jpeg_gray(blob) is None
+    # truncation / bit-flip hardening on a multi-MCU stream
+    blob = mm.encode_jpeg_color(block16(17, 33, 1), subsample=True)
+    for cut in range(2, len(blob), 53):
+        mm.decode_jpeg(blob[:cut])
+    b = bytearray(blob)
+    for pos in range(len(b) - 60, len(b) - 3, 11):
+        b2 = bytearray(b)
+        b2[pos] ^= 0x3C
+        mm.decode_jpeg(bytes(b2))
