@@ -11,11 +11,13 @@ unfilters) and uncompressed BMP24, nearest-neighbor resize, WAV PCM16
 sample decode (RIFF walk + int16 LE), and MP4 ``moov/mvhd`` duration
 (versions 0/1) — each verified bit-for-bit against closed-form SQL
 oracles plus encode->decode round-trip pytests. GIF pixels decode too
-(an in-repo LZW inflate), and baseline sequential JPEG gets a REAL
-transform decode — grayscale, 4:4:4 color AND 4:2:0 subsampled color
-(marker parse, canonical Huffman, dequantize, dezigzag, 2-D IDCT,
-fixed-point BT.601 conversion — see the JPEG section at the bottom).
-Only WebP VP8(L) pixels and progressive JPEG
+(an in-repo LZW inflate), and JPEG gets a REAL transform decode —
+baseline sequential grayscale, 4:4:4 color, 4:2:0 subsampled color,
+AND progressive (SOF2) grayscale spectral-selection scans with EOB
+runs (marker parse, canonical Huffman, dequantize, dezigzag, 2-D
+IDCT, fixed-point BT.601 conversion — see the JPEG section at the
+bottom). Only WebP VP8(L) pixels, multi-component progressive, and
+successive-approximation refinement scans
 still require a codec library: those paths fall back to deterministic
 byte-level features behind the ``try: import PIL`` gate
 (``strict=True`` raises ``NotImplementedError``).
@@ -1067,13 +1069,18 @@ def encode_jpeg_color(ycbcr: np.ndarray, *,
 
 
 def decode_jpeg(blob: bytes) -> Optional[np.ndarray]:
-    """REAL baseline-JPEG pixel decode -> (h, w, 1) uint8 for
-    grayscale, (h, w, 3) RGB for 4:4:4 three-component color
-    (fixed-point BT.601 conversion, see ``_ycbcr_to_rgb``), or
-    ``None`` for anything outside the tier (progressive, subsampled,
-    restart-interval streams, truncated or hostile bytes)."""
+    """REAL JPEG pixel decode -> (h, w, 1) uint8 for grayscale,
+    (h, w, 3) RGB for color (fixed-point BT.601 conversion, see
+    ``_ycbcr_to_rgb``). Tiers: baseline sequential grayscale / 4:4:4 /
+     4:2:0, plus PROGRESSIVE (SOF2) grayscale spectral-selection scans
+    (``_decode_jpeg_progressive``). ``None`` for anything outside the
+    tier (successive-approximation refinement scans, multi-component
+    progressive, restart intervals, truncated or hostile bytes)."""
     try:
-        return _decode_jpeg_gray(blob)
+        out = _decode_jpeg_gray(blob)
+        if out is not None:
+            return out
+        return _decode_jpeg_progressive(blob)
     except (EOFError, IndexError, KeyError, ValueError, TypeError,
             OverflowError, ZeroDivisionError):
         return None
@@ -1305,3 +1312,280 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
          + bias) // 1_000_000 - 256
     b = (y + _YCC["b_cb"] * cb + bias) // 1_000_000 - 256
     return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+# --- progressive JPEG (SOF2, grayscale, spectral selection) ---------------
+#
+# REAL progressive decode for the spectral-selection subset: any number
+# of scans with Ah=0 (first pass per band; the point transform Al is
+# honored as coef << Al), per-spec EOB-run (EOBn) AC coding, single
+# component. Successive-approximation REFINEMENT scans (Ah > 0) and
+# multi-component progressive return None — the paired encoder below
+# only emits Ah=0 scans, and that subset is fully spec-valid (T.81
+# G.1.2 allows spectral selection without successive approximation).
+
+def encode_jpeg_gray_progressive(img: np.ndarray, *,
+                                 q_table: Optional[np.ndarray] = None,
+                                 bands: tuple = ((1, 5), (6, 63)),
+                                 ) -> bytes:
+    """REAL progressive-JPEG encoder (grayscale, spectral selection):
+    a DC scan followed by one AC scan per ``bands`` entry, EOB-coded
+    within each band. All-ones quant keeps per-8x8-constant images
+    bit-exact through the round trip, like the baseline encoder."""
+    import struct
+    img = np.asarray(img, np.uint8)
+    if img.ndim == 3:
+        img = img[:, :, 0]
+    h, w = img.shape
+    q = (np.ones((8, 8), np.int64) if q_table is None
+         else np.asarray(q_table, np.int64))
+    pad = np.pad(img, ((0, (-h) % 8), (0, (-w) % 8)), mode="edge")
+    ph, pw = pad.shape
+
+    # forward transform every block once; scans then slice the bands
+    blocks = []
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            f = _DCT_M @ (pad[by:by + 8, bx:bx + 8]
+                          .astype(np.float64) - 128.0) @ _DCT_M.T
+            zz = np.round(f / q).astype(np.int64).flatten()[_JPEG_ZZ]
+            np.clip(zz[1:], -1023, 1023, out=zz[1:])
+            blocks.append(zz)
+
+    dc_codes = _jpeg_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    def dc_scan() -> bytes:
+        bw = _JpegBitWriter()
+        prev = 0
+        for zz in blocks:
+            diff = int(zz[0]) - prev
+            prev = int(zz[0])
+            s = _jpeg_size_cat(diff)
+            code, ln = dc_codes[s]
+            bw.write(code, ln)
+            if s:
+                bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        bw.flush()
+        return bytes(bw.buf)
+
+    def ac_scan(ss: int, se: int) -> bytes:
+        # the encoder emits plain per-block EOBs (EOBRUN == 1); the
+        # DECODER below still honors multi-block EOBn runs, so streams
+        # from other encoders decode too
+        bw = _JpegBitWriter()
+        for zz in blocks:
+            band = zz[ss:se + 1]
+            nz = np.nonzero(band)[0]
+            if len(nz) == 0:
+                code, ln = ac_codes[0x00]     # EOB (run length 1)
+                bw.write(code, ln)
+                continue
+            run = 0
+            last = -1
+            for k in nz:
+                run = int(k) - last - 1
+                last = int(k)
+                while run >= 16:
+                    code, ln = ac_codes[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                v = int(band[k])
+                s = _jpeg_size_cat(v)
+                code, ln = ac_codes[(run << 4) | s]
+                bw.write(code, ln)
+                bw.write(v if v > 0 else v + (1 << s) - 1, s)
+            if last < se - ss:                # trailing zeros: EOB
+                code, ln = ac_codes[0x00]
+                bw.write(code, ln)
+        bw.flush()
+        return bytes(bw.buf)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0x00)
+    out += bytes(int(x) for x in q.flatten()[_JPEG_ZZ])
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, h, w, 1)
+    out += bytes([1, 0x11, 0])
+    for cls, bits, vals in ((0x00, _JPEG_DC_BITS, _JPEG_DC_VALS),
+                            (0x10, _JPEG_AC_BITS, _JPEG_AC_VALS)):
+        out += b"\xff\xc4" + struct.pack(
+            ">HB", 2 + 1 + 16 + len(vals), cls)
+        out += bytes(bits[1:17]) + bytes(vals)
+    # DC scan then the AC band scans
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+    out += bytes([1, 0x00, 0, 0, 0])          # Ss=0 Se=0 Ah=0 Al=0
+    out += dc_scan()
+    for ss, se in bands:
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+        out += bytes([1, 0x00, ss, se, 0])
+        out += ac_scan(ss, se)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _decode_jpeg_progressive(blob: bytes) -> Optional[np.ndarray]:
+    n = len(blob)
+    if n < 4 or blob[:2] != b"\xff\xd8":
+        return None
+    qtables: dict = {}
+    hufftables: dict = {}
+    h = w = -1
+    comp_tq = -1
+    coefs: Optional[np.ndarray] = None   # (n_blocks, 64) accumulated
+    p = 2
+    while p + 2 <= n:
+        if blob[p] != 0xFF:
+            return None
+        marker = blob[p + 1]
+        if marker == 0xD9:                       # EOI
+            break
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            p += 2
+            continue
+        if p + 4 > n:
+            return None
+        seg_len = int.from_bytes(blob[p + 2:p + 4], "big")
+        seg = blob[p + 4:p + 2 + seg_len]
+        if len(seg) != seg_len - 2:
+            return None
+        if marker == 0xDB:
+            q = 0
+            while q < len(seg):
+                pq, tq = seg[q] >> 4, seg[q] & 0x0F
+                if pq != 0:
+                    return None
+                tbl = np.zeros(64, np.int64)
+                tbl[_JPEG_ZZ] = np.frombuffer(
+                    seg[q + 1:q + 65], np.uint8).astype(np.int64)
+                qtables[tq] = tbl
+                q += 65
+        elif marker == 0xC4:
+            q = 0
+            while q < len(seg):
+                cls, tid = seg[q] >> 4, seg[q] & 0x0F
+                bits = [0] + list(seg[q + 1:q + 17])
+                nv = sum(bits)
+                vals = list(seg[q + 17:q + 17 + nv])
+                if len(vals) != nv:
+                    return None
+                table = {}
+                code = 0
+                k = 0
+                for length in range(1, 17):
+                    for _ in range(bits[length]):
+                        table[(length, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                hufftables[(cls, tid)] = table
+                q += 17 + nv
+        elif marker == 0xC2:                     # SOF2 progressive
+            if seg[0] != 8:
+                return None
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            if seg[5] != 1 or seg[7] != 0x11:    # grayscale-only tier
+                return None
+            comp_tq = seg[8]
+            nblocks = ((h + 7) // 8) * ((w + 7) // 8)
+            coefs = np.zeros((nblocks, 64), np.int64)
+        elif marker == 0xC0 or (0xC1 <= marker <= 0xCF
+                                and marker not in (0xC4, 0xC8, 0xCC)):
+            return None                          # baseline handled elsewhere
+        elif marker == 0xDD:
+            return None
+        elif marker == 0xDA:                     # one progressive scan
+            if coefs is None or seg[0] != 1:
+                return None
+            dc_tid, ac_tid = seg[2] >> 4, seg[2] & 0x0F
+            ss, se = seg[3], seg[4]
+            ah, al = seg[5] >> 4, seg[5] & 0x0F
+            if ah != 0 or ss > se or se > 63:    # refinement: out of tier
+                return None
+            # unstuff this scan's entropy bytes
+            data = bytearray()
+            sp = p + 2 + seg_len
+            while sp < n:
+                b = blob[sp]
+                if b == 0xFF:
+                    nxt = blob[sp + 1] if sp + 1 < n else 0xD9
+                    if nxt == 0x00:
+                        data.append(0xFF)
+                        sp += 2
+                        continue
+                    if 0xD0 <= nxt <= 0xD7:
+                        return None              # restart: out of tier
+                    break
+                data.append(b)
+                sp += 1
+
+            def huff(rd: "_JpegBitReader", table: dict) -> int:
+                code = 0
+                for length in range(1, 17):
+                    code = (code << 1) | rd.read(1)
+                    sym = table.get((length, code))
+                    if sym is not None:
+                        return sym
+                raise ValueError("invalid huffman code")
+
+            rd = _JpegBitReader(bytes(data))
+            if ss == 0:                          # DC first scan
+                if se != 0:
+                    return None
+                tab = hufftables[(0, dc_tid)]
+                prev = 0
+                for bi in range(len(coefs)):
+                    s = huff(rd, tab)
+                    if s > 11:
+                        raise ValueError("bad DC category")
+                    if s:
+                        v = rd.read(s)
+                        if v < (1 << (s - 1)):
+                            v -= (1 << s) - 1
+                        prev += v
+                    coefs[bi, 0] = prev << al
+            else:                                # AC first scan (band)
+                tab = hufftables[(1, ac_tid)]
+                eobrun = 0
+                for bi in range(len(coefs)):
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        sym = huff(rd, tab)
+                        r, size = sym >> 4, sym & 0x0F
+                        if size == 0:
+                            if r == 15:          # ZRL
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1   # EOBn
+                            if r:
+                                eobrun += rd.read(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("AC index past band end")
+                        v = rd.read(size)
+                        if v < (1 << (size - 1)):
+                            v -= (1 << size) - 1
+                        coefs[bi, k] = v << al
+                        k += 1
+            p = sp
+            continue
+        p += 2 + seg_len
+    if coefs is None or h <= 0 or w <= 0:
+        return None
+    qt = qtables[comp_tq]
+    nbx = (w + 7) // 8
+    out = np.zeros((((h + 7) // 8) * 8, nbx * 8), np.uint8)
+    for bi in range(len(coefs)):
+        coef = np.zeros(64, np.float64)
+        # coefs rows are zigzag-ordered; qt is natural order, so the
+        # dequant multiplier must be re-zigzagged to align
+        coef[_JPEG_ZZ] = coefs[bi] * qt[_JPEG_ZZ]
+        block = _DCT_M.T @ coef.reshape(8, 8) @ _DCT_M + 128.0
+        by, bx = divmod(bi, nbx)
+        out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = np.clip(
+            np.round(block), 0, 255).astype(np.uint8)
+    return out[:h, :w, None]

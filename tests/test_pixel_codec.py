@@ -367,3 +367,49 @@ def test_jpeg_420_round_trip_bit_exact():
         b2 = bytearray(b)
         b2[pos] ^= 0x3C
         mm.decode_jpeg(bytes(b2))
+
+
+def test_jpeg_progressive_round_trip_and_baseline_agreement():
+    import numpy as np
+    from tempeh_parser_ray.functions import multimodal as mm
+
+    # exact round trip on block-constant images, ones quant
+    for h, w, seed in [(3, 4, 0), (11, 14, 123), (16, 9, 255),
+                       (1, 17, 42), (24, 24, 7)]:
+        x = np.arange(w)[None, :]
+        y = np.arange(h)[:, None]
+        g = (((x // 8) * 5 + (y // 8) * 9 + seed * 3) % 256
+             ).astype(np.uint8)
+        out = mm.decode_jpeg(mm.encode_jpeg_gray_progressive(g))
+        assert out is not None and (out[:, :, 0] == g).all(), (h, w)
+
+    # progressive and baseline must decode IDENTICAL pixels from the
+    # same quantized coefficients (catches zigzag/dequant mix-ups that
+    # an all-ones quant table can't see)
+    rng = np.random.RandomState(4)
+    img = rng.randint(0, 256, (19, 23)).astype(np.uint8)
+    q = np.clip(rng.randint(1, 9, (8, 8)), 1, None)
+    base = mm.decode_jpeg(mm.encode_jpeg_gray(img, q_table=q))
+    prog = mm.decode_jpeg(mm.encode_jpeg_gray_progressive(
+        img, q_table=q))
+    assert (base == prog).all()
+    # any band split decodes the same
+    p2 = mm.decode_jpeg(mm.encode_jpeg_gray_progressive(
+        img, q_table=q, bands=((1, 1), (2, 9), (10, 35), (36, 63))))
+    assert (p2 == base).all()
+
+
+def test_jpeg_progressive_hostile_inputs_never_crash():
+    import numpy as np
+    from tempeh_parser_ray.functions import multimodal as mm
+
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, (17, 21)).astype(np.uint8)
+    blob = mm.encode_jpeg_gray_progressive(img)
+    for cut in range(2, len(blob), 37):
+        mm.decode_jpeg(blob[:cut])
+    b = bytearray(blob)
+    for pos in range(40, len(b) - 3, 29):
+        b2 = bytearray(b)
+        b2[pos] ^= 0x77
+        mm.decode_jpeg(bytes(b2))
