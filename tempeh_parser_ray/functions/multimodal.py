@@ -13,11 +13,11 @@ sample decode (RIFF walk + int16 LE), and MP4 ``moov/mvhd`` duration
 oracles plus encode->decode round-trip pytests. GIF pixels decode too
 (an in-repo LZW inflate), and JPEG gets a REAL transform decode —
 baseline sequential grayscale, 4:4:4 color, 4:2:0 subsampled color,
-AND progressive (SOF2) grayscale spectral-selection scans with EOB
-runs (marker parse, canonical Huffman, dequantize, dezigzag, 2-D
+AND full progressive (SOF2) grayscale — spectral selection, EOBn
+runs, AND successive-approximation refinement scans with correction
+bits (marker parse, canonical Huffman, dequantize, dezigzag, 2-D
 IDCT, fixed-point BT.601 conversion — see the JPEG section at the
-bottom). Only WebP VP8(L) pixels, multi-component progressive, and
-successive-approximation refinement scans
+bottom). Only WebP VP8(L) pixels and multi-component progressive
 still require a codec library: those paths fall back to deterministic
 byte-level features behind the ``try: import PIL`` gate
 (``strict=True`` raises ``NotImplementedError``).
@@ -1327,11 +1327,16 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
 def encode_jpeg_gray_progressive(img: np.ndarray, *,
                                  q_table: Optional[np.ndarray] = None,
                                  bands: tuple = ((1, 5), (6, 63)),
-                                 ) -> bytes:
-    """REAL progressive-JPEG encoder (grayscale, spectral selection):
-    a DC scan followed by one AC scan per ``bands`` entry, EOB-coded
-    within each band. All-ones quant keeps per-8x8-constant images
-    bit-exact through the round trip, like the baseline encoder."""
+                                 successive: bool = False) -> bytes:
+    """REAL progressive-JPEG encoder (grayscale): a DC scan followed
+    by one AC scan per ``bands`` entry, EOB-coded within each band.
+    ``successive=True`` additionally splits every scan by SUCCESSIVE
+    APPROXIMATION (first pass at Al=1 — arithmetic-shifted DC,
+    truncated-magnitude AC — then Ah=1/Al=0 refinement scans with
+    per-spec correction bits), the full four-pass progressive
+    structure real encoders emit. All-ones quant keeps
+    per-8x8-constant images bit-exact through the round trip, like
+    the baseline encoder."""
     import struct
     img = np.asarray(img, np.uint8)
     if img.ndim == 3:
@@ -1355,12 +1360,13 @@ def encode_jpeg_gray_progressive(img: np.ndarray, *,
     dc_codes = _jpeg_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_codes = _jpeg_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
 
-    def dc_scan() -> bytes:
+    def dc_scan(al: int) -> bytes:
         bw = _JpegBitWriter()
         prev = 0
         for zz in blocks:
-            diff = int(zz[0]) - prev
-            prev = int(zz[0])
+            dc = int(zz[0]) >> al             # DC: ARITHMETIC shift
+            diff = dc - prev
+            prev = dc
             s = _jpeg_size_cat(diff)
             code, ln = dc_codes[s]
             bw.write(code, ln)
@@ -1369,28 +1375,36 @@ def encode_jpeg_gray_progressive(img: np.ndarray, *,
         bw.flush()
         return bytes(bw.buf)
 
-    def ac_scan(ss: int, se: int) -> bytes:
-        # the encoder emits plain per-block EOBs (EOBRUN == 1); the
-        # DECODER below still honors multi-block EOBn runs, so streams
-        # from other encoders decode too
+    def dc_refine(al: int) -> bytes:
         bw = _JpegBitWriter()
         for zz in blocks:
-            band = zz[ss:se + 1]
-            nz = np.nonzero(band)[0]
-            if len(nz) == 0:
+            bw.write((int(zz[0]) >> al) & 1, 1)
+        bw.flush()
+        return bytes(bw.buf)
+
+    def ac_scan(ss: int, se: int, al: int) -> bytes:
+        # the encoder emits plain per-block EOBs (EOBRUN == 1); the
+        # DECODER below still honors multi-block EOBn runs, so streams
+        # from other encoders decode too. AC point transform is
+        # TRUNCATED-magnitude division: sign * (|v| >> al).
+        bw = _JpegBitWriter()
+        for zz in blocks:
+            band = [(abs(int(v)) >> al) * (1 if v > 0 else -1)
+                    for v in zz[ss:se + 1]]
+            nz = [k for k, v in enumerate(band) if v != 0]
+            if not nz:
                 code, ln = ac_codes[0x00]     # EOB (run length 1)
                 bw.write(code, ln)
                 continue
-            run = 0
             last = -1
             for k in nz:
-                run = int(k) - last - 1
-                last = int(k)
+                run = k - last - 1
+                last = k
                 while run >= 16:
                     code, ln = ac_codes[0xF0]
                     bw.write(code, ln)
                     run -= 16
-                v = int(band[k])
+                v = band[k]
                 s = _jpeg_size_cat(v)
                 code, ln = ac_codes[(run << 4) | s]
                 bw.write(code, ln)
@@ -1398,6 +1412,54 @@ def encode_jpeg_gray_progressive(img: np.ndarray, *,
             if last < se - ss:                # trailing zeros: EOB
                 code, ln = ac_codes[0x00]
                 bw.write(code, ln)
+        bw.flush()
+        return bytes(bw.buf)
+
+    def ac_refine(ss: int, se: int, al: int) -> bytes:
+        # T.81 G.1.2.3 / libjpeg encode_mcu_AC_refine shape: newly
+        # visible coefficients ((|v| >> al) == 1) emit (run, 1) + sign;
+        # already-visible ones emit buffered CORRECTION BITS flushed
+        # after the next symbol; trailing state folds into a per-block
+        # EOB whose pending bits refine the remainder.
+        bw = _JpegBitWriter()
+        for zz in blocks:
+            vals = [int(v) for v in zz[ss:se + 1]]
+            t_now = [abs(v) >> al for v in vals]
+            eob_idx = max((k for k, t in enumerate(t_now) if t == 1),
+                          default=-1)
+            run = 0
+            pending: list[int] = []
+            for k, v in enumerate(vals):
+                if t_now[k] == 0:
+                    run += 1
+                    continue
+                # ZRLs are emitted on reaching ANY nonzero coefficient
+                # (correction positions included) — the decoder's walk
+                # consumes this stretch's correction bits during the
+                # NEXT symbol, so flushing here must precede them
+                # (libjpeg encode_mcu_AC_refine ordering)
+                while run >= 16 and k <= eob_idx:
+                    code, ln = ac_codes[0xF0]
+                    bw.write(code, ln)
+                    for b in pending:
+                        bw.write(b, 1)
+                    pending = []
+                    run -= 16
+                if t_now[k] > 1:              # visible before this scan
+                    pending.append((abs(v) >> al) & 1)
+                    continue
+                code, ln = ac_codes[(run << 4) | 1]
+                bw.write(code, ln)
+                bw.write(1 if v > 0 else 0, 1)
+                for b in pending:
+                    bw.write(b, 1)
+                pending = []
+                run = 0
+            if run > 0 or pending:
+                code, ln = ac_codes[0x00]     # EOB (run 1)
+                bw.write(code, ln)
+                for b in pending:
+                    bw.write(b, 1)
         bw.flush()
         return bytes(bw.buf)
 
@@ -1411,14 +1473,23 @@ def encode_jpeg_gray_progressive(img: np.ndarray, *,
         out += b"\xff\xc4" + struct.pack(
             ">HB", 2 + 1 + 16 + len(vals), cls)
         out += bytes(bits[1:17]) + bytes(vals)
-    # DC scan then the AC band scans
-    out += b"\xff\xda" + struct.pack(">HB", 8, 1)
-    out += bytes([1, 0x00, 0, 0, 0])          # Ss=0 Se=0 Ah=0 Al=0
-    out += dc_scan()
-    for ss, se in bands:
-        out += b"\xff\xda" + struct.pack(">HB", 8, 1)
-        out += bytes([1, 0x00, ss, se, 0])
-        out += ac_scan(ss, se)
+    def sos(ss: int, se: int, ah: int, al: int, body: bytes) -> bytes:
+        return (b"\xff\xda" + struct.pack(">HB", 8, 1)
+                + bytes([1, 0x00, ss, se, (ah << 4) | al]) + body)
+
+    if not successive:
+        out += sos(0, 0, 0, 0, dc_scan(0))
+        for ss, se in bands:
+            out += sos(ss, se, 0, 0, ac_scan(ss, se, 0))
+    else:
+        # the real-world four-pass layout: coarse DC, coarse AC bands,
+        # then one refinement pass each
+        out += sos(0, 0, 0, 1, dc_scan(1))
+        for ss, se in bands:
+            out += sos(ss, se, 0, 1, ac_scan(ss, se, 1))
+        out += sos(0, 0, 1, 0, dc_refine(0))
+        for ss, se in bands:
+            out += sos(ss, se, 1, 0, ac_refine(ss, se, 0))
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -1500,8 +1571,8 @@ def _decode_jpeg_progressive(blob: bytes) -> Optional[np.ndarray]:
             dc_tid, ac_tid = seg[2] >> 4, seg[2] & 0x0F
             ss, se = seg[3], seg[4]
             ah, al = seg[5] >> 4, seg[5] & 0x0F
-            if ah != 0 or ss > se or se > 63:    # refinement: out of tier
-                return None
+            if ss > se or se > 63 or (ah and ah != al + 1):
+                return None                      # malformed scan header
             # unstuff this scan's entropy bytes
             data = bytearray()
             sp = p + 2 + seg_len
@@ -1529,7 +1600,7 @@ def _decode_jpeg_progressive(blob: bytes) -> Optional[np.ndarray]:
                 raise ValueError("invalid huffman code")
 
             rd = _JpegBitReader(bytes(data))
-            if ss == 0:                          # DC first scan
+            if ss == 0 and ah == 0:              # DC first scan
                 if se != 0:
                     return None
                 tab = hufftables[(0, dc_tid)]
@@ -1544,6 +1615,58 @@ def _decode_jpeg_progressive(blob: bytes) -> Optional[np.ndarray]:
                             v -= (1 << s) - 1
                         prev += v
                     coefs[bi, 0] = prev << al
+            elif ss == 0:                        # DC refinement: 1 bit
+                if se != 0:
+                    return None
+                for bi in range(len(coefs)):
+                    if rd.read(1):
+                        # two's-complement OR appends the bit for
+                        # negative coefficients too (libjpeg semantics)
+                        coefs[bi, 0] |= 1 << al
+            elif ah != 0:                        # AC refinement (band)
+                tab = hufftables[(1, ac_tid)]
+                p1, m1 = 1 << al, -(1 << al)
+
+                def correct(row, k):
+                    if rd.read(1) and (int(row[k]) & p1) == 0:
+                        row[k] += p1 if row[k] >= 0 else m1
+
+                eobrun = 0
+                for bi in range(len(coefs)):
+                    row = coefs[bi]
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            sym = huff(rd, tab)
+                            r, size = sym >> 4, sym & 0x0F
+                            if size == 0:
+                                if r < 15:       # EOBn
+                                    eobrun = (1 << r)
+                                    if r:
+                                        eobrun += rd.read(r)
+                                    break
+                                val = 0          # ZRL: 16 zero-history
+                            elif size == 1:
+                                val = p1 if rd.read(1) else m1
+                            else:
+                                raise ValueError("bad refinement size")
+                            while k <= se:
+                                if row[k] != 0:
+                                    correct(row, k)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if val and k <= se:
+                                row[k] = val
+                            k += 1
+                    if eobrun:
+                        while k <= se:           # refine the remainder
+                            if row[k] != 0:
+                                correct(row, k)
+                            k += 1
+                        eobrun -= 1
             else:                                # AC first scan (band)
                 tab = hufftables[(1, ac_tid)]
                 eobrun = 0

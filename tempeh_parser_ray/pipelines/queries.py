@@ -2012,12 +2012,15 @@ def image_pixel_stats(sf_dir: str) -> "ray.data.Dataset":
                 y = np.arange(h)[:, None]
                 gray = (((x // 8) * 5 + (y // 8) * 9 + d * 3)
                         % 256).astype(np.uint8)
-                # alternate SEQUENTIAL and PROGRESSIVE (SOF2 spectral-
-                # selection) streams: both round-trip the block-constant
+                # rotate SEQUENTIAL / PROGRESSIVE (SOF2 spectral
+                # selection) / PROGRESSIVE+SUCCESSIVE-APPROXIMATION
+                # streams: all three round-trip the block-constant
                 # image bit-exactly, so the closed-form oracle is one
+                kind = (d // 4) % 3
                 blobs.append(
-                    _mm.encode_jpeg_gray(gray) if (d // 4) % 2 == 0
-                    else _mm.encode_jpeg_gray_progressive(gray))
+                    _mm.encode_jpeg_gray(gray) if kind == 0
+                    else _mm.encode_jpeg_gray_progressive(
+                        gray, successive=(kind == 2)))
                 continue
             c = (1, 3, 4)[(d // 4) % 3] if fmt == 0 else 3
             x = np.arange(w)[None, :, None]

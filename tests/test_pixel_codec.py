@@ -413,3 +413,35 @@ def test_jpeg_progressive_hostile_inputs_never_crash():
         b2 = bytearray(b)
         b2[pos] ^= 0x77
         mm.decode_jpeg(bytes(b2))
+
+
+def test_jpeg_successive_approximation_matches_baseline():
+    """The four-pass SA stream (coarse DC/AC at Al=1, then Ah=1/Al=0
+    refinement with correction bits) must decode pixels IDENTICAL to
+    the baseline stream of the same quantized coefficients — over many
+    random images and band splits, with non-trivial quant tables."""
+    import numpy as np
+    from tempeh_parser_ray.functions import multimodal as mm
+
+    rng = np.random.RandomState(4)
+    img = rng.randint(0, 256, (19, 23)).astype(np.uint8)
+    q = np.clip(rng.randint(1, 9, (8, 8)), 1, None)
+    base = mm.decode_jpeg(mm.encode_jpeg_gray(img, q_table=q))
+    for bands in [((1, 63),), ((1, 5), (6, 63)),
+                  ((1, 1), (2, 9), (10, 35), (36, 63))]:
+        sa = mm.decode_jpeg(mm.encode_jpeg_gray_progressive(
+            img, q_table=q, successive=True, bands=bands))
+        assert sa is not None and (sa == base).all(), bands
+    for t in range(60):
+        im = rng.randint(0, 256, (rng.randint(1, 40),
+                                  rng.randint(1, 40))).astype(np.uint8)
+        qq = np.clip(rng.randint(1, 12, (8, 8)), 1, None)
+        b = mm.decode_jpeg(mm.encode_jpeg_gray(im, q_table=qq))
+        s = mm.decode_jpeg(mm.encode_jpeg_gray_progressive(
+            im, q_table=qq, successive=True))
+        assert s is not None and (s == b).all(), (t, im.shape)
+    # truncation hardening on the 4-pass stream
+    blob = mm.encode_jpeg_gray_progressive(img, q_table=q,
+                                           successive=True)
+    for cut in range(2, len(blob), 31):
+        mm.decode_jpeg(blob[:cut])
