@@ -17,8 +17,9 @@ AND full progressive (SOF2) grayscale — spectral selection, EOBn
 runs, AND successive-approximation refinement scans with correction
 bits (marker parse, canonical Huffman, dequantize, dezigzag, 2-D
 IDCT, fixed-point BT.601 conversion — see the JPEG section at the
-bottom). Only WebP VP8(L) pixels and multi-component progressive
-still require a codec library: those paths fall back to deterministic
+bottom) — progressive covers COLOR frames too (interleaved DC scans,
+per-component AC scans). Only WebP VP8(L) pixels and subsampled
+progressive still require a codec library: those paths fall back to deterministic
 byte-level features behind the ``try: import PIL`` gate
 (``strict=True`` raises ``NotImplementedError``).
 
@@ -1314,15 +1315,98 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
 
 
-# --- progressive JPEG (SOF2, grayscale, spectral selection) ---------------
+# --- progressive JPEG (SOF2) ----------------------------------------------
 #
-# REAL progressive decode for the spectral-selection subset: any number
-# of scans with Ah=0 (first pass per band; the point transform Al is
-# honored as coef << Al), per-spec EOB-run (EOBn) AC coding, single
-# component. Successive-approximation REFINEMENT scans (Ah > 0) and
-# multi-component progressive return None — the paired encoder below
-# only emits Ah=0 scans, and that subset is fully spec-valid (T.81
-# G.1.2 allows spectral selection without successive approximation).
+# REAL progressive decode: spectral-selection bands, per-spec EOB-run
+# (EOBn) AC coding, point transforms (DC arithmetic shift / AC
+# truncated magnitude), SUCCESSIVE-APPROXIMATION refinement scans
+# (Ah > 0: DC bit-append, AC correction-bit walks per T.81 G.1.2.3 /
+# libjpeg), and 1- or 3-component frames at 1x1 sampling (interleaved
+# DC scans, single-component AC scans as the spec requires). The
+# paired encoders below emit the same subsets.
+
+def _jpeg_prog_ac_scan(blocks, ss: int, se: int, al: int,
+                   ac_codes: dict) -> bytes:
+    # the encoder emits plain per-block EOBs (EOBRUN == 1); the
+    # DECODER below still honors multi-block EOBn runs, so streams
+    # from other encoders decode too. AC point transform is
+    # TRUNCATED-magnitude division: sign * (|v| >> al).
+    bw = _JpegBitWriter()
+    for zz in blocks:
+        band = [(abs(int(v)) >> al) * (1 if v > 0 else -1)
+                for v in zz[ss:se + 1]]
+        nz = [k for k, v in enumerate(band) if v != 0]
+        if not nz:
+            code, ln = ac_codes[0x00]     # EOB (run length 1)
+            bw.write(code, ln)
+            continue
+        last = -1
+        for k in nz:
+            run = k - last - 1
+            last = k
+            while run >= 16:
+                code, ln = ac_codes[0xF0]
+                bw.write(code, ln)
+                run -= 16
+            v = band[k]
+            s = _jpeg_size_cat(v)
+            code, ln = ac_codes[(run << 4) | s]
+            bw.write(code, ln)
+            bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        if last < se - ss:                # trailing zeros: EOB
+            code, ln = ac_codes[0x00]
+            bw.write(code, ln)
+    bw.flush()
+    return bytes(bw.buf)
+
+def _jpeg_prog_ac_refine(blocks, ss: int, se: int, al: int,
+                     ac_codes: dict) -> bytes:
+    # T.81 G.1.2.3 / libjpeg encode_mcu_AC_refine shape: newly
+    # visible coefficients ((|v| >> al) == 1) emit (run, 1) + sign;
+    # already-visible ones emit buffered CORRECTION BITS flushed
+    # after the next symbol; trailing state folds into a per-block
+    # EOB whose pending bits refine the remainder.
+    bw = _JpegBitWriter()
+    for zz in blocks:
+        vals = [int(v) for v in zz[ss:se + 1]]
+        t_now = [abs(v) >> al for v in vals]
+        eob_idx = max((k for k, t in enumerate(t_now) if t == 1),
+                      default=-1)
+        run = 0
+        pending: list[int] = []
+        for k, v in enumerate(vals):
+            if t_now[k] == 0:
+                run += 1
+                continue
+            # ZRLs are emitted on reaching ANY nonzero coefficient
+            # (correction positions included) — the decoder's walk
+            # consumes this stretch's correction bits during the
+            # NEXT symbol, so flushing here must precede them
+            # (libjpeg encode_mcu_AC_refine ordering)
+            while run >= 16 and k <= eob_idx:
+                code, ln = ac_codes[0xF0]
+                bw.write(code, ln)
+                for b in pending:
+                    bw.write(b, 1)
+                pending = []
+                run -= 16
+            if t_now[k] > 1:              # visible before this scan
+                pending.append((abs(v) >> al) & 1)
+                continue
+            code, ln = ac_codes[(run << 4) | 1]
+            bw.write(code, ln)
+            bw.write(1 if v > 0 else 0, 1)
+            for b in pending:
+                bw.write(b, 1)
+            pending = []
+            run = 0
+        if run > 0 or pending:
+            code, ln = ac_codes[0x00]     # EOB (run 1)
+            bw.write(code, ln)
+            for b in pending:
+                bw.write(b, 1)
+    bw.flush()
+    return bytes(bw.buf)
 
 def encode_jpeg_gray_progressive(img: np.ndarray, *,
                                  q_table: Optional[np.ndarray] = None,
@@ -1383,85 +1467,10 @@ def encode_jpeg_gray_progressive(img: np.ndarray, *,
         return bytes(bw.buf)
 
     def ac_scan(ss: int, se: int, al: int) -> bytes:
-        # the encoder emits plain per-block EOBs (EOBRUN == 1); the
-        # DECODER below still honors multi-block EOBn runs, so streams
-        # from other encoders decode too. AC point transform is
-        # TRUNCATED-magnitude division: sign * (|v| >> al).
-        bw = _JpegBitWriter()
-        for zz in blocks:
-            band = [(abs(int(v)) >> al) * (1 if v > 0 else -1)
-                    for v in zz[ss:se + 1]]
-            nz = [k for k, v in enumerate(band) if v != 0]
-            if not nz:
-                code, ln = ac_codes[0x00]     # EOB (run length 1)
-                bw.write(code, ln)
-                continue
-            last = -1
-            for k in nz:
-                run = k - last - 1
-                last = k
-                while run >= 16:
-                    code, ln = ac_codes[0xF0]
-                    bw.write(code, ln)
-                    run -= 16
-                v = band[k]
-                s = _jpeg_size_cat(v)
-                code, ln = ac_codes[(run << 4) | s]
-                bw.write(code, ln)
-                bw.write(v if v > 0 else v + (1 << s) - 1, s)
-            if last < se - ss:                # trailing zeros: EOB
-                code, ln = ac_codes[0x00]
-                bw.write(code, ln)
-        bw.flush()
-        return bytes(bw.buf)
+        return _jpeg_prog_ac_scan(blocks, ss, se, al, ac_codes)
 
     def ac_refine(ss: int, se: int, al: int) -> bytes:
-        # T.81 G.1.2.3 / libjpeg encode_mcu_AC_refine shape: newly
-        # visible coefficients ((|v| >> al) == 1) emit (run, 1) + sign;
-        # already-visible ones emit buffered CORRECTION BITS flushed
-        # after the next symbol; trailing state folds into a per-block
-        # EOB whose pending bits refine the remainder.
-        bw = _JpegBitWriter()
-        for zz in blocks:
-            vals = [int(v) for v in zz[ss:se + 1]]
-            t_now = [abs(v) >> al for v in vals]
-            eob_idx = max((k for k, t in enumerate(t_now) if t == 1),
-                          default=-1)
-            run = 0
-            pending: list[int] = []
-            for k, v in enumerate(vals):
-                if t_now[k] == 0:
-                    run += 1
-                    continue
-                # ZRLs are emitted on reaching ANY nonzero coefficient
-                # (correction positions included) — the decoder's walk
-                # consumes this stretch's correction bits during the
-                # NEXT symbol, so flushing here must precede them
-                # (libjpeg encode_mcu_AC_refine ordering)
-                while run >= 16 and k <= eob_idx:
-                    code, ln = ac_codes[0xF0]
-                    bw.write(code, ln)
-                    for b in pending:
-                        bw.write(b, 1)
-                    pending = []
-                    run -= 16
-                if t_now[k] > 1:              # visible before this scan
-                    pending.append((abs(v) >> al) & 1)
-                    continue
-                code, ln = ac_codes[(run << 4) | 1]
-                bw.write(code, ln)
-                bw.write(1 if v > 0 else 0, 1)
-                for b in pending:
-                    bw.write(b, 1)
-                pending = []
-                run = 0
-            if run > 0 or pending:
-                code, ln = ac_codes[0x00]     # EOB (run 1)
-                bw.write(code, ln)
-                for b in pending:
-                    bw.write(b, 1)
-        bw.flush()
-        return bytes(bw.buf)
+        return _jpeg_prog_ac_refine(blocks, ss, se, al, ac_codes)
 
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xdb" + struct.pack(">HB", 67, 0x00)
@@ -1473,6 +1482,7 @@ def encode_jpeg_gray_progressive(img: np.ndarray, *,
         out += b"\xff\xc4" + struct.pack(
             ">HB", 2 + 1 + 16 + len(vals), cls)
         out += bytes(bits[1:17]) + bytes(vals)
+
     def sos(ss: int, se: int, ah: int, al: int, body: bytes) -> bytes:
         return (b"\xff\xda" + struct.pack(">HB", 8, 1)
                 + bytes([1, 0x00, ss, se, (ah << 4) | al]) + body)
@@ -1501,8 +1511,9 @@ def _decode_jpeg_progressive(blob: bytes) -> Optional[np.ndarray]:
     qtables: dict = {}
     hufftables: dict = {}
     h = w = -1
-    comp_tq = -1
-    coefs: Optional[np.ndarray] = None   # (n_blocks, 64) accumulated
+    comp_ids: list = []                  # SOF order
+    comp_tq: dict = {}                   # cid -> quant table id
+    coefs: dict = {}                     # cid -> (n_blocks, 64)
     p = 2
     while p + 2 <= n:
         if blob[p] != 0xFF:
@@ -1555,24 +1566,40 @@ def _decode_jpeg_progressive(blob: bytes) -> Optional[np.ndarray]:
                 return None
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
-            if seg[5] != 1 or seg[7] != 0x11:    # grayscale-only tier
+            ncomp = seg[5]
+            if ncomp not in (1, 3):              # 1x1-sampled tier
                 return None
-            comp_tq = seg[8]
             nblocks = ((h + 7) // 8) * ((w + 7) // 8)
-            coefs = np.zeros((nblocks, 64), np.int64)
+            for i in range(ncomp):
+                cid, samp, tq = seg[6 + 3 * i], seg[7 + 3 * i], \
+                    seg[8 + 3 * i]
+                if samp != 0x11:                 # subsampled: out of tier
+                    return None
+                comp_ids.append(cid)
+                comp_tq[cid] = tq
+                coefs[cid] = np.zeros((nblocks, 64), np.int64)
         elif marker == 0xC0 or (0xC1 <= marker <= 0xCF
                                 and marker not in (0xC4, 0xC8, 0xCC)):
             return None                          # baseline handled elsewhere
         elif marker == 0xDD:
             return None
         elif marker == 0xDA:                     # one progressive scan
-            if coefs is None or seg[0] != 1:
+            ns = seg[0]
+            if not coefs or ns < 1 or ns > len(comp_ids):
                 return None
-            dc_tid, ac_tid = seg[2] >> 4, seg[2] & 0x0F
-            ss, se = seg[3], seg[4]
-            ah, al = seg[5] >> 4, seg[5] & 0x0F
+            scomps = []                          # (cid, dc_tid, ac_tid)
+            for i in range(ns):
+                cid, tids = seg[1 + 2 * i], seg[2 + 2 * i]
+                if cid not in comp_tq:
+                    return None
+                scomps.append((cid, tids >> 4, tids & 0x0F))
+            off = 1 + 2 * ns
+            ss, se = seg[off], seg[off + 1]
+            ah, al = seg[off + 2] >> 4, seg[off + 2] & 0x0F
             if ss > se or se > 63 or (ah and ah != al + 1):
                 return None                      # malformed scan header
+            if ss != 0 and ns != 1:
+                return None                      # AC scans: one comp
             # unstuff this scan's entropy bytes
             data = bytearray()
             sp = p + 2 + seg_len
@@ -1603,27 +1630,33 @@ def _decode_jpeg_progressive(blob: bytes) -> Optional[np.ndarray]:
             if ss == 0 and ah == 0:              # DC first scan
                 if se != 0:
                     return None
-                tab = hufftables[(0, dc_tid)]
-                prev = 0
-                for bi in range(len(coefs)):
-                    s = huff(rd, tab)
-                    if s > 11:
-                        raise ValueError("bad DC category")
-                    if s:
-                        v = rd.read(s)
-                        if v < (1 << (s - 1)):
-                            v -= (1 << s) - 1
-                        prev += v
-                    coefs[bi, 0] = prev << al
+                # interleaved over components at 1x1 sampling: one DC
+                # per scan component per block position
+                prev = {cid: 0 for cid, _, _ in scomps}
+                for bi in range(nblocks):
+                    for cid, dc_tid, _ in scomps:
+                        tab = hufftables[(0, dc_tid)]
+                        s = huff(rd, tab)
+                        if s > 11:
+                            raise ValueError("bad DC category")
+                        if s:
+                            v = rd.read(s)
+                            if v < (1 << (s - 1)):
+                                v -= (1 << s) - 1
+                            prev[cid] += v
+                        coefs[cid][bi, 0] = prev[cid] << al
             elif ss == 0:                        # DC refinement: 1 bit
                 if se != 0:
                     return None
-                for bi in range(len(coefs)):
-                    if rd.read(1):
-                        # two's-complement OR appends the bit for
-                        # negative coefficients too (libjpeg semantics)
-                        coefs[bi, 0] |= 1 << al
+                for bi in range(nblocks):
+                    for cid, _, _ in scomps:
+                        if rd.read(1):
+                            # two's-complement OR appends the bit for
+                            # negative coefficients too (libjpeg)
+                            coefs[cid][bi, 0] |= 1 << al
             elif ah != 0:                        # AC refinement (band)
+                cid, _, ac_tid = scomps[0]
+                ccoefs = coefs[cid]
                 tab = hufftables[(1, ac_tid)]
                 p1, m1 = 1 << al, -(1 << al)
 
@@ -1632,8 +1665,8 @@ def _decode_jpeg_progressive(blob: bytes) -> Optional[np.ndarray]:
                         row[k] += p1 if row[k] >= 0 else m1
 
                 eobrun = 0
-                for bi in range(len(coefs)):
-                    row = coefs[bi]
+                for bi in range(nblocks):
+                    row = ccoefs[bi]
                     k = ss
                     if eobrun == 0:
                         while k <= se:
@@ -1668,9 +1701,11 @@ def _decode_jpeg_progressive(blob: bytes) -> Optional[np.ndarray]:
                             k += 1
                         eobrun -= 1
             else:                                # AC first scan (band)
+                cid, _, ac_tid = scomps[0]
+                ccoefs = coefs[cid]
                 tab = hufftables[(1, ac_tid)]
                 eobrun = 0
-                for bi in range(len(coefs)):
+                for bi in range(nblocks):
                     if eobrun:
                         eobrun -= 1
                         continue
@@ -1692,23 +1727,124 @@ def _decode_jpeg_progressive(blob: bytes) -> Optional[np.ndarray]:
                         v = rd.read(size)
                         if v < (1 << (size - 1)):
                             v -= (1 << size) - 1
-                        coefs[bi, k] = v << al
+                        ccoefs[bi, k] = v << al
                         k += 1
             p = sp
             continue
         p += 2 + seg_len
-    if coefs is None or h <= 0 or w <= 0:
+    if not coefs or h <= 0 or w <= 0:
         return None
-    qt = qtables[comp_tq]
     nbx = (w + 7) // 8
-    out = np.zeros((((h + 7) // 8) * 8, nbx * 8), np.uint8)
-    for bi in range(len(coefs)):
-        coef = np.zeros(64, np.float64)
-        # coefs rows are zigzag-ordered; qt is natural order, so the
-        # dequant multiplier must be re-zigzagged to align
-        coef[_JPEG_ZZ] = coefs[bi] * qt[_JPEG_ZZ]
-        block = _DCT_M.T @ coef.reshape(8, 8) @ _DCT_M + 128.0
-        by, bx = divmod(bi, nbx)
-        out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = np.clip(
-            np.round(block), 0, 255).astype(np.uint8)
-    return out[:h, :w, None]
+    planes = []
+    for cid in comp_ids:
+        qt = qtables[comp_tq[cid]]
+        out = np.zeros((((h + 7) // 8) * 8, nbx * 8), np.uint8)
+        for bi in range(len(coefs[cid])):
+            coef = np.zeros(64, np.float64)
+            # coef rows are zigzag-ordered; qt is natural order, so
+            # the dequant multiplier must be re-zigzagged to align
+            coef[_JPEG_ZZ] = coefs[cid][bi] * qt[_JPEG_ZZ]
+            block = _DCT_M.T @ coef.reshape(8, 8) @ _DCT_M + 128.0
+            by, bx = divmod(bi, nbx)
+            out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = np.clip(
+                np.round(block), 0, 255).astype(np.uint8)
+        planes.append(out[:h, :w])
+    if len(planes) == 1:
+        return planes[0][:, :, None]
+    return _ycbcr_to_rgb(np.stack(planes, axis=-1))
+
+
+def encode_jpeg_color_progressive(ycbcr: np.ndarray, *,
+                                  q_table: Optional[np.ndarray] = None,
+                                  bands: tuple = ((1, 5), (6, 63)),
+                                  successive: bool = False) -> bytes:
+    """REAL progressive-JPEG encoder for 4:4:4 color: an INTERLEAVED
+    DC scan over all three components, then per-component AC band
+    scans (progressive AC scans are single-component by spec);
+    ``successive=True`` adds the Ah=1/Al=0 refinement passes. Input is
+    (h, w, 3) uint8 Y/Cb/Cr planes like :func:`encode_jpeg_color`."""
+    import struct
+    ycbcr = np.asarray(ycbcr, np.uint8)
+    h, w, nc = ycbcr.shape
+    assert nc == 3
+    q = (np.ones((8, 8), np.int64) if q_table is None
+         else np.asarray(q_table, np.int64))
+    pad = np.pad(ycbcr, ((0, (-h) % 8), (0, (-w) % 8), (0, 0)),
+                 mode="edge")
+    ph, pw = pad.shape[:2]
+
+    comp_blocks: list[list[np.ndarray]] = [[], [], []]
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for ci in range(3):
+                f = _DCT_M @ (pad[by:by + 8, bx:bx + 8, ci]
+                              .astype(np.float64) - 128.0) @ _DCT_M.T
+                zz = np.round(f / q).astype(np.int64
+                                            ).flatten()[_JPEG_ZZ]
+                np.clip(zz[1:], -1023, 1023, out=zz[1:])
+                comp_blocks[ci].append(zz)
+
+    dc_codes = _jpeg_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    nblocks = len(comp_blocks[0])
+
+    def dc_scan(al: int) -> bytes:
+        bw = _JpegBitWriter()
+        prev = [0, 0, 0]
+        for bi in range(nblocks):
+            for ci in range(3):                  # interleaved
+                dc = int(comp_blocks[ci][bi][0]) >> al
+                diff = dc - prev[ci]
+                prev[ci] = dc
+                s = _jpeg_size_cat(diff)
+                code, ln = dc_codes[s]
+                bw.write(code, ln)
+                if s:
+                    bw.write(diff if diff > 0
+                             else diff + (1 << s) - 1, s)
+        bw.flush()
+        return bytes(bw.buf)
+
+    def dc_refine(al: int) -> bytes:
+        bw = _JpegBitWriter()
+        for bi in range(nblocks):
+            for ci in range(3):
+                bw.write((int(comp_blocks[ci][bi][0]) >> al) & 1, 1)
+        bw.flush()
+        return bytes(bw.buf)
+
+    def sos(comps: list, ss: int, se: int, ah: int, al: int,
+            body: bytes) -> bytes:
+        hdr = bytes([len(comps)])
+        for cid in comps:
+            hdr += bytes([cid, 0x00])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return (b"\xff\xda"
+                + struct.pack(">H", 2 + len(hdr)) + hdr + body)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0x00)
+    out += bytes(int(x) for x in q.flatten()[_JPEG_ZZ])
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    for cid in (1, 2, 3):
+        out += bytes([cid, 0x11, 0])
+    for cls, bits, vals in ((0x00, _JPEG_DC_BITS, _JPEG_DC_VALS),
+                            (0x10, _JPEG_AC_BITS, _JPEG_AC_VALS)):
+        out += b"\xff\xc4" + struct.pack(
+            ">HB", 2 + 1 + 16 + len(vals), cls)
+        out += bytes(bits[1:17]) + bytes(vals)
+
+    first_al = 1 if successive else 0
+    out += sos([1, 2, 3], 0, 0, 0, first_al, dc_scan(first_al))
+    for ci, cid in enumerate((1, 2, 3)):
+        for ss, se in bands:
+            out += sos([cid], ss, se, 0, first_al, _jpeg_prog_ac_scan(
+                comp_blocks[ci], ss, se, first_al, ac_codes))
+    if successive:
+        out += sos([1, 2, 3], 0, 0, 1, 0, dc_refine(0))
+        for ci, cid in enumerate((1, 2, 3)):
+            for ss, se in bands:
+                out += sos([cid], ss, se, 1, 0, _jpeg_prog_ac_refine(
+                    comp_blocks[ci], ss, se, 0, ac_codes))
+    out += b"\xff\xd9"
+    return bytes(out)

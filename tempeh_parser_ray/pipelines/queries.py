@@ -3914,8 +3914,13 @@ def image_pixel_stats_color(sf_dir: str) -> "ray.data.Dataset":
                 (7 * bx + 11 * by + d) % 256,
                 (13 * bx + 17 * by + 5 * d) % 256,
             ], axis=-1).astype(np.uint8)
-            blobs.append(_mm.encode_jpeg_color(
-                ycc, subsample=(d % 2 == 1)))
+            if d % 2 == 1:                       # 4:2:0 sequential
+                blobs.append(_mm.encode_jpeg_color(ycc, subsample=True))
+            elif (d // 2) % 2 == 0:              # 4:4:4 sequential
+                blobs.append(_mm.encode_jpeg_color(ycc))
+            else:                                # 4:4:4 progressive+SA
+                blobs.append(_mm.encode_jpeg_color_progressive(
+                    ycc, successive=True))
         return pa.table({
             "media_id": pa.array(ids, pa.int64()),
             "media": pa.array(blobs, pa.binary())})

@@ -445,3 +445,27 @@ def test_jpeg_successive_approximation_matches_baseline():
                                            successive=True)
     for cut in range(2, len(blob), 31):
         mm.decode_jpeg(blob[:cut])
+
+
+def test_jpeg_color_progressive_matches_baseline():
+    """Interleaved-DC + per-component AC progressive color streams
+    (with and without SA refinement) decode pixel-identical to the
+    baseline 4:4:4 stream of the same coefficients."""
+    import numpy as np
+    from tempeh_parser_ray.functions import multimodal as mm
+
+    rng = np.random.RandomState(7)
+    for t in range(30):
+        ycc = rng.randint(0, 256, (rng.randint(1, 30),
+                                   rng.randint(1, 30), 3)
+                          ).astype(np.uint8)
+        q = np.clip(rng.randint(1, 12, (8, 8)), 1, None)
+        base = mm.decode_jpeg(mm.encode_jpeg_color(ycc, q_table=q))
+        prog = mm.decode_jpeg(mm.encode_jpeg_color_progressive(
+            ycc, q_table=q, successive=bool(t % 2)))
+        assert prog is not None and (prog == base).all(), t
+    blob = mm.encode_jpeg_color_progressive(
+        rng.randint(0, 256, (17, 21, 3)).astype(np.uint8),
+        successive=True)
+    for cut in range(2, len(blob), 43):
+        mm.decode_jpeg(blob[:cut])
