@@ -30,6 +30,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # remainder are pinned by CORRECTNESS_r03 + the committed CHECK_r4 sweep.
     return {
         # round-4 additions (driver-uncovered by construction)
+        "orders_cube": _q.orders_cube,
+        "doc_length_mad": _q.doc_length_mad,
         "image_pixel_stats_color": _q.image_pixel_stats_color,
         "fold_text": _q.fold_text,
         "crawl_schedule": _q.crawl_schedule,
@@ -1623,6 +1625,27 @@ def oracle_sql() -> dict[str, str]:
     # alternate-source queries share the base oracles (same output contract)
     d["extract_text_jsonl"] = d["extract_text"]
     d["extract_text_ipc"] = d["extract_text"]
+    d["orders_cube"] = """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)
+                        * 10000) AS BIGINT) AS sum_price_micros
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY status, priority
+    """
+    d["doc_length_mad"] = f"""
+        WITH t AS (SELECT lang,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len({_TOKENS}) END AS BIGINT) AS n
+                   FROM documents),
+        m AS (SELECT lang, CAST(quantile_disc(n, 0.5) AS BIGINT)
+                  AS med FROM t GROUP BY lang)
+        SELECT t.lang, ANY_VALUE(m.med) AS med,
+               CAST(quantile_disc(abs(t.n - m.med), 0.5) AS BIGINT)
+                   AS mad
+        FROM t JOIN m USING (lang) GROUP BY t.lang ORDER BY t.lang
+    """
     d["fold_text"] = """
         -- the injected accented prefix folds to the closed-form
         -- literal (the em dash has no decomposition and survives);

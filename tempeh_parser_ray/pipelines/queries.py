@@ -3947,3 +3947,84 @@ def image_pixel_stats_color(sf_dir: str) -> "ray.data.Dataset":
     return _documents(sf_dir, ["doc_id"]).map_batches(
         gen, batch_format="pyarrow").map_batches(
         decode, batch_format="pyarrow")
+
+
+def orders_cube(sf_dir: str) -> "ray.data.Dataset":
+    """CUBE / grouping-sets aggregate via MAP-SIDE KEY EXPANSION: each
+    row flat-maps to its 2^k subset keys ('ALL' sentinels) BEFORE one
+    grouped aggregate — the expansion combines per block inside the
+    aggregate, so the exchange is bounded by 4x the group count, not
+    4x the rows. The distributed-cube shape rollup's leaf-derivation
+    trick (orders_rollup) cannot give when coarser levels must stay
+    distributed."""
+    orders = ray.data.read_parquet(
+        str(Path(sf_dir) / "orders.parquet"),
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def expand(batch: pa.Table) -> pa.Table:
+        s = batch.column("o_orderstatus")
+        p = batch.column("o_orderpriority")
+        m = _micros(batch.column("o_totalprice"))
+        alls = pa.array(["ALL"] * batch.num_rows, pa.string())
+        parts = [pa.table({"status": a, "priority": b,
+                           "price_micros": m})
+                 for a, b in ((s, p), (s, alls), (alls, p),
+                              (alls, alls))]
+        return pa.concat_tables(parts)
+
+    agg = orders.map_batches(expand, batch_format="pyarrow").groupby(
+        ["status", "priority"]).aggregate(
+        ray.data.aggregate.Count(),
+        ray.data.aggregate.Sum("price_micros"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "status": b.column("status"),
+            "priority": b.column("priority"),
+            "n_orders": b.column("count()").cast(pa.int64()),
+            "sum_price_micros": b.column("sum(price_micros)").cast(
+                pa.int64())}),
+        batch_format="pyarrow")
+
+
+def doc_length_mad(sf_dir: str) -> pa.Table:
+    """Robust per-language length statistics: median + MEDIAN ABSOLUTE
+    DEVIATION, both EXACT, via two value-count-histogram passes (the
+    robust outlier gate heavy-tailed web corpora need instead of
+    mean/stddev). Pass 1: per-lang median from the bounded histogram;
+    medians broadcast (|langs| scalars); pass 2: |x - med| histogram
+    -> MAD. Each exchange is bounded by the value DOMAIN, never the
+    row count."""
+    from ..functions.broadcast import cached_get
+
+    def counts(batch: pa.Table) -> pa.Table:
+        t = _ts.token_count_batch(batch)
+        return pa.table({"lang": batch.column("lang"),
+                         "n_tokens": t.column("n_tokens")})
+
+    ds = _documents(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        counts, batch_format="pyarrow").materialize()
+    med = _sk.grouped_quantiles(ds, "lang", "n_tokens", [0.5], ["med"])
+    med_map = dict(zip(med.column("lang").to_pylist(),
+                       med.column("med").to_pylist()))
+    mref = ray.put(med_map)
+
+    def absdev(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        mm_ = cached_get(mref)
+        langs = batch.column("lang").to_pylist()
+        n = batch.column("n_tokens").to_numpy(zero_copy_only=False)
+        meds = np.asarray([mm_[lg] for lg in langs], np.int64)
+        return pa.table({
+            "lang": batch.column("lang"),
+            "adev": pa.array(np.abs(n - meds), pa.int64())})
+
+    mad = _sk.grouped_quantiles(
+        ds.map_batches(absdev, batch_format="pyarrow"),
+        "lang", "adev", [0.5], ["mad"])
+    mad_map = dict(zip(mad.column("lang").to_pylist(),
+                       mad.column("mad").to_pylist()))
+    langs = sorted(med_map)
+    return pa.table({
+        "lang": pa.array(langs, pa.string()),
+        "med": pa.array([med_map[lg] for lg in langs], pa.int64()),
+        "mad": pa.array([mad_map[lg] for lg in langs], pa.int64())})
