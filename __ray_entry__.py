@@ -30,6 +30,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # remainder are pinned by CORRECTNESS_r03 + the committed CHECK_r4 sweep.
     return {
         # round-4 additions (driver-uncovered by construction)
+        "image_pixel_stats_webp": _q.image_pixel_stats_webp,
         "orders_cube": _q.orders_cube,
         "doc_length_mad": _q.doc_length_mad,
         "image_pixel_stats_color": _q.image_pixel_stats_color,
@@ -1625,6 +1626,33 @@ def oracle_sql() -> dict[str, str]:
     # alternate-source queries share the base oracles (same output contract)
     d["extract_text_jsonl"] = d["extract_text"]
     d["extract_text_ipc"] = d["extract_text"]
+    d["image_pixel_stats_webp"] = """
+        -- VP8L is lossless: same closed form as the PNG-RGBA case
+        WITH params AS (
+            SELECT doc_id AS media_id,
+                   4 + doc_id % 13 AS width,
+                   3 + doc_id % 11 AS height
+            FROM documents),
+        px AS (
+            SELECT media_id,
+                   SUM((x*3 + y*7 + ch*11 + media_id) % 256)
+                       AS pixel_sum
+            FROM params, range(16) rx(x), range(13) ry(y),
+                 range(4) rc(ch)
+            WHERE x < width AND y < height
+            GROUP BY media_id),
+        rz AS (
+            SELECT media_id,
+                   SUM((((x*width)//8)*3 + ((y*height)//8)*7
+                        + ch*11 + media_id) % 256) AS resized_sum
+            FROM params, range(8) rx(x), range(8) ry(y), range(4) rc(ch)
+            GROUP BY media_id)
+        SELECT p.media_id, CAST(p.width AS BIGINT) AS width,
+               CAST(p.height AS BIGINT) AS height,
+               CAST(px.pixel_sum AS BIGINT) AS pixel_sum,
+               CAST(rz.resized_sum AS BIGINT) AS resized_sum
+        FROM params p JOIN px USING (media_id) JOIN rz USING (media_id)
+    """
     d["orders_cube"] = """
         SELECT COALESCE(o_orderstatus, 'ALL') AS status,
                COALESCE(o_orderpriority, 'ALL') AS priority,

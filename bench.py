@@ -90,7 +90,7 @@ QUERY_NAMES = [
     "domain_quality", "link_degree_hist", "url_canonical_dedup",
     "embedding_cov", "lang_source_pivot", "dataset_split",
     "extract_text_ipc", "lang_confusion", "fold_text", "crawl_schedule", "image_pixel_stats_color",
-    "orders_cube", "doc_length_mad",
+    "orders_cube", "doc_length_mad", "image_pixel_stats_webp",
 ]
 
 

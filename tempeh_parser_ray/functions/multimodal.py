@@ -367,10 +367,16 @@ def decode_image_pixels(blob: bytes) -> Optional[np.ndarray]:
     """REAL pixel decode -> (h, w, channels) uint8, or ``None`` when the
     payload is not an 8-bit non-interlaced gray/RGB/RGBA PNG, a
     global-palette non-interlaced GIF (real LZW inflate below), an
-    uncompressed bottom-up 24-bit BMP, or a baseline sequential JPEG
-    (grayscale OR 4:4:4 color; full Huffman + IDCT decode below;
+    uncompressed bottom-up 24-bit BMP, a JPEG in the decoded tiers
+    (baseline gray/4:4:4/4:2:0, progressive gray/color), or a
+    transform-free WebP-lossless VP8L stream (functions/vp8l.py;
     callers fall back to the header/stub path)."""
     n = len(blob)
+    if n >= 21 and blob[:4] == b"RIFF" and blob[8:12] == b"WEBP" \
+            and blob[12:16] == b"VP8L":
+        from . import vp8l as _vp8l
+        ln = int.from_bytes(blob[16:20], "little")
+        return _vp8l.decode_vp8l(blob[20:20 + ln])
     if n >= 4 and blob[:2] == b"\xff\xd8":
         return decode_jpeg(blob)
     if n > 45 and blob[:8] == b"\x89PNG\r\n\x1a\n":

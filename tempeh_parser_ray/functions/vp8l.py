@@ -1,0 +1,539 @@
+"""REAL dependency-free WebP-lossless (VP8L) codec subset.
+
+Decoder: the transform-free core of the published VP8L bitstream —
+LSB-first bit reading, simple AND normal (code-length-coded, DEFLATE-
+style canonical) prefix codes for all five alphabets, literal ARGB
+pixels, LZ77 backward references with prefix-coded length/distance
+extra bits (linear distance codes; the 120 2D-neighbor codes are
+parsed but rejected as out of tier rather than guessed), and the
+color cache (0x1e35a7bd multiplier hash, updated on every emitted
+pixel). Also out of tier (returns ``None``): the four pixel
+transforms (predictor / color / subtract-green / palette) and the
+entropy image (meta prefix codes) — their header bits are parsed and
+rejected explicitly, never misread.
+
+Encoder: emits the same subset — no transforms, distance-1 run
+backrefs for horizontal runs (linear distance code 121), optional
+color cache, canonical prefix codes written through the code-length
+code (zero runs via symbols 17/18). VP8L is lossless, so round trips
+are bit-exact by construction and the SQL oracle can pin decoded
+pixel sums in closed form, like the other in-repo codecs
+(PNG/GIF/BMP/JPEG).
+
+Spec: "WebP Lossless Bitstream Specification" (Google, public).
+Canonical code assignment follows the spec's DEFLATE convention:
+codes ordered by (length, symbol), transmitted most-significant code
+bit first inside the LSB-first byte stream.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+_HASH_MUL = 0x1E35A7BD
+
+# spec order for the 19 code-length-code lengths
+_CLC_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12,
+              13, 14, 15]
+
+
+class _LsbBitReader:
+    """LSB-first bit reader (VP8L convention)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def read(self, nbits: int) -> int:
+        while self.n < nbits:
+            if self.pos >= len(self.data):
+                raise EOFError("vp8l bitstream exhausted")
+            self.acc |= self.data[self.pos] << self.n
+            self.pos += 1
+            self.n += 8
+        out = self.acc & ((1 << nbits) - 1)
+        self.acc >>= nbits
+        self.n -= nbits
+        return out
+
+
+class _LsbBitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, val: int, nbits: int) -> None:
+        self.acc |= (val & ((1 << nbits) - 1)) << self.n
+        self.n += nbits
+        while self.n >= 8:
+            self.buf.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.buf.append(self.acc & 0xFF)
+            self.acc = 0
+            self.n = 0
+        return bytes(self.buf)
+
+
+def _canonical_codes(lengths: dict[int, int]) -> dict[int, tuple]:
+    """symbol -> (code, length), canonical by (length, symbol)."""
+    codes: dict[int, tuple] = {}
+    code = 0
+    prev_len = 0
+    for sym in sorted(lengths, key=lambda s: (lengths[s], s)):
+        ln = lengths[sym]
+        code <<= (ln - prev_len)
+        codes[sym] = (code, ln)
+        code += 1
+        prev_len = ln
+    return codes
+
+
+class _PrefixCode:
+    """Decode side: walk-accumulated canonical code matching."""
+
+    def __init__(self, lengths: dict[int, int]):
+        if not lengths:
+            raise ValueError("empty prefix code")
+        if len(lengths) == 1:
+            # degenerate: a single symbol consumes ZERO bits
+            self.single: Optional[int] = next(iter(lengths))
+            self.table: dict = {}
+            return
+        self.single = None
+        self.table = {(ln, code): sym for sym, (code, ln)
+                      in _canonical_codes(lengths).items()}
+        # completeness check (kraft sum == 1) — hostile streams with
+        # over/under-subscribed codes must fail loudly, not misdecode
+        if sum(1 / (1 << ln) for ln in lengths.values()) != 1.0:
+            raise ValueError("incomplete prefix code")
+
+    def decode(self, rd: _LsbBitReader) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        for ln in range(1, 16):
+            code = (code << 1) | rd.read(1)
+            sym = self.table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid vp8l prefix code")
+
+
+def _read_prefix_code(rd: _LsbBitReader, alphabet: int) -> _PrefixCode:
+    if rd.read(1):                               # simple code
+        n_sym = rd.read(1) + 1
+        if rd.read(1):                           # first symbol 8 bits
+            first = rd.read(8)
+        else:
+            first = rd.read(1)
+        lengths = {first: 1}
+        if n_sym == 2:
+            second = rd.read(8)
+            if second == first:
+                raise ValueError("duplicate simple symbols")
+            lengths[second] = 1
+        else:
+            return _PrefixCode({first: 0})       # zero-bit single
+        return _PrefixCode(lengths)
+    # normal: code-length code first
+    n_clc = rd.read(4) + 4
+    clc_lengths: dict[int, int] = {}
+    for i in range(n_clc):
+        ln = rd.read(3)
+        if ln:
+            clc_lengths[_CLC_ORDER[i]] = ln
+    clc = _PrefixCode(clc_lengths)
+    if rd.read(1):                               # bounded max_symbol
+        length_nbits = 2 + 2 * rd.read(3)
+        max_symbol = 2 + rd.read(length_nbits)
+    else:
+        max_symbol = alphabet
+    lengths = {}
+    sym = 0
+    prev = 8
+    while sym < alphabet and max_symbol > 0:
+        max_symbol -= 1
+        cl = clc.decode(rd)
+        if cl < 16:
+            if cl:
+                lengths[sym] = cl
+                prev = cl
+            sym += 1
+        elif cl == 16:
+            rep = 3 + rd.read(2)
+            for _ in range(rep):
+                if sym < alphabet:
+                    lengths[sym] = prev
+                    sym += 1
+        elif cl == 17:
+            sym += 3 + rd.read(3)
+        else:                                    # 18
+            sym += 11 + rd.read(7)
+    return _PrefixCode(lengths)
+
+
+def _prefix_coded_value(rd: _LsbBitReader, sym: int) -> int:
+    """LZ77 length/distance prefix decoding (spec 4.2.1.1)."""
+    if sym < 4:
+        return sym + 1
+    extra = (sym - 2) >> 1
+    offset = (2 + (sym & 1)) << extra
+    return offset + rd.read(extra) + 1
+
+
+def _prefix_code_for_value(v: int) -> tuple:
+    """Inverse of :func:`_prefix_coded_value`: (symbol, extra, nbits)."""
+    if v <= 4:
+        return v - 1, 0, 0
+    extra_bits = (v - 1).bit_length() - 2
+    base = v - 1 - (1 << (extra_bits + 1))
+    if base < (1 << extra_bits):
+        return 2 * extra_bits + 2, base, extra_bits
+    return 2 * extra_bits + 3, base - (1 << extra_bits), extra_bits
+
+
+def decode_vp8l(payload: bytes) -> Optional[np.ndarray]:
+    """VP8L chunk payload -> (h, w, 4) uint8 RGBA, or ``None`` outside
+    the documented tier (transforms, entropy image, 2D distance
+    codes) or on truncated/hostile bytes."""
+    try:
+        return _decode_vp8l(payload)
+    except (EOFError, ValueError, KeyError, IndexError,
+            OverflowError):
+        return None
+
+
+def _decode_vp8l(payload: bytes) -> Optional[np.ndarray]:
+    if len(payload) < 5 or payload[0] != 0x2F:
+        return None
+    rd = _LsbBitReader(payload[1:])
+    w = rd.read(14) + 1
+    h = rd.read(14) + 1
+    rd.read(1)                                   # alpha hint
+    if rd.read(3) != 0:                          # version
+        return None
+    if rd.read(1):                               # any transform
+        return None
+    cache_bits = 0
+    if rd.read(1):                               # color cache
+        cache_bits = rd.read(4)
+        if not 1 <= cache_bits <= 11:
+            return None
+    if rd.read(1):                               # entropy image
+        return None
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    green = _read_prefix_code(rd, 256 + 24 + cache_size)
+    red = _read_prefix_code(rd, 256)
+    blue = _read_prefix_code(rd, 256)
+    alpha = _read_prefix_code(rd, 256)
+    dist = _read_prefix_code(rd, 40)
+
+    n_px = w * h
+    argb = np.zeros(n_px, np.uint32)
+    cache = np.zeros(cache_size, np.uint32) if cache_size else None
+    i = 0
+
+    def push_cache(px: int) -> None:
+        if cache is not None:
+            cache[((_HASH_MUL * px) & 0xFFFFFFFF)
+                  >> (32 - cache_bits)] = px
+
+    while i < n_px:
+        sym = green.decode(rd)
+        if sym < 256:
+            g = sym
+            r = red.decode(rd)
+            b = blue.decode(rd)
+            a = alpha.decode(rd)
+            px = (a << 24) | (r << 16) | (g << 8) | b
+            argb[i] = px
+            push_cache(px)
+            i += 1
+        elif sym < 256 + 24:
+            length = _prefix_coded_value(rd, sym - 256)
+            dsym = dist.decode(rd)
+            dcode = _prefix_coded_value(rd, dsym)
+            if dcode <= 120:                     # 2D map: out of tier
+                return None
+            d = dcode - 120
+            if d < 1 or d > i:
+                raise ValueError("bad backref distance")
+            for _ in range(length):
+                if i >= n_px:
+                    raise ValueError("backref past image end")
+                px = int(argb[i - d])
+                argb[i] = px
+                push_cache(px)
+                i += 1
+        else:                                    # color cache hit
+            if cache is None:
+                raise ValueError("cache symbol without cache")
+            argb[i] = cache[sym - 256 - 24]
+            i += 1
+
+    out = np.zeros((h, w, 4), np.uint8)
+    flat = argb.reshape(h, w)
+    out[:, :, 0] = (flat >> 16) & 0xFF           # R
+    out[:, :, 1] = (flat >> 8) & 0xFF            # G
+    out[:, :, 2] = flat & 0xFF                   # B
+    out[:, :, 3] = (flat >> 24) & 0xFF           # A
+    return out
+
+
+# --- encoder ---------------------------------------------------------------
+
+
+def _write_prefix_code(bw: _LsbBitWriter, lengths: dict[int, int],
+                       alphabet: int) -> None:
+    """Emit a prefix code: simple form for <=2 one-byte symbols, else
+    the normal code-length-coded form (zero runs via 17/18)."""
+    syms = sorted(lengths)
+    if 1 <= len(syms) <= 2 and all(s < 256 for s in syms) \
+            and all(lengths[s] == 1 for s in syms) or len(syms) == 1:
+        bw.write(1, 1)                           # simple
+        bw.write(len(syms) - 1, 1)
+        first = syms[0]
+        if first <= 1:
+            bw.write(0, 1)
+            bw.write(first, 1)
+        else:
+            bw.write(1, 1)
+            bw.write(first, 8)
+        if len(syms) == 2:
+            bw.write(syms[1], 8)
+        return
+    bw.write(0, 1)                               # normal
+    # code lengths as a sequence over the alphabet with 17/18 zero runs
+    seq: list[tuple[int, int, int]] = []         # (clc_sym, extra, bits)
+    run = 0
+
+    def flush_zeros() -> None:
+        nonlocal run
+        while run:
+            if run < 3:
+                for _ in range(run):
+                    seq.append((0, 0, 0))
+                run = 0
+            elif run <= 10:
+                seq.append((17, run - 3, 3))
+                run = 0
+            else:
+                take = min(run, 138)
+                seq.append((18, take - 11, 7))
+                run -= take
+
+    # cover the FULL alphabet: the decoder keeps reading code-length
+    # entries until every symbol has one (unless the max_symbol bound
+    # is used), so trailing zeros must be run-length coded too
+    for sym in range(alphabet):
+        ln = lengths.get(sym, 0)
+        if ln == 0:
+            run += 1
+            continue
+        flush_zeros()
+        seq.append((ln, 0, 0))
+    flush_zeros()
+    # build the code-length code over used clc symbols
+    from collections import Counter
+    freq = Counter(cs for cs, _, _ in seq)
+    clc_lengths = _limited_code_lengths(freq, 7)
+    n_clc = max(_CLC_ORDER.index(s) for s in clc_lengths) + 1
+    n_clc = max(n_clc, 4)
+    bw.write(n_clc - 4, 4)
+    for i in range(n_clc):
+        bw.write(clc_lengths.get(_CLC_ORDER[i], 0), 3)
+    clc_codes = _canonical_codes(clc_lengths)
+    bw.write(0, 1)                               # no max_symbol bound
+    for cs, extra, nbits in seq:
+        code, ln = clc_codes[cs]
+        for k in range(ln - 1, -1, -1):          # MSB of code first
+            bw.write((code >> k) & 1, 1)
+        if nbits:
+            bw.write(extra, nbits)
+
+
+def _limited_code_lengths(freq: dict, max_len: int) -> dict[int, int]:
+    """Length-limited canonical code lengths (simple Huffman, then a
+    crude rebalance into the limit — fine for the tiny alphabets the
+    encoder emits)."""
+    import heapq
+    syms = sorted(freq)
+    if len(syms) == 1:
+        return {syms[0]: 1}
+    heap = [(freq[s], i, [s]) for i, s in enumerate(syms)]
+    heapq.heapify(heap)
+    nxt = len(syms)
+    lengths = {s: 0 for s in syms}
+    while len(heap) > 1:
+        fa, _, sa = heapq.heappop(heap)
+        fb, _, sb = heapq.heappop(heap)
+        for s in sa + sb:
+            lengths[s] += 1
+        heapq.heappush(heap, (fa + fb, nxt, sa + sb))
+        nxt += 1
+    while max(lengths.values()) > max_len:       # crude flatten
+        flat = int(np.ceil(np.log2(len(syms))))
+        lengths = {s: flat for s in syms}
+        break
+    # canonicalize to a COMPLETE code (kraft == 1): greedily shorten
+    kraft = sum(1 / (1 << ln) for ln in lengths.values())
+    while kraft < 1.0:
+        s = max(lengths, key=lambda x: (lengths[x], x))
+        lengths[s] -= 1
+        kraft = sum(1 / (1 << ln) for ln in lengths.values())
+    if kraft != 1.0:
+        raise ValueError("could not build complete code")
+    return lengths
+
+
+def encode_vp8l(rgba: np.ndarray, *, use_runs: bool = True,
+                cache_bits: int = 0) -> bytes:
+    """(h, w, 4) uint8 RGBA -> full WebP file bytes (RIFF + VP8L),
+    transform-free tier; horizontal pixel runs become distance-1 LZ77
+    backrefs when ``use_runs``; ``cache_bits`` > 0 enables the color
+    cache (hits emitted whenever the current pixel is cached)."""
+    rgba = np.asarray(rgba, np.uint8)
+    h, w, nc = rgba.shape
+    assert nc == 4, "encode_vp8l expects (h, w, 4) RGBA"
+    argb = (rgba[:, :, 3].astype(np.uint32) << 24) \
+        | (rgba[:, :, 0].astype(np.uint32) << 16) \
+        | (rgba[:, :, 1].astype(np.uint32) << 8) \
+        | rgba[:, :, 2].astype(np.uint32)
+    flat = argb.reshape(-1)
+    n_px = len(flat)
+    cache_size = (1 << cache_bits) if cache_bits else 0
+
+    # one modeling pass: tokens + symbol frequencies
+    tokens: list[tuple] = []                     # ('lit',px)/('run',n)/('hit',idx)
+    cache = np.zeros(cache_size, np.uint32) if cache_size else None
+    from collections import Counter
+    gfreq: Counter = Counter()
+    rfreq: Counter = Counter()
+    bfreq: Counter = Counter()
+    afreq: Counter = Counter()
+    dfreq: Counter = Counter()
+    i = 0
+    while i < n_px:
+        px = int(flat[i])
+        run = 0
+        if use_runs and i > 0 and px == int(flat[i - 1]):
+            j = i
+            while j < n_px and int(flat[j]) == px:
+                j += 1
+            run = j - i
+        if run >= 3:
+            lsym, _, _ = _prefix_code_for_value(run)
+            tokens.append(("run", run))
+            gfreq[256 + lsym] += 1
+            dsym, _, _ = _prefix_code_for_value(121)  # distance 1
+            dfreq[dsym] += 1
+            if cache is not None:
+                for _ in range(run):
+                    cache[((_HASH_MUL * px) & 0xFFFFFFFF)
+                          >> (32 - cache_bits)] = px
+            i += run
+            continue
+        idx = (((_HASH_MUL * px) & 0xFFFFFFFF)
+               >> (32 - cache_bits)) if cache is not None else 0
+        if cache is not None and int(cache[idx]) == px and i > 0:
+            tokens.append(("hit", idx))
+            gfreq[256 + 24 + idx] += 1
+            i += 1
+            continue
+        tokens.append(("lit", px))
+        gfreq[(px >> 8) & 0xFF] += 1
+        rfreq[(px >> 16) & 0xFF] += 1
+        bfreq[px & 0xFF] += 1
+        afreq[(px >> 24) & 0xFF] += 1
+        if cache is not None:
+            cache[idx] = px
+        i += 1
+
+    # degenerate alphabets still need a one-entry code
+    for fr in (gfreq, rfreq, bfreq, afreq, dfreq):
+        if not fr:
+            fr[0] = 1
+
+    bw = _LsbBitWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(1 if bool((rgba[:, :, 3] != 255).any()) else 0, 1)
+    bw.write(0, 3)                               # version
+    bw.write(0, 1)                               # no transforms
+    if cache_bits:
+        bw.write(1, 1)
+        bw.write(cache_bits, 4)
+    else:
+        bw.write(0, 1)
+    bw.write(0, 1)                               # no entropy image
+
+    def emit_code(freq: Counter, alphabet: int) -> dict[int, tuple]:
+        lengths = (_limited_code_lengths(freq, 15)
+                   if len(freq) > 1 else {next(iter(freq)): 0})
+        if len(lengths) == 1:
+            sym = next(iter(lengths))
+            bw.write(1, 1)                       # simple, 1 symbol
+            bw.write(0, 1)
+            if sym <= 1:
+                bw.write(0, 1)
+                bw.write(sym, 1)
+            else:
+                bw.write(1, 1)
+                bw.write(sym & 0xFF, 8)
+                if sym > 255:                    # cache/length ids >255
+                    raise ValueError(
+                        "single-symbol code beyond one byte; add a "
+                        "second dummy symbol")
+            return {sym: (0, 0)}
+        _write_prefix_code(bw, lengths, alphabet)
+        return _canonical_codes(lengths)
+
+    # a >255 single green symbol can't use the simple form: pad with
+    # a dummy literal so the normal form is used
+    if len(gfreq) == 1 and next(iter(gfreq)) > 255:
+        gfreq[0] += 1
+    gcodes = emit_code(gfreq, 256 + 24 + cache_size)
+    rcodes = emit_code(rfreq, 256)
+    bcodes = emit_code(bfreq, 256)
+    acodes = emit_code(afreq, 256)
+    dcodes = emit_code(dfreq, 40)
+
+    def put(codes: dict, sym: int) -> None:
+        code, ln = codes[sym]
+        for k in range(ln - 1, -1, -1):
+            bw.write((code >> k) & 1, 1)
+
+    for tok in tokens:
+        if tok[0] == "lit":
+            px = tok[1]
+            put(gcodes, (px >> 8) & 0xFF)
+            put(rcodes, (px >> 16) & 0xFF)
+            put(bcodes, px & 0xFF)
+            put(acodes, (px >> 24) & 0xFF)
+        elif tok[0] == "run":
+            lsym, extra, nbits = _prefix_code_for_value(tok[1])
+            put(gcodes, 256 + lsym)
+            if nbits:
+                bw.write(extra, nbits)
+            dsym, dextra, dnbits = _prefix_code_for_value(121)
+            put(dcodes, dsym)
+            if dnbits:
+                bw.write(dextra, dnbits)
+        else:                                    # cache hit
+            put(gcodes, 256 + 24 + tok[1])
+
+    payload = b"\x2f" + bw.flush()
+    chunk = b"VP8L" + len(payload).to_bytes(4, "little") + payload
+    if len(payload) % 2:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + len(riff).to_bytes(4, "little") + riff

@@ -4028,3 +4028,56 @@ def doc_length_mad(sf_dir: str) -> pa.Table:
         "lang": pa.array(langs, pa.string()),
         "med": pa.array([med_map[lg] for lg in langs], pa.int64()),
         "mad": pa.array([mad_map[lg] for lg in langs], pa.int64())})
+
+
+def image_pixel_stats_webp(sf_dir: str) -> "ray.data.Dataset":
+    """REAL WebP-lossless pixel decode, no image library: RGBA images
+    encoded by the in-repo transform-free VP8L encoder
+    (functions/vp8l.py — canonical prefix codes through the
+    code-length code, LZ77 distance-1 runs, color cache) and decoded
+    back through the full bit-level path. Encoder features cycle by
+    doc parity (runs on/off, color cache 0/6 bits) so every decode
+    branch runs under the oracle; VP8L is lossless, so pixel_sum /
+    resized_sum have the same closed form as the PNG-RGBA case."""
+    import numpy as np
+
+    from ..functions import vp8l as _vp8l
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        blobs: list[bytes] = []
+        for d in ids:
+            w, h = 4 + d % 13, 3 + d % 11
+            x = np.arange(w)[None, :, None]
+            y = np.arange(h)[:, None, None]
+            ch = np.arange(4)[None, None, :]
+            img = ((x * 3 + y * 7 + ch * 11 + d) % 256).astype(np.uint8)
+            blobs.append(_vp8l.encode_vp8l(
+                img, use_runs=(d % 2 == 0),
+                cache_bits=6 if d % 3 == 0 else 0))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "media": pa.array(blobs, pa.binary())})
+
+    def decode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        ws, hs, sums, rsums = [], [], [], []
+        for blob in batch.column("media").to_pylist():
+            img = _mm.decode_image_pixels(blob)
+            h, w, c = img.shape
+            assert c == 4
+            ws.append(w)
+            hs.append(h)
+            sums.append(int(img.astype(np.int64).sum()))
+            rsums.append(int(_mm.resize_nearest(img, 8, 8)
+                             .astype(np.int64).sum()))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "pixel_sum": pa.array(sums, pa.int64()),
+            "resized_sum": pa.array(rsums, pa.int64())})
+
+    return _documents(sf_dir, ["doc_id"]).map_batches(
+        gen, batch_format="pyarrow").map_batches(
+        decode, batch_format="pyarrow")

@@ -469,3 +469,59 @@ def test_jpeg_color_progressive_matches_baseline():
         successive=True)
     for cut in range(2, len(blob), 43):
         mm.decode_jpeg(blob[:cut])
+
+
+# --- WebP lossless (VP8L) --------------------------------------------------
+
+
+def _vp8l_payload(blob: bytes) -> bytes:
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"WEBP" \
+        and blob[12:16] == b"VP8L"
+    ln = int.from_bytes(blob[16:20], "little")
+    return blob[20:20 + ln]
+
+
+def test_vp8l_round_trips_all_encoder_paths():
+    import numpy as np
+    from tempeh_parser_ray.functions import multimodal as mm
+    from tempeh_parser_ray.functions import vp8l
+
+    rng = np.random.RandomState(3)
+    cases = [rng.randint(0, 256, (rng.randint(1, 20),
+                                  rng.randint(1, 20), 4)
+                         ).astype(np.uint8) for _ in range(8)]
+    cases += [np.full((9, 13, 4), 200, np.uint8)]
+    two = np.zeros((8, 16, 4), np.uint8)
+    two[:, 8:] = 255
+    cases += [two, (rng.randint(0, 4, (12, 12, 4)) * 60
+                    ).astype(np.uint8)]
+    for img in cases:
+        for kw in ({}, {"use_runs": False}, {"cache_bits": 4},
+                   {"cache_bits": 8, "use_runs": False}):
+            blob = vp8l.encode_vp8l(img, **kw)
+            out = vp8l.decode_vp8l(_vp8l_payload(blob))
+            assert out is not None and (out == img).all(), kw
+            # the generic dispatcher takes the whole RIFF file
+            assert (mm.decode_image_pixels(blob) == img).all()
+            # header decode agrees on dims (VP8L 14-bit packed)
+            wh = mm.parse_image_header(blob)
+            assert wh is not None and (wh[0], wh[1]) == (
+                img.shape[1], img.shape[0])
+
+
+def test_vp8l_hostile_inputs_never_crash():
+    import numpy as np
+    from tempeh_parser_ray.functions import vp8l
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (11, 14, 4)).astype(np.uint8)
+    payload = _vp8l_payload(vp8l.encode_vp8l(img, cache_bits=5))
+    for cut in range(0, len(payload), 7):
+        vp8l.decode_vp8l(payload[:cut])          # must not raise
+    for pos in range(0, len(payload), 11):
+        b = bytearray(payload)
+        b[pos] ^= 0xA5
+        vp8l.decode_vp8l(bytes(b))
+    # wrong signature / version / transform-present bits
+    assert vp8l.decode_vp8l(b"") is None
+    assert vp8l.decode_vp8l(b"\x00" * 10) is None
