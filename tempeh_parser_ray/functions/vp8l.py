@@ -7,12 +7,12 @@ pixels, LZ77 backward references with prefix-coded length/distance
 extra bits (linear distance codes; the 120 2D-neighbor codes are
 parsed but rejected as out of tier rather than guessed), and the
 color cache (0x1e35a7bd multiplier hash, updated on every emitted
-pixel). Also out of tier (returns ``None``): the four pixel
-transforms (predictor / color / subtract-green / palette) and the
+pixel), plus the SUBTRACT_GREEN transform. Out of tier (returns
+``None``): the predictor / color / palette transforms and the
 entropy image (meta prefix codes) — their header bits are parsed and
 rejected explicitly, never misread.
 
-Encoder: emits the same subset — no transforms, distance-1 run
+Encoder: emits the same subset — optional subtract-green, distance-1 run
 backrefs for horizontal runs (linear distance code 121), optional
 color cache, canonical prefix codes written through the code-length
 code (zero runs via symbols 17/18). VP8L is lossless, so round trips
@@ -221,8 +221,15 @@ def _decode_vp8l(payload: bytes) -> Optional[np.ndarray]:
     rd.read(1)                                   # alpha hint
     if rd.read(3) != 0:                          # version
         return None
-    if rd.read(1):                               # any transform
-        return None
+    subtract_green = False
+    while rd.read(1):                            # transform list
+        ttype = rd.read(2)
+        if ttype == 2:                           # SUBTRACT_GREEN
+            if subtract_green:
+                return None                      # duplicate transform
+            subtract_green = True
+            continue
+        return None         # predictor/color/palette: out of tier
     cache_bits = 0
     if rd.read(1):                               # color cache
         cache_bits = rd.read(4)
@@ -282,10 +289,16 @@ def _decode_vp8l(payload: bytes) -> Optional[np.ndarray]:
 
     out = np.zeros((h, w, 4), np.uint8)
     flat = argb.reshape(h, w)
-    out[:, :, 0] = (flat >> 16) & 0xFF           # R
-    out[:, :, 1] = (flat >> 8) & 0xFF            # G
-    out[:, :, 2] = flat & 0xFF                   # B
-    out[:, :, 3] = (flat >> 24) & 0xFF           # A
+    g = ((flat >> 8) & 0xFF).astype(np.uint16)
+    r = ((flat >> 16) & 0xFF).astype(np.uint16)
+    b = (flat & 0xFF).astype(np.uint16)
+    if subtract_green:                           # inverse: add green
+        r = (r + g) & 0xFF
+        b = (b + g) & 0xFF
+    out[:, :, 0] = r.astype(np.uint8)
+    out[:, :, 1] = g.astype(np.uint8)
+    out[:, :, 2] = b.astype(np.uint8)
+    out[:, :, 3] = ((flat >> 24) & 0xFF).astype(np.uint8)
     return out
 
 
@@ -396,18 +409,27 @@ def _limited_code_lengths(freq: dict, max_len: int) -> dict[int, int]:
 
 
 def encode_vp8l(rgba: np.ndarray, *, use_runs: bool = True,
-                cache_bits: int = 0) -> bytes:
-    """(h, w, 4) uint8 RGBA -> full WebP file bytes (RIFF + VP8L),
-    transform-free tier; horizontal pixel runs become distance-1 LZ77
-    backrefs when ``use_runs``; ``cache_bits`` > 0 enables the color
-    cache (hits emitted whenever the current pixel is cached)."""
+                cache_bits: int = 0,
+                subtract_green: bool = False) -> bytes:
+    """(h, w, 4) uint8 RGBA -> full WebP file bytes (RIFF + VP8L);
+    horizontal pixel runs become distance-1 LZ77 backrefs when
+    ``use_runs``; ``cache_bits`` > 0 enables the color cache (hits
+    emitted whenever the current pixel is cached); ``subtract_green``
+    applies the SUBTRACT_GREEN transform (the one most real encoders
+    emit) before entropy coding."""
     rgba = np.asarray(rgba, np.uint8)
     h, w, nc = rgba.shape
     assert nc == 4, "encode_vp8l expects (h, w, 4) RGBA"
+    r16 = rgba[:, :, 0].astype(np.uint16)
+    g16 = rgba[:, :, 1].astype(np.uint16)
+    b16 = rgba[:, :, 2].astype(np.uint16)
+    if subtract_green:
+        r16 = (r16 - g16) & 0xFF
+        b16 = (b16 - g16) & 0xFF
     argb = (rgba[:, :, 3].astype(np.uint32) << 24) \
-        | (rgba[:, :, 0].astype(np.uint32) << 16) \
-        | (rgba[:, :, 1].astype(np.uint32) << 8) \
-        | rgba[:, :, 2].astype(np.uint32)
+        | (r16.astype(np.uint32) << 16) \
+        | (g16.astype(np.uint32) << 8) \
+        | b16.astype(np.uint32)
     flat = argb.reshape(-1)
     n_px = len(flat)
     cache_size = (1 << cache_bits) if cache_bits else 0
@@ -468,7 +490,10 @@ def encode_vp8l(rgba: np.ndarray, *, use_runs: bool = True,
     bw.write(h - 1, 14)
     bw.write(1 if bool((rgba[:, :, 3] != 255).any()) else 0, 1)
     bw.write(0, 3)                               # version
-    bw.write(0, 1)                               # no transforms
+    if subtract_green:
+        bw.write(1, 1)                           # transform present
+        bw.write(2, 2)                           # SUBTRACT_GREEN
+    bw.write(0, 1)                               # end of transforms
     if cache_bits:
         bw.write(1, 1)
         bw.write(cache_bits, 4)

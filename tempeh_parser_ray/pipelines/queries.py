@@ -4054,7 +4054,8 @@ def image_pixel_stats_webp(sf_dir: str) -> "ray.data.Dataset":
             img = ((x * 3 + y * 7 + ch * 11 + d) % 256).astype(np.uint8)
             blobs.append(_vp8l.encode_vp8l(
                 img, use_runs=(d % 2 == 0),
-                cache_bits=6 if d % 3 == 0 else 0))
+                cache_bits=6 if d % 3 == 0 else 0,
+                subtract_green=(d % 5 == 0)))
         return pa.table({
             "media_id": pa.array(ids, pa.int64()),
             "media": pa.array(blobs, pa.binary())})

@@ -497,7 +497,9 @@ def test_vp8l_round_trips_all_encoder_paths():
                     ).astype(np.uint8)]
     for img in cases:
         for kw in ({}, {"use_runs": False}, {"cache_bits": 4},
-                   {"cache_bits": 8, "use_runs": False}):
+                   {"cache_bits": 8, "use_runs": False},
+                   {"subtract_green": True},
+                   {"subtract_green": True, "cache_bits": 5}):
             blob = vp8l.encode_vp8l(img, **kw)
             out = vp8l.decode_vp8l(_vp8l_payload(blob))
             assert out is not None and (out == img).all(), kw
