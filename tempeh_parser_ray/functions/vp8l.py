@@ -7,10 +7,12 @@ pixels, LZ77 backward references with prefix-coded length/distance
 extra bits (linear distance codes; the 120 2D-neighbor codes are
 parsed but rejected as out of tier rather than guessed), and the
 color cache (0x1e35a7bd multiplier hash, updated on every emitted
-pixel), plus the SUBTRACT_GREEN transform. Out of tier (returns
-``None``): the predictor / color / palette transforms and the
-entropy image (meta prefix codes) — their header bits are parsed and
-rejected explicitly, never misread.
+pixel), the SUBTRACT_GREEN transform, and the COLOR_INDEXING
+(palette) transform in its unbundled tier (17-256 entries; the
+palette travels as a delta-coded entropy sub-image, per spec). Out of
+tier (returns ``None``): predictor / color transforms, small-palette
+pixel bundling, and the entropy image (meta prefix codes) — their
+header bits are parsed and rejected explicitly, never misread.
 
 Encoder: emits the same subset — optional subtract-green, distance-1 run
 backrefs for horizontal runs (linear distance code 121), optional
@@ -212,30 +214,18 @@ def decode_vp8l(payload: bytes) -> Optional[np.ndarray]:
         return None
 
 
-def _decode_vp8l(payload: bytes) -> Optional[np.ndarray]:
-    if len(payload) < 5 or payload[0] != 0x2F:
-        return None
-    rd = _LsbBitReader(payload[1:])
-    w = rd.read(14) + 1
-    h = rd.read(14) + 1
-    rd.read(1)                                   # alpha hint
-    if rd.read(3) != 0:                          # version
-        return None
-    subtract_green = False
-    while rd.read(1):                            # transform list
-        ttype = rd.read(2)
-        if ttype == 2:                           # SUBTRACT_GREEN
-            if subtract_green:
-                return None                      # duplicate transform
-            subtract_green = True
-            continue
-        return None         # predictor/color/palette: out of tier
+def _decode_image_stream(rd: _LsbBitReader, w: int, h: int,
+                         level0: bool) -> Optional[np.ndarray]:
+    """One VP8L entropy-coded image (spec DecodeImageStream): the
+    entropy-image bit exists only at level 0; transform sub-images
+    (e.g. the palette) recurse here with ``level0=False``. Returns the
+    flat uint32 ARGB array or ``None`` for out-of-tier features."""
     cache_bits = 0
     if rd.read(1):                               # color cache
         cache_bits = rd.read(4)
         if not 1 <= cache_bits <= 11:
             return None
-    if rd.read(1):                               # entropy image
+    if level0 and rd.read(1):                    # entropy image
         return None
     cache_size = (1 << cache_bits) if cache_bits else 0
     green = _read_prefix_code(rd, 256 + 24 + cache_size)
@@ -286,19 +276,70 @@ def _decode_vp8l(payload: bytes) -> Optional[np.ndarray]:
                 raise ValueError("cache symbol without cache")
             argb[i] = cache[sym - 256 - 24]
             i += 1
+    return argb
 
-    out = np.zeros((h, w, 4), np.uint8)
+
+def _decode_vp8l(payload: bytes) -> Optional[np.ndarray]:
+    if len(payload) < 5 or payload[0] != 0x2F:
+        return None
+    rd = _LsbBitReader(payload[1:])
+    w = rd.read(14) + 1
+    h = rd.read(14) + 1
+    rd.read(1)                                   # alpha hint
+    if rd.read(3) != 0:                          # version
+        return None
+    subtract_green = False
+    palette: Optional[np.ndarray] = None
+    while rd.read(1):                            # transform list
+        ttype = rd.read(2)
+        if ttype == 2:                           # SUBTRACT_GREEN
+            if subtract_green:
+                return None                      # duplicate transform
+            subtract_green = True
+            continue
+        if ttype == 3:                           # COLOR_INDEXING
+            if palette is not None or subtract_green:
+                return None      # combinations: out of tier
+            size = rd.read(8) + 1
+            if size <= 16:
+                return None      # pixel bundling: out of tier
+            deltas = _decode_image_stream(rd, size, 1, level0=False)
+            if deltas is None:
+                return None
+            # componentwise cumulative sum (entry 0 as coded)
+            pal = np.zeros((size, 4), np.uint16)
+            pal[:, 0] = (deltas >> 24) & 0xFF
+            pal[:, 1] = (deltas >> 16) & 0xFF
+            pal[:, 2] = (deltas >> 8) & 0xFF
+            pal[:, 3] = deltas & 0xFF
+            palette = np.cumsum(pal, axis=0).astype(np.uint16) & 0xFF
+            continue
+        return None             # predictor/color: out of tier
+
+    argb = _decode_image_stream(rd, w, h, level0=True)
+    if argb is None:
+        return None
     flat = argb.reshape(h, w)
     g = ((flat >> 8) & 0xFF).astype(np.uint16)
     r = ((flat >> 16) & 0xFF).astype(np.uint16)
     b = (flat & 0xFF).astype(np.uint16)
-    if subtract_green:                           # inverse: add green
+    a = ((flat >> 24) & 0xFF).astype(np.uint16)
+    if palette is not None:                      # inverse indexing
+        if int(g.max(initial=0)) >= len(palette):
+            raise ValueError("palette index out of range")
+        a = palette[g, 0]
+        r = palette[g, 1]
+        gg = palette[g, 2]
+        b = palette[g, 3]
+        g = gg
+    elif subtract_green:                         # inverse: add green
         r = (r + g) & 0xFF
         b = (b + g) & 0xFF
+    out = np.zeros((h, w, 4), np.uint8)
     out[:, :, 0] = r.astype(np.uint8)
     out[:, :, 1] = g.astype(np.uint8)
     out[:, :, 2] = b.astype(np.uint8)
-    out[:, :, 3] = ((flat >> 24) & 0xFF).astype(np.uint8)
+    out[:, :, 3] = a.astype(np.uint8)
     return out
 
 
@@ -408,34 +449,17 @@ def _limited_code_lengths(freq: dict, max_len: int) -> dict[int, int]:
     return lengths
 
 
-def encode_vp8l(rgba: np.ndarray, *, use_runs: bool = True,
-                cache_bits: int = 0,
-                subtract_green: bool = False) -> bytes:
-    """(h, w, 4) uint8 RGBA -> full WebP file bytes (RIFF + VP8L);
-    horizontal pixel runs become distance-1 LZ77 backrefs when
-    ``use_runs``; ``cache_bits`` > 0 enables the color cache (hits
-    emitted whenever the current pixel is cached); ``subtract_green``
-    applies the SUBTRACT_GREEN transform (the one most real encoders
-    emit) before entropy coding."""
-    rgba = np.asarray(rgba, np.uint8)
-    h, w, nc = rgba.shape
-    assert nc == 4, "encode_vp8l expects (h, w, 4) RGBA"
-    r16 = rgba[:, :, 0].astype(np.uint16)
-    g16 = rgba[:, :, 1].astype(np.uint16)
-    b16 = rgba[:, :, 2].astype(np.uint16)
-    if subtract_green:
-        r16 = (r16 - g16) & 0xFF
-        b16 = (b16 - g16) & 0xFF
-    argb = (rgba[:, :, 3].astype(np.uint32) << 24) \
-        | (r16.astype(np.uint32) << 16) \
-        | (g16.astype(np.uint32) << 8) \
-        | b16.astype(np.uint32)
-    flat = argb.reshape(-1)
+def _encode_image_stream(bw: _LsbBitWriter, flat: np.ndarray, *,
+                         use_runs: bool, cache_bits: int,
+                         level0: bool = False) -> None:
+    """Emit one entropy-coded image (cache bit + 5 prefix codes +
+    token stream) for a flat uint32 ARGB array — used for the main
+    image AND transform sub-images (palette)."""
     n_px = len(flat)
     cache_size = (1 << cache_bits) if cache_bits else 0
 
     # one modeling pass: tokens + symbol frequencies
-    tokens: list[tuple] = []                     # ('lit',px)/('run',n)/('hit',idx)
+    tokens: list[tuple] = []        # ('lit',px)/('run',n)/('hit',idx)
     cache = np.zeros(cache_size, np.uint32) if cache_size else None
     from collections import Counter
     gfreq: Counter = Counter()
@@ -485,23 +509,15 @@ def encode_vp8l(rgba: np.ndarray, *, use_runs: bool = True,
         if not fr:
             fr[0] = 1
 
-    bw = _LsbBitWriter()
-    bw.write(w - 1, 14)
-    bw.write(h - 1, 14)
-    bw.write(1 if bool((rgba[:, :, 3] != 255).any()) else 0, 1)
-    bw.write(0, 3)                               # version
-    if subtract_green:
-        bw.write(1, 1)                           # transform present
-        bw.write(2, 2)                           # SUBTRACT_GREEN
-    bw.write(0, 1)                               # end of transforms
     if cache_bits:
         bw.write(1, 1)
         bw.write(cache_bits, 4)
     else:
         bw.write(0, 1)
-    bw.write(0, 1)                               # no entropy image
+    if level0:
+        bw.write(0, 1)                           # no entropy image
 
-    def emit_code(freq: Counter, alphabet: int) -> dict[int, tuple]:
+    def emit_code(freq, alphabet: int) -> dict[int, tuple]:
         lengths = (_limited_code_lengths(freq, 15)
                    if len(freq) > 1 else {next(iter(freq)): 0})
         if len(lengths) == 1:
@@ -555,6 +571,81 @@ def encode_vp8l(rgba: np.ndarray, *, use_runs: bool = True,
                 bw.write(dextra, dnbits)
         else:                                    # cache hit
             put(gcodes, 256 + 24 + tok[1])
+
+
+def encode_vp8l(rgba: np.ndarray, *, use_runs: bool = True,
+                cache_bits: int = 0, subtract_green: bool = False,
+                palette: bool = False) -> bytes:
+    """(h, w, 4) uint8 RGBA -> full WebP file bytes (RIFF + VP8L);
+    horizontal pixel runs become distance-1 LZ77 backrefs when
+    ``use_runs``; ``cache_bits`` > 0 enables the color cache (hits
+    emitted whenever the current pixel is cached); ``subtract_green``
+    applies the SUBTRACT_GREEN transform (the one most real encoders
+    emit); ``palette`` applies COLOR_INDEXING when the image has
+    17-256 distinct colors (the unbundled tier — small palettes would
+    need pixel bundling) — the palette travels as a delta-coded
+    entropy sub-image, per spec."""
+    rgba = np.asarray(rgba, np.uint8)
+    h, w, nc = rgba.shape
+    assert nc == 4, "encode_vp8l expects (h, w, 4) RGBA"
+    assert not (palette and subtract_green), \
+        "one transform at a time in this tier"
+    argb_full = (rgba[:, :, 3].astype(np.uint32) << 24) \
+        | (rgba[:, :, 0].astype(np.uint32) << 16) \
+        | (rgba[:, :, 1].astype(np.uint32) << 8) \
+        | rgba[:, :, 2].astype(np.uint32)
+    flat = argb_full.reshape(-1)
+
+    pal: Optional[np.ndarray] = None
+    if palette:
+        uniq = np.unique(flat)
+        if not 17 <= len(uniq) <= 256:
+            raise ValueError(
+                f"palette tier needs 17-256 distinct colors, "
+                f"got {len(uniq)}")
+        pal = uniq
+        lut = {int(c): i for i, c in enumerate(uniq)}
+        flat = np.asarray([lut[int(c)] for c in flat],
+                          np.uint32) << 8      # index in GREEN
+    elif subtract_green:
+        r16 = rgba[:, :, 0].astype(np.uint16)
+        g16 = rgba[:, :, 1].astype(np.uint16)
+        b16 = rgba[:, :, 2].astype(np.uint16)
+        r16 = (r16 - g16) & 0xFF
+        b16 = (b16 - g16) & 0xFF
+        flat = ((rgba[:, :, 3].astype(np.uint32) << 24)
+                | (r16.astype(np.uint32) << 16)
+                | (g16.astype(np.uint32) << 8)
+                | b16.astype(np.uint32)).reshape(-1)
+
+    bw = _LsbBitWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(1 if bool((rgba[:, :, 3] != 255).any()) else 0, 1)
+    bw.write(0, 3)                               # version
+    if subtract_green:
+        bw.write(1, 1)                           # transform present
+        bw.write(2, 2)                           # SUBTRACT_GREEN
+    if pal is not None:
+        bw.write(1, 1)
+        bw.write(3, 2)                           # COLOR_INDEXING
+        bw.write(len(pal) - 1, 8)
+        # delta-code the palette componentwise, entry 0 as-is
+        comp = np.zeros((len(pal), 4), np.int64)
+        comp[:, 0] = (pal >> 24) & 0xFF
+        comp[:, 1] = (pal >> 16) & 0xFF
+        comp[:, 2] = (pal >> 8) & 0xFF
+        comp[:, 3] = pal & 0xFF
+        deltas = comp.copy()
+        deltas[1:] = (comp[1:] - comp[:-1]) & 0xFF
+        dflat = ((deltas[:, 0].astype(np.uint32) << 24)
+                 | (deltas[:, 1].astype(np.uint32) << 16)
+                 | (deltas[:, 2].astype(np.uint32) << 8)
+                 | deltas[:, 3].astype(np.uint32))
+        _encode_image_stream(bw, dflat, use_runs=False, cache_bits=0)
+    bw.write(0, 1)                               # end of transforms
+    _encode_image_stream(bw, flat, use_runs=use_runs,
+                         cache_bits=cache_bits, level0=True)
 
     payload = b"\x2f" + bw.flush()
     chunk = b"VP8L" + len(payload).to_bytes(4, "little") + payload

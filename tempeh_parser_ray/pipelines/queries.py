@@ -4052,10 +4052,17 @@ def image_pixel_stats_webp(sf_dir: str) -> "ray.data.Dataset":
             y = np.arange(h)[:, None, None]
             ch = np.arange(4)[None, None, :]
             img = ((x * 3 + y * 7 + ch * 11 + d) % 256).astype(np.uint8)
+            argb = ((img[:, :, 3].astype(np.uint32) << 24)
+                    | (img[:, :, 0].astype(np.uint32) << 16)
+                    | (img[:, :, 1].astype(np.uint32) << 8)
+                    | img[:, :, 2].astype(np.uint32))
+            n_colors = len(np.unique(argb))
+            use_pal = d % 7 == 0 and 17 <= n_colors <= 256
             blobs.append(_vp8l.encode_vp8l(
                 img, use_runs=(d % 2 == 0),
-                cache_bits=6 if d % 3 == 0 else 0,
-                subtract_green=(d % 5 == 0)))
+                cache_bits=6 if d % 3 == 0 and not use_pal else 0,
+                subtract_green=(d % 5 == 0 and not use_pal),
+                palette=use_pal))
         return pa.table({
             "media_id": pa.array(ids, pa.int64()),
             "media": pa.array(blobs, pa.binary())})

@@ -500,6 +500,7 @@ def test_vp8l_round_trips_all_encoder_paths():
                    {"cache_bits": 8, "use_runs": False},
                    {"subtract_green": True},
                    {"subtract_green": True, "cache_bits": 5}):
+            # (palette needs 17-256 distinct colors; tested below)
             blob = vp8l.encode_vp8l(img, **kw)
             out = vp8l.decode_vp8l(_vp8l_payload(blob))
             assert out is not None and (out == img).all(), kw
@@ -509,6 +510,37 @@ def test_vp8l_round_trips_all_encoder_paths():
             wh = mm.parse_image_header(blob)
             assert wh is not None and (wh[0], wh[1]) == (
                 img.shape[1], img.shape[0])
+
+
+def test_vp8l_palette_round_trips():
+    import numpy as np
+    from tempeh_parser_ray.functions import multimodal as mm
+    from tempeh_parser_ray.functions import vp8l
+
+    rng = np.random.RandomState(11)
+    pal_colors = rng.randint(0, 256, (40, 4)).astype(np.uint8)
+    img = pal_colors[rng.randint(0, 40, (15, 18))]
+    for kw in ({"palette": True}, {"palette": True, "cache_bits": 5},
+               {"palette": True, "use_runs": False}):
+        blob = vp8l.encode_vp8l(img, **kw)
+        out = vp8l.decode_vp8l(_vp8l_payload(blob))
+        assert out is not None and (out == img).all(), kw
+        assert (mm.decode_image_pixels(blob) == img).all()
+    # boundary palette sizes
+    for n in (17, 256):
+        cols = (np.arange(n, dtype=np.uint32) * 7919 + 1)
+        flat = cols[rng.randint(0, n, 12 * 22)]
+        im = np.zeros((12, 22, 4), np.uint8)
+        for ch, sh in ((0, 16), (1, 8), (2, 0), (3, 24)):
+            im[:, :, ch] = ((flat >> sh) & 0xFF).reshape(12, 22)
+        blob = vp8l.encode_vp8l(im, palette=True)
+        out = vp8l.decode_vp8l(_vp8l_payload(blob))
+        assert out is not None and (out == im).all(), n
+    # out-of-tier sizes raise at encode (bundling not emitted)
+    import pytest
+    small = np.zeros((4, 4, 4), np.uint8)
+    with pytest.raises(ValueError):
+        vp8l.encode_vp8l(small, palette=True)
 
 
 def test_vp8l_hostile_inputs_never_crash():
