@@ -7,12 +7,15 @@ pixels, LZ77 backward references with prefix-coded length/distance
 extra bits (linear distance codes; the 120 2D-neighbor codes are
 parsed but rejected as out of tier rather than guessed), and the
 color cache (0x1e35a7bd multiplier hash, updated on every emitted
-pixel), the SUBTRACT_GREEN transform, and the COLOR_INDEXING
-(palette) transform in its unbundled tier (17-256 entries; the
-palette travels as a delta-coded entropy sub-image, per spec). Out of
-tier (returns ``None``): predictor / color transforms, small-palette
-pixel bundling, and the entropy image (meta prefix codes) — their
-header bits are parsed and rejected explicitly, never misread.
+pixel), the SUBTRACT_GREEN transform, the COLOR_INDEXING (palette)
+transform in its unbundled tier (17-256 entries; the palette travels
+as a delta-coded entropy sub-image, per spec), and the PREDICTOR
+transform for modes {0, 1, 2, 4, 7} with a real per-block mode
+sub-image (16x16 blocks; spec edge rules). Out of tier (returns
+``None``): the remaining predictor modes, the color transform,
+small-palette pixel bundling, and the entropy image (meta prefix
+codes) — their header bits are parsed and rejected explicitly, never
+misread.
 
 Encoder: emits the same subset — optional subtract-green, distance-1 run
 backrefs for horizontal runs (linear distance code 121), optional
@@ -279,6 +282,84 @@ def _decode_image_stream(rd: _LsbBitReader, w: int, h: int,
     return argb
 
 
+def _unpack_px(px: int) -> np.ndarray:
+    return np.asarray([(px >> 24) & 0xFF, (px >> 16) & 0xFF,
+                       (px >> 8) & 0xFF, px & 0xFF], np.int64)
+
+
+def _pack_px(c: np.ndarray) -> int:
+    c = c & 0xFF
+    return (int(c[0]) << 24) | (int(c[1]) << 16) \
+        | (int(c[2]) << 8) | int(c[3])
+
+
+def _inverse_predictor(argb: np.ndarray, w: int, h: int,
+                       block_bits: int, modes: np.ndarray
+                       ) -> np.ndarray:
+    """Inverse PREDICTOR transform, supported-mode subset: each coded
+    pixel is a componentwise mod-256 DELTA from its prediction — mode
+    0 = 0xff000000, 1 = L, 2 = T, 4 = TL, 7 = avg2(L, T) (floor
+    average per component). Edge rules per spec: (0,0) predicts
+    0xff000000, the rest of row 0 predicts L, column 0 predicts T."""
+    out = argb.astype(np.int64).reshape(h, w)
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = np.asarray([255, 0, 0, 0], np.int64)
+            elif y == 0:
+                pred = _unpack_px(int(out[0, x - 1]))
+            elif x == 0:
+                pred = _unpack_px(int(out[y - 1, 0]))
+            else:
+                m = int(modes[y >> block_bits, x >> block_bits])
+                if m == 0:
+                    pred = np.asarray([255, 0, 0, 0], np.int64)
+                elif m == 1:
+                    pred = _unpack_px(int(out[y, x - 1]))
+                elif m == 2:
+                    pred = _unpack_px(int(out[y - 1, x]))
+                elif m == 4:
+                    pred = _unpack_px(int(out[y - 1, x - 1]))
+                else:                            # 7: avg2(L, T)
+                    pred = (_unpack_px(int(out[y, x - 1]))
+                            + _unpack_px(int(out[y - 1, x]))) >> 1
+            out[y, x] = _pack_px(_unpack_px(int(out[y, x])) + pred)
+    return out.reshape(-1).astype(np.uint32)
+
+
+def _forward_predictor(argb: np.ndarray, w: int, h: int,
+                       block_bits: int, modes: np.ndarray
+                       ) -> np.ndarray:
+    """Forward transform (encoder side): deltas against predictions
+    computed from the ORIGINAL pixels (the decoder reconstructs the
+    same values incrementally)."""
+    src = argb.astype(np.int64).reshape(h, w)
+    out = src.copy()
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = np.asarray([255, 0, 0, 0], np.int64)
+            elif y == 0:
+                pred = _unpack_px(int(src[0, x - 1]))
+            elif x == 0:
+                pred = _unpack_px(int(src[y - 1, 0]))
+            else:
+                m = int(modes[y >> block_bits, x >> block_bits])
+                if m == 0:
+                    pred = np.asarray([255, 0, 0, 0], np.int64)
+                elif m == 1:
+                    pred = _unpack_px(int(src[y, x - 1]))
+                elif m == 2:
+                    pred = _unpack_px(int(src[y - 1, x]))
+                elif m == 4:
+                    pred = _unpack_px(int(src[y - 1, x - 1]))
+                else:
+                    pred = (_unpack_px(int(src[y, x - 1]))
+                            + _unpack_px(int(src[y - 1, x]))) >> 1
+            out[y, x] = _pack_px(_unpack_px(int(src[y, x])) - pred)
+    return out.reshape(-1).astype(np.uint32)
+
+
 def _decode_vp8l(payload: bytes) -> Optional[np.ndarray]:
     if len(payload) < 5 or payload[0] != 0x2F:
         return None
@@ -290,15 +371,32 @@ def _decode_vp8l(payload: bytes) -> Optional[np.ndarray]:
         return None
     subtract_green = False
     palette: Optional[np.ndarray] = None
+    predictor: Optional[tuple] = None            # (block_bits, modes)
     while rd.read(1):                            # transform list
         ttype = rd.read(2)
+        if ttype == 0:                           # PREDICTOR
+            if predictor or subtract_green or palette is not None:
+                return None                      # combos: out of tier
+            block_bits = rd.read(3) + 2
+            bw_blocks = (w + (1 << block_bits) - 1) >> block_bits
+            bh_blocks = (h + (1 << block_bits) - 1) >> block_bits
+            mimg = _decode_image_stream(rd, bw_blocks, bh_blocks,
+                                        level0=False)
+            if mimg is None:
+                return None
+            modes = ((mimg >> 8) & 0xFF).reshape(bh_blocks, bw_blocks)
+            if not np.isin(modes, (0, 1, 2, 4, 7)).all():
+                return None      # other predictor modes: out of tier
+            predictor = (block_bits, modes.astype(np.int64))
+            continue
         if ttype == 2:                           # SUBTRACT_GREEN
             if subtract_green:
                 return None                      # duplicate transform
             subtract_green = True
             continue
         if ttype == 3:                           # COLOR_INDEXING
-            if palette is not None or subtract_green:
+            if palette is not None or subtract_green \
+                    or predictor is not None:
                 return None      # combinations: out of tier
             size = rd.read(8) + 1
             if size <= 16:
@@ -319,6 +417,8 @@ def _decode_vp8l(payload: bytes) -> Optional[np.ndarray]:
     argb = _decode_image_stream(rd, w, h, level0=True)
     if argb is None:
         return None
+    if predictor is not None:
+        argb = _inverse_predictor(argb, w, h, *predictor)
     flat = argb.reshape(h, w)
     g = ((flat >> 8) & 0xFF).astype(np.uint16)
     r = ((flat >> 16) & 0xFF).astype(np.uint16)
@@ -575,7 +675,8 @@ def _encode_image_stream(bw: _LsbBitWriter, flat: np.ndarray, *,
 
 def encode_vp8l(rgba: np.ndarray, *, use_runs: bool = True,
                 cache_bits: int = 0, subtract_green: bool = False,
-                palette: bool = False) -> bytes:
+                palette: bool = False,
+                predictor: bool = False) -> bytes:
     """(h, w, 4) uint8 RGBA -> full WebP file bytes (RIFF + VP8L);
     horizontal pixel runs become distance-1 LZ77 backrefs when
     ``use_runs``; ``cache_bits`` > 0 enables the color cache (hits
@@ -588,7 +689,7 @@ def encode_vp8l(rgba: np.ndarray, *, use_runs: bool = True,
     rgba = np.asarray(rgba, np.uint8)
     h, w, nc = rgba.shape
     assert nc == 4, "encode_vp8l expects (h, w, 4) RGBA"
-    assert not (palette and subtract_green), \
+    assert sum((palette, subtract_green, predictor)) <= 1, \
         "one transform at a time in this tier"
     argb_full = (rgba[:, :, 3].astype(np.uint32) << 24) \
         | (rgba[:, :, 0].astype(np.uint32) << 16) \
@@ -623,6 +724,23 @@ def encode_vp8l(rgba: np.ndarray, *, use_runs: bool = True,
     bw.write(h - 1, 14)
     bw.write(1 if bool((rgba[:, :, 3] != 255).any()) else 0, 1)
     bw.write(0, 3)                               # version
+    pred_modes = None
+    if predictor:
+        block_bits = 4                           # 16x16 blocks
+        bw_blocks = (w + 15) >> 4
+        bh_blocks = (h + 15) >> 4
+        # per-block mode cycles over the supported set — exercises the
+        # mode SUB-IMAGE path, not just a constant predictor
+        cycle = np.asarray([1, 2, 7, 4, 0], np.int64)
+        pred_modes = cycle[
+            (np.arange(bh_blocks)[:, None] * 3
+             + np.arange(bw_blocks)[None, :]) % 5]
+        bw.write(1, 1)
+        bw.write(0, 2)                           # PREDICTOR
+        bw.write(block_bits - 2, 3)
+        mflat = (pred_modes.astype(np.uint32) << 8).reshape(-1)
+        _encode_image_stream(bw, mflat, use_runs=False, cache_bits=0)
+        flat = _forward_predictor(flat, w, h, block_bits, pred_modes)
     if subtract_green:
         bw.write(1, 1)                           # transform present
         bw.write(2, 2)                           # SUBTRACT_GREEN

@@ -4058,11 +4058,13 @@ def image_pixel_stats_webp(sf_dir: str) -> "ray.data.Dataset":
                     | img[:, :, 2].astype(np.uint32))
             n_colors = len(np.unique(argb))
             use_pal = d % 7 == 0 and 17 <= n_colors <= 256
+            use_pred = d % 11 == 0 and not use_pal
             blobs.append(_vp8l.encode_vp8l(
                 img, use_runs=(d % 2 == 0),
                 cache_bits=6 if d % 3 == 0 and not use_pal else 0,
-                subtract_green=(d % 5 == 0 and not use_pal),
-                palette=use_pal))
+                subtract_green=(d % 5 == 0 and not use_pal
+                                and not use_pred),
+                palette=use_pal, predictor=use_pred))
         return pa.table({
             "media_id": pa.array(ids, pa.int64()),
             "media": pa.array(blobs, pa.binary())})

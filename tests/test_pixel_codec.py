@@ -543,6 +543,31 @@ def test_vp8l_palette_round_trips():
         vp8l.encode_vp8l(small, palette=True)
 
 
+def test_vp8l_predictor_round_trips():
+    import numpy as np
+    from tempeh_parser_ray.functions import vp8l
+
+    rng = np.random.RandomState(13)
+    for t in range(8):
+        img = rng.randint(0, 256, (rng.randint(1, 40),
+                                   rng.randint(1, 40), 4)
+                          ).astype(np.uint8)
+        for kw in ({"predictor": True},
+                   {"predictor": True, "cache_bits": 4},
+                   {"predictor": True, "use_runs": False}):
+            blob = vp8l.encode_vp8l(img, **kw)
+            out = vp8l.decode_vp8l(_vp8l_payload(blob))
+            assert out is not None and (out == img).all(), (t, kw)
+    # multi-block images exercise the mode sub-image (16x16 blocks)
+    g = np.zeros((33, 47, 4), np.uint8)
+    for ch in range(4):
+        g[:, :, ch] = (np.arange(47)[None, :] * 2
+                       + np.arange(33)[:, None] * 3 + ch) % 256
+    blob = vp8l.encode_vp8l(g, predictor=True)
+    out = vp8l.decode_vp8l(_vp8l_payload(blob))
+    assert out is not None and (out == g).all()
+
+
 def test_vp8l_hostile_inputs_never_crash():
     import numpy as np
     from tempeh_parser_ray.functions import vp8l
