@@ -30,6 +30,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # remainder are pinned by CORRECTNESS_r03 + the committed CHECK_r4 sweep.
     return {
         # round-4 additions (driver-uncovered by construction)
+        "vocab_coverage": _q.vocab_coverage,
         "image_pixel_stats_webp": _q.image_pixel_stats_webp,
         "orders_cube": _q.orders_cube,
         "doc_length_mad": _q.doc_length_mad,
@@ -1626,6 +1627,25 @@ def oracle_sql() -> dict[str, str]:
     # alternate-source queries share the base oracles (same output contract)
     d["extract_text_jsonl"] = d["extract_text"]
     d["extract_text_ipc"] = d["extract_text"]
+    d["vocab_coverage"] = f"""
+        -- rank words by (count DESC, word ASC); exact integer ppm
+        WITH wf AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT unnest({_TOKENS}) AS w FROM documents
+                  WHERE trim(text) <> '') GROUP BY w),
+        t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM wf),
+        r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, w ASC)
+                  AS rk FROM wf)
+        SELECT k.k, CAST(SUM(CASE WHEN r.rk <= k.k THEN r.n
+                                  ELSE 0 END) AS BIGINT) AS covered,
+               ANY_VALUE(t.total) AS total_tokens,
+               CAST(SUM(CASE WHEN r.rk <= k.k THEN r.n ELSE 0 END)
+                    * 1000000 // ANY_VALUE(t.total) AS BIGINT)
+                   AS coverage_ppm
+        FROM (VALUES (CAST(10 AS BIGINT)), (CAST(100 AS BIGINT)),
+                     (CAST(1000 AS BIGINT))) k(k), r, t
+        GROUP BY k.k ORDER BY k.k
+    """
     d["image_pixel_stats_webp"] = """
         -- VP8L is lossless: same closed form as the PNG-RGBA case
         WITH params AS (

@@ -4091,3 +4091,30 @@ def image_pixel_stats_webp(sf_dir: str) -> "ray.data.Dataset":
     return _documents(sf_dir, ["doc_id"]).map_batches(
         gen, batch_format="pyarrow").map_batches(
         decode, batch_format="pyarrow")
+
+
+def vocab_coverage(sf_dir: str) -> pa.Table:
+    """Tokenizer-vocabulary planning curve: what fraction of corpus
+    token OCCURRENCES the top-K words cover (the decision table for
+    vocab sizing / OOV budgeting). ONE corpus tokenize pass
+    (functions/textstats.py:word_frequencies — Counter partials,
+    vocab-bounded exchange), then a global bounded top-k aggregate
+    (state = k rows) + one Sum; coverage is exact integer ppm."""
+    wf = _ts.word_frequencies(
+        _documents(sf_dir, ["text"])).materialize()
+    total = int(wf.sum("sum(n)") or 0)
+    top = wf.aggregate(_topk.topk_rows_agg(
+        ["sum(n)", "word"], [("sum(n)", True), ("word", False)],
+        1000, name="top"))["top"]
+    counts = [int(r[0]) for r in top]
+    ks, covs, ppms = [], [], []
+    for k in (10, 100, 1000):
+        covered = sum(counts[:k])
+        ks.append(k)
+        covs.append(covered)
+        ppms.append(covered * 1_000_000 // total if total else 0)
+    return pa.table({
+        "k": pa.array(ks, pa.int64()),
+        "covered": pa.array(covs, pa.int64()),
+        "total_tokens": pa.array([total] * 3, pa.int64()),
+        "coverage_ppm": pa.array(ppms, pa.int64())})
