@@ -31,6 +31,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # round-4 additions (driver-uncovered by construction)
         "vocab_coverage": _q.vocab_coverage,
+        "token_quantiles_by_lang": _q.token_quantiles_by_lang,
         "image_pixel_stats_webp": _q.image_pixel_stats_webp,
         "orders_cube": _q.orders_cube,
         "doc_length_mad": _q.doc_length_mad,

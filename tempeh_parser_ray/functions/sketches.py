@@ -516,3 +516,47 @@ def sketch_quantiles(ds: "ray.data.Dataset", value_col: str,
     return pa.table({
         "q": pa.array(qs, pa.float64()),
         "estimate": pa.array(est, pa.float64())})
+
+
+def grouped_sketch_quantiles(ds: "ray.data.Dataset", group_col: str,
+                             value_col: str, qs: list[float],
+                             q_names: list[str]) -> pa.Table:
+    """Per-GROUP approximate quantiles via mergeable sketches: the map
+    side contributes one serialized sketch row per (group, block) —
+    in-batch grouping is a numpy argsort, no per-row Python — and ONE
+    ``groupby(group).aggregate(kll_merge)`` exchange moves kilobytes
+    per group regardless of row count. The streaming complement of
+    ``grouped_quantiles`` when the per-group value domain is too large
+    to histogram exactly."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = np.asarray(batch.column(group_col).to_pylist(),
+                       dtype=object)
+        v = batch.column(value_col).to_numpy(zero_copy_only=False
+                                             ).astype(np.float64)
+        order = np.argsort(g, kind="stable")
+        g, v = g[order], v[order]
+        bounds = np.flatnonzero(
+            np.concatenate(([True], g[1:] != g[:-1])))
+        out_g: list = []
+        out_s: list[bytes] = []
+        for i, s in enumerate(bounds):
+            e = bounds[i + 1] if i + 1 < len(bounds) else len(g)
+            out_g.append(g[s])
+            out_s.append(kll_serialize(kll_update(kll_new(), v[s:e])))
+        return pa.table({group_col: pa.array(out_g, pa.string()),
+                         "kll": pa.array(out_s, pa.binary())})
+
+    merged = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        group_col).aggregate(kll_merge_agg("kll", "kll")).take_all()
+    merged.sort(key=lambda r: r[group_col])
+    cols: dict = {group_col: [r[group_col] for r in merged]}
+    for nm in q_names:
+        cols[nm] = []
+    for r in merged:
+        est = kll_quantiles(kll_deserialize(r["kll"]), qs)
+        for nm, e in zip(q_names, est):
+            cols[nm].append(e)
+    return pa.table({group_col: pa.array(cols[group_col], pa.string()),
+                     **{nm: pa.array(cols[nm], pa.float64())
+                        for nm in q_names}})

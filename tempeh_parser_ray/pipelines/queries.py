@@ -4118,3 +4118,22 @@ def vocab_coverage(sf_dir: str) -> pa.Table:
         "covered": pa.array(covs, pa.int64()),
         "total_tokens": pa.array([total] * 3, pa.int64()),
         "coverage_ppm": pa.array(ppms, pa.int64())})
+
+
+def token_quantiles_by_lang(sf_dir: str) -> pa.Table:
+    """Per-language token-count quantiles via GROUPED mergeable
+    sketches (functions/sketches.py:grouped_sketch_quantiles): one
+    sketch row per (lang, block), ONE groupby(lang) merge exchange —
+    kilobytes per group at any corpus size. Rows-only by nature
+    (deterministic but merge-order-dependent compaction, like
+    token_quantiles_sketch); the per-group rank-error contract is
+    pytest-pinned."""
+    def counts(batch: pa.Table) -> pa.Table:
+        t = _ts.token_count_batch(batch)
+        return pa.table({"lang": batch.column("lang"),
+                         "n_tokens": t.column("n_tokens")})
+
+    ds = _documents(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        counts, batch_format="pyarrow")
+    return _sk.grouped_sketch_quantiles(
+        ds, "lang", "n_tokens", [0.1, 0.5, 0.9], ["p10", "p50", "p90"])

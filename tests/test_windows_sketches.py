@@ -497,3 +497,37 @@ def test_token_quantiles_sketch_matches_exact_small(ray_session):
         lo = np.searchsorted(counts, est, side="left") / n
         hi = np.searchsorted(counts, est, side="right") / n
         assert lo - 0.05 <= qq <= hi + 0.05, row
+
+
+def test_grouped_sketch_quantiles_rank_error(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from tempeh_parser_ray.functions.sketches import \
+        grouped_sketch_quantiles
+
+    rng = np.random.RandomState(2)
+    rows = []
+    for g, n in (("a", 3000), ("b", 800), ("c", 5)):
+        vals = rng.exponential(100, n)
+        rows += [{"g": g, "v": float(v)} for v in vals]
+    ds = ray.data.from_items(rows).repartition(7)
+    out = grouped_sketch_quantiles(ds, "g", "v", [0.1, 0.5, 0.9],
+                                   ["p10", "p50", "p90"])
+    got = {r["g"]: r for r in out.to_pylist()}
+    assert sorted(got) == ["a", "b", "c"]
+    # per-group rank error <= 5% for the big groups; exact-ish for tiny
+    byg = {}
+    for r in rows:
+        byg.setdefault(r["g"], []).append(r["v"])
+    for g, vals in byg.items():
+        vals = np.sort(vals)
+        for q, nm in ((0.1, "p10"), (0.5, "p50"), (0.9, "p90")):
+            est = got[g][nm]
+            rank = np.searchsorted(vals, est) / len(vals)
+            assert abs(rank - q) <= 0.06 or len(vals) < 50, (g, nm)
+    # deterministic: same input, same partitioning -> same estimates
+    out2 = grouped_sketch_quantiles(
+        ray.data.from_items(rows).repartition(7), "g", "v",
+        [0.1, 0.5, 0.9], ["p10", "p50", "p90"])
+    assert out2.to_pylist() == out.to_pylist()
