@@ -7,11 +7,13 @@ transform is an actor-pool ``map_batches`` stage whose Ray-side plumbing
 tested. The codec layer is REAL wherever the published formats need no
 external library — container-header decode for PNG/GIF/JPEG/BMP/WebP
 dims, full PIXEL decode for 8-bit PNG (stdlib zlib + all five row
-unfilters) and uncompressed BMP24, nearest-neighbor resize, WAV PCM16
+unfilters + indexed PLTE) and uncompressed BMP (24/32-bit, bottom-up
+AND top-down), nearest-neighbor resize, WAV PCM16
 sample decode (RIFF walk + int16 LE), and MP4 ``moov/mvhd`` duration
 (versions 0/1) — each verified bit-for-bit against closed-form SQL
 oracles plus encode->decode round-trip pytests. GIF pixels decode too
-(an in-repo LZW inflate), and JPEG gets a REAL transform decode —
+(an in-repo LZW inflate, sequential AND 4-pass interlaced), and JPEG
+gets a REAL transform decode —
 baseline sequential grayscale, 4:4:4 color, 4:2:0 subsampled color,
 AND full progressive (SOF2) grayscale — spectral selection, EOBn
 runs, AND successive-approximation refinement scans with correction
@@ -383,25 +385,39 @@ def decode_image_pixels(blob: bytes) -> Optional[np.ndarray]:
         w = int.from_bytes(blob[16:20], "big")
         h = int.from_bytes(blob[20:24], "big")
         depth, ct, il = blob[24], blob[25], blob[28]
-        if depth != 8 or ct not in (0, 2, 6) or il != 0 or not (w and h):
+        if depth != 8 or ct not in (0, 2, 3, 6) or il != 0 \
+                or not (w and h):
             return None
-        c = {0: 1, 2: 3, 6: 4}[ct]
+        c = {0: 1, 2: 3, 3: 1, 6: 4}[ct]
         idat = b""
+        plte: Optional[np.ndarray] = None
         p = 8
         while p + 8 <= n:
             ln = int.from_bytes(blob[p:p + 4], "big")
             typ = blob[p + 4:p + 8]
             if typ == b"IDAT":
                 idat += blob[p + 8:p + 8 + ln]
+            elif typ == b"PLTE":
+                if ln % 3 or ln > 768:
+                    return None
+                plte = np.frombuffer(
+                    blob, np.uint8, count=ln,
+                    offset=p + 8).reshape(-1, 3)
             elif typ == b"IEND":
                 break
             p += 12 + ln
-        if not idat:
+        if not idat or (ct == 3 and plte is None):
             return None
         try:
-            return _png_unfilter(zlib.decompress(idat), w, h, c)
+            img = _png_unfilter(zlib.decompress(idat), w, h, c)
         except (zlib.error, ValueError):
             return None
+        if ct == 3:                              # palette lookup
+            idx = img[:, :, 0].astype(np.int64)
+            if int(idx.max(initial=0)) >= len(plte):
+                return None
+            img = plte[idx]
+        return img
     if n >= 13 and blob[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif_pixels(blob)
     if n >= 54 and blob[:2] == b"BM":
@@ -410,18 +426,20 @@ def decode_image_pixels(blob: bytes) -> Optional[np.ndarray]:
         h = int.from_bytes(blob[22:26], "little", signed=True)
         bpp = int.from_bytes(blob[28:30], "little")
         comp = int.from_bytes(blob[30:34], "little")
-        if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        if bpp not in (24, 32) or comp != 0 or w <= 0 or h == 0:
             return None
-        flip = h > 0
+        nb = bpp // 8
+        flip = h > 0                       # positive h = bottom-up
         h = abs(h)
-        stride = (w * 3 + 3) & ~3
+        stride = (w * nb + 3) & ~3
         if off + stride * h > n:
             return None
         rows = np.frombuffer(blob, np.uint8,
                              count=stride * h, offset=off)
-        img = rows.reshape(h, stride)[:, :w * 3].reshape(h, w, 3)
+        img = rows.reshape(h, stride)[:, :w * nb].reshape(h, w, nb)
         img = img[::-1] if flip else img
-        return img[:, :, ::-1].copy()  # BGR -> RGB
+        # BGR(X) -> RGB; the 32-bit X byte is padding per BI_RGB
+        return img[:, :, 2::-1].copy()
     return None
 
 
@@ -460,15 +478,28 @@ def _png_filter_row(recon: np.ndarray, prev: np.ndarray, f: int,
     raise ValueError(f)
 
 
-def encode_png(img: np.ndarray, *, filter_mode: str = "cycle") -> bytes:
+def encode_png(img: np.ndarray, *, filter_mode: str = "cycle",
+               palette: bool = False) -> bytes:
     """Minimal REAL PNG encoder (8-bit gray/RGB/RGBA, non-interlaced)
     for deterministic test/synthetic payloads. ``filter_mode='cycle'``
     applies filter type ``y % 5`` per row so decoders must implement
-    ALL five unfilters; ``'none'`` writes filter 0 everywhere."""
+    ALL five unfilters; ``'none'`` writes filter 0 everywhere.
+    ``palette=True`` writes an indexed (color-type 3) image with a
+    PLTE chunk — requires RGB input with <= 256 distinct colors."""
     if img.ndim == 2:
         img = img[:, :, None]
+    plte_bytes = b""
+    if palette:
+        h, w, c = img.shape
+        assert c == 3, "palette PNG needs RGB input"
+        flat = img.reshape(-1, 3)
+        pal, inverse = np.unique(flat, axis=0, return_inverse=True)
+        if len(pal) > 256:
+            raise ValueError("palette PNG needs <= 256 colors")
+        plte_bytes = pal.astype(np.uint8).tobytes()
+        img = inverse.astype(np.uint8).reshape(h, w, 1)
     h, w, c = img.shape
-    ct = {1: 0, 3: 2, 4: 6}[c]
+    ct = 3 if palette else {1: 0, 3: 2, 4: 6}[c]
     arr = img.astype(np.int32).reshape(h, w * c)
     lines = []
     for y in range(h):
@@ -485,22 +516,43 @@ def encode_png(img: np.ndarray, *, filter_mode: str = "cycle") -> bytes:
 
     import struct
     ihdr = struct.pack(">II5B", w, h, 8, ct, 0, 0, 0)
-    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", raw) + chunk(b"IEND", b""))
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte_bytes:
+        out += chunk(b"PLTE", plte_bytes)
+    return out + chunk(b"IDAT", raw) + chunk(b"IEND", b"")
 
 
-def encode_bmp24(img: np.ndarray) -> bytes:
-    """Minimal REAL bottom-up 24-bit BMP encoder (RGB in, BGR rows out,
-    4-byte row padding) for deterministic test/synthetic payloads."""
+def encode_bmp24(img: np.ndarray, *, top_down: bool = False) -> bytes:
+    """Minimal REAL 24-bit BMP encoder (RGB in, BGR rows out, 4-byte
+    row padding); ``top_down=True`` writes a NEGATIVE-height header
+    with rows in natural order (the other legal row layout)."""
     import struct
     h, w, _ = img.shape
     stride = (w * 3 + 3) & ~3
     rows = np.zeros((h, stride), np.uint8)
-    rows[:, :w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)
+    src = img if top_down else img[::-1]
+    rows[:, :w * 3] = src[:, :, ::-1].reshape(h, w * 3)
     data = rows.tobytes()
     off = 54
     header = (b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
-              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+              + struct.pack("<IiiHHIIiiII", 40, w,
+                            -h if top_down else h, 1, 24, 0,
+                            len(data), 2835, 2835, 0, 0))
+    return header + data
+
+
+def encode_bmp32(img: np.ndarray, *, top_down: bool = False) -> bytes:
+    """Minimal REAL 32-bit BI_RGB BMP encoder (BGRX rows, X = 0)."""
+    import struct
+    h, w, _ = img.shape
+    rows = np.zeros((h, w, 4), np.uint8)
+    src = img if top_down else img[::-1]
+    rows[:, :, :3] = src[:, :, ::-1]
+    data = rows.tobytes()
+    off = 54
+    header = (b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+              + struct.pack("<IiiHHIIiiII", 40, w,
+                            -h if top_down else h, 1, 32, 0,
                             len(data), 2835, 2835, 0, 0))
     return header + data
 
@@ -762,8 +814,9 @@ def decode_gif_pixels(blob: bytes) -> Optional[np.ndarray]:
             w = int.from_bytes(blob[p + 5:p + 7], "little")
             h = int.from_bytes(blob[p + 7:p + 9], "little")
             iflags = blob[p + 9]
-            if iflags & 0xC0:  # local palette or interlace
+            if iflags & 0x80:  # local palette: out of tier
                 return None
+            interlaced = bool(iflags & 0x40)
             p += 10
             min_code = blob[p]
             if min_code > 11:
@@ -780,7 +833,13 @@ def decode_gif_pixels(blob: bytes) -> Optional[np.ndarray]:
             arr = np.asarray(idx[:w * h], np.int64)
             if (arr >= gct_size).any():
                 return None
-            return gct[arr].reshape(h, w, 3).copy()
+            img = gct[arr].reshape(h, w, 3).copy()
+            if interlaced:                       # 4-pass deinterlace
+                order = _gif_interlace_order(h)
+                out = np.zeros_like(img)
+                out[order] = img
+                return out
+            return img
         elif b0 == 0x3B:
             return None
         else:
@@ -788,12 +847,22 @@ def decode_gif_pixels(blob: bytes) -> Optional[np.ndarray]:
     return None
 
 
-def encode_gif(img: np.ndarray) -> bytes:
+def _gif_interlace_order(h: int) -> np.ndarray:
+    """Row transmission order of the GIF 4-pass interlace: rows
+    0,8,16.. then 4,12.. then 2,6,10.. then 1,3,5.."""
+    return np.concatenate([np.arange(0, h, 8), np.arange(4, h, 8),
+                           np.arange(2, h, 4), np.arange(1, h, 2)])
+
+
+def encode_gif(img: np.ndarray, *, interlace: bool = False) -> bytes:
     """Minimal REAL GIF87a writer (single frame, 256-entry global
     palette built from the image's distinct colors — caller must use
-    <= 256 distinct RGB colors)."""
+    <= 256 distinct RGB colors); ``interlace=True`` transmits rows in
+    the 4-pass interlaced order with the descriptor flag set."""
     import struct
     h, w, _ = img.shape
+    if interlace:
+        img = img[_gif_interlace_order(h)]
     flat = img.reshape(-1, 3)
     palette, inverse = np.unique(flat, axis=0, return_inverse=True)
     if len(palette) > 256:
@@ -808,7 +877,8 @@ def encode_gif(img: np.ndarray) -> bytes:
     out += b"GIF87a" + struct.pack("<HHBBB", w, h,
                                    0x80 | (bits - 1), 0, 0)
     out += pal.tobytes()
-    out += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h,
+                                  0x40 if interlace else 0)
     out += bytes([min_code])
     for i in range(0, len(lzw), 255):
         chunk = lzw[i:i + 255]

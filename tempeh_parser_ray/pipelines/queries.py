@@ -2028,13 +2028,26 @@ def image_pixel_stats(sf_dir: str) -> "ray.data.Dataset":
             ch = np.arange(c)[None, None, :]
             img = ((x * 3 + y * 7 + ch * 11 + d) % 256).astype(np.uint8)
             if fmt == 0:
+                # RGB pngs alternate direct color-type 2 and INDEXED
+                # color-type 3 (<= 208 pixels always fit a palette);
+                # both decode to identical pixels
                 blobs.append(_mm.encode_png(
-                    img if c > 1 else img[:, :, 0], filter_mode="cycle"))
+                    img if c > 1 else img[:, :, 0],
+                    filter_mode="cycle",
+                    palette=(c == 3 and (d // 8) % 2 == 1)))
             elif fmt == 1:
-                blobs.append(_mm.encode_bmp24(img))
+                # rotate bottom-up 24-bit / TOP-DOWN 24-bit / 32-bit
+                # BGRX layouts — one closed form, three decode paths
+                kind = (d // 4) % 3
+                blobs.append(
+                    _mm.encode_bmp24(img) if kind == 0
+                    else _mm.encode_bmp24(img, top_down=True)
+                    if kind == 1 else _mm.encode_bmp32(img))
             else:
-                # w*h <= 208 distinct colors: fits a GIF global palette
-                blobs.append(_mm.encode_gif(img))
+                # w*h <= 208 distinct colors: fits a GIF global
+                # palette; alternate sequential / 4-pass INTERLACED
+                blobs.append(_mm.encode_gif(
+                    img, interlace=((d // 4) % 2 == 1)))
         return pa.table({
             "media_id": pa.array(ids, pa.int64()),
             "media": pa.array(blobs, pa.binary()),

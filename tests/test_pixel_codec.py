@@ -138,13 +138,21 @@ def test_gif_via_generic_pixel_decoder():
     assert mm.parse_image_header(blob)[:2] == (4, 3)
 
 
-def test_gif_rejects_interlaced_and_local_palette():
-    img = np.zeros((2, 2, 3), np.uint8)
+def test_gif_rejects_local_palette_and_deinterlaces():
+    # interlace is now SUPPORTED: flipping the flag on a sequential
+    # stream decodes to the deinterlace permutation of its rows
+    img = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(4, 3, 3) % 5
     blob = bytearray(mm.encode_gif(img))
-    # image descriptor flags byte: offset = 13 + gct + 9
     gct = 2 << (blob[10] & 7)
     flag_off = 13 + gct * 3 + 9
-    blob[flag_off] = 0x40  # interlaced
+    blob[flag_off] = 0x40  # claim interlaced
+    got = mm.decode_gif_pixels(bytes(blob))
+    order = mm._gif_interlace_order(4)
+    want = np.zeros_like(img)
+    want[order] = img
+    assert got is not None and (got == want).all()
+    # local palette stays out of tier
+    blob[flag_off] = 0x80
     assert mm.decode_gif_pixels(bytes(blob)) is None
 
 
@@ -584,3 +592,56 @@ def test_vp8l_hostile_inputs_never_crash():
     # wrong signature / version / transform-present bits
     assert vp8l.decode_vp8l(b"") is None
     assert vp8l.decode_vp8l(b"\x00" * 10) is None
+
+
+def test_bmp_variants_round_trip():
+    import numpy as np
+    from tempeh_parser_ray.functions import multimodal as mm
+
+    rng = np.random.RandomState(1)
+    for h, w in ((1, 1), (7, 9), (5, 4)):
+        img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        for enc in (lambda i: mm.encode_bmp24(i),
+                    lambda i: mm.encode_bmp24(i, top_down=True),
+                    lambda i: mm.encode_bmp32(i),
+                    lambda i: mm.encode_bmp32(i, top_down=True)):
+            got = mm.decode_image_pixels(enc(img))
+            assert got is not None and (got == img).all(), (h, w)
+
+
+def test_png_palette_round_trip_and_bounds():
+    import numpy as np
+    import pytest
+    from tempeh_parser_ray.functions import multimodal as mm
+
+    rng = np.random.RandomState(1)
+    img = (rng.randint(0, 6, (9, 11, 3)) * 40).astype(np.uint8)
+    for fm in ("cycle", "none"):
+        got = mm.decode_image_pixels(
+            mm.encode_png(img, palette=True, filter_mode=fm))
+        assert (got == img).all()
+    with pytest.raises(ValueError):
+        mm.encode_png(rng.randint(0, 256, (32, 32, 3)
+                                  ).astype(np.uint8), palette=True)
+    # hostile: index beyond PLTE must return None, not crash
+    blob = bytearray(mm.encode_png(img, palette=True))
+    # find PLTE and truncate it to 1 entry (3 bytes): rewrite length
+    p = blob.index(b"PLTE") - 4
+    import struct, zlib as _z
+    old_len = int.from_bytes(blob[p:p + 4], "big")
+    data = bytes(blob[p + 8:p + 8 + 3])
+    new_chunk = (3).to_bytes(4, "big") + b"PLTE" + data + \
+        _z.crc32(b"PLTE" + data).to_bytes(4, "big")
+    blob2 = bytes(blob[:p]) + new_chunk + bytes(blob[p + 12 + old_len:])
+    assert mm.decode_image_pixels(blob2) is None
+
+
+def test_gif_interlace_round_trip():
+    import numpy as np
+    from tempeh_parser_ray.functions import multimodal as mm
+
+    rng = np.random.RandomState(1)
+    for h in (1, 2, 5, 8, 9, 13, 17):
+        img = (rng.randint(0, 5, (h, 11, 3)) * 50).astype(np.uint8)
+        got = mm.decode_image_pixels(mm.encode_gif(img, interlace=True))
+        assert got is not None and (got == img).all(), h
