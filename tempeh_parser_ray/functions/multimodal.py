@@ -8,7 +8,7 @@ tested. The codec layer is REAL wherever the published formats need no
 external library — container-header decode for PNG/GIF/JPEG/BMP/WebP
 dims, full PIXEL decode for 8-bit PNG (stdlib zlib + all five row
 unfilters + indexed PLTE) and uncompressed BMP (24/32-bit, bottom-up
-AND top-down), nearest-neighbor resize, WAV PCM16
+AND top-down), nearest-neighbor resize, WAV PCM 8/16/24-bit
 sample decode (RIFF walk + int16 LE), and MP4 ``moov/mvhd`` duration
 (versions 0/1) — each verified bit-for-bit against closed-form SQL
 oracles plus encode->decode round-trip pytests. GIF pixels decode too
@@ -560,11 +560,13 @@ def encode_bmp32(img: np.ndarray, *, top_down: bool = False) -> bytes:
 # --- REAL dependency-free audio codec (WAV PCM16) ------------------------
 
 
-def parse_wav_pcm16(blob: bytes) -> Optional[tuple[int, int, np.ndarray]]:
+def parse_wav_pcm(blob: bytes
+                  ) -> Optional[tuple[int, int, int, np.ndarray]]:
     """REAL WAV decode, no audio library: RIFF/WAVE container walk ->
-    (sample_rate, n_channels, int16 sample array) for PCM
-    (audio-format 1) 16-bit payloads; ``None`` for anything else
-    (compressed / float WAV falls back to the byte-feature stub)."""
+    (sample_rate, n_channels, bits, sample array) for PCM
+    (audio-format 1) payloads at 8 (unsigned, rebased to signed),
+    16 or 24 bits; ``None`` for anything else (compressed / float WAV
+    falls back to the byte-feature stub)."""
     n = len(blob)
     if n < 44 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
         return None
@@ -583,22 +585,63 @@ def parse_wav_pcm16(blob: bytes) -> Optional[tuple[int, int, np.ndarray]]:
         elif cid == b"data":
             data = body
         p += 8 + ln + (ln & 1)  # chunks are word-aligned
-    if fmt != 1 or bits != 16 or not channels or not rate \
-            or data is None:
+    if fmt != 1 or bits not in (8, 16, 24) or not channels \
+            or not rate or data is None:
         return None
-    samples = np.frombuffer(
-        data[:len(data) - (len(data) % 2)], dtype="<i2")
-    return rate, channels, samples
+    if bits == 16:
+        samples = np.frombuffer(
+            data[:len(data) - (len(data) % 2)],
+            dtype="<i2").astype(np.int32)
+    elif bits == 8:                              # unsigned, bias 128
+        samples = np.frombuffer(data, np.uint8).astype(np.int32) - 128
+    else:                                        # 24-bit LE signed
+        nb = len(data) - (len(data) % 3)
+        raw = np.frombuffer(data[:nb], np.uint8).reshape(-1, 3)
+        v = (raw[:, 0].astype(np.int32)
+             | (raw[:, 1].astype(np.int32) << 8)
+             | (raw[:, 2].astype(np.int32) << 16))
+        samples = np.where(v >= (1 << 23), v - (1 << 24), v)
+    return rate, channels, bits, samples
+
+
+def parse_wav_pcm16(blob: bytes) -> Optional[tuple[int, int, np.ndarray]]:
+    """16-bit-only wrapper (original contract)."""
+    out = parse_wav_pcm(blob)
+    if out is None or out[2] != 16:
+        return None
+    rate, channels, _, samples = out
+    return rate, channels, samples.astype(np.int16)
 
 
 def encode_wav_pcm16(samples: np.ndarray, *, rate: int = 16_000,
                      channels: int = 1) -> bytes:
     """Minimal REAL WAV writer (PCM16 little-endian) for deterministic
     test/synthetic payloads."""
+    return encode_wav_pcm(samples, bits=16, rate=rate,
+                          channels=channels)
+
+
+def encode_wav_pcm(samples: np.ndarray, *, bits: int = 16,
+                   rate: int = 16_000, channels: int = 1) -> bytes:
+    """Minimal REAL WAV writer at 8 (unsigned), 16 or 24 bits."""
     import struct
-    data = samples.astype("<i2").tobytes()
+    s = np.asarray(samples, np.int64)
+    if bits == 16:
+        data = s.astype("<i2").tobytes()
+    elif bits == 8:
+        data = (s + 128).astype(np.uint8).tobytes()
+    elif bits == 24:
+        v = np.where(s < 0, s + (1 << 24), s).astype(np.uint32)
+        raw = np.zeros((len(v), 3), np.uint8)
+        raw[:, 0] = v & 0xFF
+        raw[:, 1] = (v >> 8) & 0xFF
+        raw[:, 2] = (v >> 16) & 0xFF
+        data = raw.tobytes()
+    else:
+        raise ValueError(f"unsupported bit depth {bits}")
+    nb = bits // 8
     fmt = struct.pack("<HHIIHH", 1, channels, rate,
-                      rate * channels * 2, channels * 2, 16)
+                      rate * channels * nb, channels * nb, bits)
     return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
             + b"fmt " + struct.pack("<I", 16) + fmt
             + b"data" + struct.pack("<I", len(data)) + data)

@@ -2368,8 +2368,11 @@ def audio_pcm_stats(sf_dir: str) -> "ray.data.Dataset":
             n = 100 + d % 157
             s = ((np.arange(n) * 37 + d * 11) % 4096 - 2048).astype(
                 np.int16)
-            blobs.append(_mm.encode_wav_pcm16(
-                s, rate=8000 + (d % 4) * 4000, channels=1))
+            # alternate 16- and 24-bit containers: the SAME sample
+            # values decode from both, so the closed form is one
+            blobs.append(_mm.encode_wav_pcm(
+                s, bits=16 if d % 2 == 0 else 24,
+                rate=8000 + (d % 4) * 4000, channels=1))
         return pa.table({
             "media_id": pa.array(ids, pa.int64()),
             "media": pa.array(blobs, pa.binary()),
@@ -2379,7 +2382,7 @@ def audio_pcm_stats(sf_dir: str) -> "ray.data.Dataset":
         ids = batch.column("media_id").to_pylist()
         rates, counts, sum_abs, peaks, sum_sq = [], [], [], [], []
         for blob in batch.column("media").to_pylist():
-            rate, _ch, s = _mm.parse_wav_pcm16(blob)
+            rate, _ch, _bits, s = _mm.parse_wav_pcm(blob)
             a = np.abs(s.astype(np.int64))
             rates.append(rate)
             counts.append(len(s))

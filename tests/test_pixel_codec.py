@@ -645,3 +645,30 @@ def test_gif_interlace_round_trip():
         img = (rng.randint(0, 5, (h, 11, 3)) * 50).astype(np.uint8)
         got = mm.decode_image_pixels(mm.encode_gif(img, interlace=True))
         assert got is not None and (got == img).all(), h
+
+
+def test_wav_pcm_depths_round_trip():
+    import numpy as np
+    from tempeh_parser_ray.functions import multimodal as mm
+
+    rng = np.random.RandomState(2)
+    s16 = rng.randint(-2048, 2048, 200)
+    for bits in (16, 24):
+        out = mm.parse_wav_pcm(mm.encode_wav_pcm(s16, bits=bits))
+        assert out is not None and out[2] == bits \
+            and (out[3] == s16).all(), bits
+    s8 = rng.randint(-128, 128, 150)
+    out = mm.parse_wav_pcm(mm.encode_wav_pcm(s8, bits=8))
+    assert out is not None and out[2] == 8 and (out[3] == s8).all()
+    # 24-bit sign extremes
+    ext = np.asarray([-(1 << 23), (1 << 23) - 1, -1, 0, 1])
+    out = mm.parse_wav_pcm(mm.encode_wav_pcm(ext, bits=24))
+    assert (out[3] == ext).all()
+    # legacy wrapper: 16-bit only
+    assert mm.parse_wav_pcm16(mm.encode_wav_pcm(s8, bits=8)) is None
+    r = mm.parse_wav_pcm16(mm.encode_wav_pcm16(s16.astype(np.int16)))
+    assert r is not None and (r[2] == s16).all()
+    # hostile: truncated data chunks never raise
+    blob = mm.encode_wav_pcm(s16, bits=24)
+    for cut in range(0, len(blob), 17):
+        mm.parse_wav_pcm(blob[:cut])
