@@ -30,6 +30,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # remainder are pinned by CORRECTNESS_r03 + the committed CHECK_r4 sweep.
     return {
         # round-4 additions (driver-uncovered by construction)
+        "video_tracks": _q.video_tracks,
         "vocab_coverage": _q.vocab_coverage,
         "token_quantiles_by_lang": _q.token_quantiles_by_lang,
         "image_pixel_stats_webp": _q.image_pixel_stats_webp,
@@ -1628,6 +1629,18 @@ def oracle_sql() -> dict[str, str]:
     # alternate-source queries share the base oracles (same output contract)
     d["extract_text_jsonl"] = d["extract_text"]
     d["extract_text_ipc"] = d["extract_text"]
+    d["video_tracks"] = """
+        -- handler sets cycle by doc_id%3: (vide), (vide,soun),
+        -- (vide,soun,vide); duration_ms = 1000*d // 1000
+        SELECT doc_id AS media_id,
+               CAST(CASE doc_id % 3 WHEN 2 THEN 2 ELSE 1 END
+                    AS BIGINT) AS n_video,
+               CAST(CASE WHEN doc_id % 3 >= 1 THEN 1 ELSE 0 END
+                    AS BIGINT) AS n_audio,
+               CAST(1000 * (doc_id * 31 + 7) // 1000 AS BIGINT)
+                   AS duration_ms
+        FROM documents ORDER BY doc_id
+    """
     d["vocab_coverage"] = f"""
         -- rank words by (count DESC, word ASC); exact integer ppm
         WITH wf AS (

@@ -697,11 +697,61 @@ def parse_mp4_mvhd(blob: bytes) -> Optional[tuple[int, int, int]]:
     return timescale, duration, 1000 * duration // timescale
 
 
+def parse_mp4_tracks(blob: bytes) -> Optional[list[str]]:
+    """REAL MP4 track inventory: walk every ``moov/trak/mdia/hdlr``
+    box and return the handler fourccs in file order (e.g.
+    ``["vide", "soun"]``) — the track census a media-curation pipeline
+    filters on before any sample decode. ``None`` for non-ISO-BMFF
+    payloads; a valid container with no tracks yields ``[]``."""
+    n = len(blob)
+
+    def boxes(lo: int, hi: int):
+        p = lo
+        while p + 8 <= hi:
+            ln = int.from_bytes(blob[p:p + 4], "big")
+            typ = blob[p + 4:p + 8]
+            if ln == 1:
+                if p + 16 > hi:
+                    return
+                ln = int.from_bytes(blob[p + 8:p + 16], "big")
+                body = p + 16
+            else:
+                body = p + 8
+            if ln < 8 or p + ln > hi:
+                return
+            yield typ, body, p + ln
+            p += ln
+
+    if not any(t == b"ftyp" for t, _, _ in boxes(0, n)):
+        return None
+    out: list[str] = []
+    for t, lo, hi in boxes(0, n):
+        if t != b"moov":
+            continue
+        for t2, lo2, hi2 in boxes(lo, hi):
+            if t2 != b"trak":
+                continue
+            for t3, lo3, hi3 in boxes(lo2, hi2):
+                if t3 != b"mdia":
+                    continue
+                for t4, lo4, hi4 in boxes(lo3, hi3):
+                    if t4 == b"hdlr" and lo4 + 12 <= hi4:
+                        # fullbox: version/flags, pre_defined, handler
+                        out.append(blob[lo4 + 8:lo4 + 12].decode(
+                            "latin1"))
+    return out
+
+
+def _mp4_box(typ: bytes, body: bytes) -> bytes:
+    return (len(body) + 8).to_bytes(4, "big") + typ + body
+
+
 def encode_mp4_stub(*, timescale: int, duration: int,
-                    version: int = 0) -> bytes:
-    """Minimal REAL ISO-BMFF skeleton (ftyp + moov/mvhd) carrying the
-    given timescale/duration, for deterministic test payloads."""
-    ftyp = b"ftyp" + b"isom" + (0).to_bytes(4, "big") + b"isomiso2"
+                    version: int = 0,
+                    handlers: tuple = ()) -> bytes:
+    """Minimal REAL ISO-BMFF skeleton (ftyp + moov/mvhd, plus one
+    trak/mdia/hdlr per entry of ``handlers``) carrying the given
+    timescale/duration, for deterministic test payloads."""
     if version == 1:
         mvhd_body = (bytes([1, 0, 0, 0]) + b"\x00" * 16
                      + timescale.to_bytes(4, "big")
@@ -710,13 +760,14 @@ def encode_mp4_stub(*, timescale: int, duration: int,
         mvhd_body = (bytes([0, 0, 0, 0]) + b"\x00" * 8
                      + timescale.to_bytes(4, "big")
                      + duration.to_bytes(4, "big") + b"\x00" * 80)
-    mvhd = b"mvhd" + mvhd_body
-    # box size counts the 4-byte size field itself plus the type tag
-    # already inside each buffer
-    moov_inner = (len(mvhd) + 4).to_bytes(4, "big") + mvhd
-    moov = b"moov" + moov_inner
-    return ((len(ftyp) + 4).to_bytes(4, "big") + ftyp
-            + (len(moov) + 4).to_bytes(4, "big") + moov)
+    moov_inner = _mp4_box(b"mvhd", mvhd_body)
+    for h in handlers:
+        hdlr = _mp4_box(b"hdlr", b"\x00" * 8
+                        + h.encode("latin1")[:4].ljust(4, b" ")
+                        + b"\x00" * 12)
+        moov_inner += _mp4_box(b"trak", _mp4_box(b"mdia", hdlr))
+    ftyp_body = b"isom" + (0).to_bytes(4, "big") + b"isomiso2"
+    return _mp4_box(b"ftyp", ftyp_body) + _mp4_box(b"moov", moov_inner)
 
 
 # --- REAL dependency-free GIF codec (LZW) --------------------------------

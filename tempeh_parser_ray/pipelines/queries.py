@@ -4153,3 +4153,41 @@ def token_quantiles_by_lang(sf_dir: str) -> pa.Table:
         counts, batch_format="pyarrow")
     return _sk.grouped_sketch_quantiles(
         ds, "lang", "n_tokens", [0.1, 0.5, 0.9], ["p10", "p50", "p90"])
+
+
+def video_tracks(sf_dir: str) -> "ray.data.Dataset":
+    """REAL video track inventory, no media library: ISO-BMFF payloads
+    carrying deterministic trak/mdia/hdlr trees are walked back by
+    functions/multimodal.py:parse_mp4_tracks — the track census
+    (n_video/n_audio) media-curation filters on before any sample
+    decode. Handler sets cycle by doc_id%3; duration rides the same
+    mvhd parse as video_duration."""
+    handlers_by_mod = (("vide",), ("vide", "soun"),
+                       ("vide", "soun", "vide"))
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        blobs = [_mm.encode_mp4_stub(
+            timescale=1000, duration=d * 31 + 7, version=d % 2,
+            handlers=handlers_by_mod[d % 3]) for d in ids]
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "media": pa.array(blobs, pa.binary())})
+
+    def decode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        nv, na, ms = [], [], []
+        for blob in batch.column("media").to_pylist():
+            tracks = _mm.parse_mp4_tracks(blob) or []
+            nv.append(sum(1 for t in tracks if t == "vide"))
+            na.append(sum(1 for t in tracks if t == "soun"))
+            ms.append(_mm.parse_mp4_mvhd(blob)[2])
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "n_video": pa.array(nv, pa.int64()),
+            "n_audio": pa.array(na, pa.int64()),
+            "duration_ms": pa.array(ms, pa.int64())})
+
+    return _documents(sf_dir, ["doc_id"]).map_batches(
+        gen, batch_format="pyarrow").map_batches(
+        decode, batch_format="pyarrow")

@@ -672,3 +672,17 @@ def test_wav_pcm_depths_round_trip():
     blob = mm.encode_wav_pcm(s16, bits=24)
     for cut in range(0, len(blob), 17):
         mm.parse_wav_pcm(blob[:cut])
+
+
+def test_mp4_track_inventory():
+    from tempeh_parser_ray.functions import multimodal as mm
+
+    blob = mm.encode_mp4_stub(timescale=1000, duration=5,
+                              handlers=("vide", "soun", "vide"))
+    assert mm.parse_mp4_tracks(blob) == ["vide", "soun", "vide"]
+    assert mm.parse_mp4_mvhd(blob) is not None  # mvhd still reachable
+    assert mm.parse_mp4_tracks(
+        mm.encode_mp4_stub(timescale=1, duration=1)) == []
+    assert mm.parse_mp4_tracks(b"garbage") is None
+    for cut in range(0, len(blob), 9):
+        mm.parse_mp4_tracks(blob[:cut])  # must not raise
