@@ -30,6 +30,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # remainder are pinned by CORRECTNESS_r03 + the committed CHECK_r4 sweep.
     return {
         # round-4 additions (driver-uncovered by construction)
+        "doc_novelty": _q.doc_novelty,
+        "source_dedup_rate": _q.source_dedup_rate,
         "video_tracks": _q.video_tracks,
         "vocab_coverage": _q.vocab_coverage,
         "token_quantiles_by_lang": _q.token_quantiles_by_lang,
@@ -1629,6 +1631,44 @@ def oracle_sql() -> dict[str, str]:
     # alternate-source queries share the base oracles (same output contract)
     d["extract_text_jsonl"] = d["extract_text"]
     d["extract_text_ipc"] = d["extract_text"]
+    d["doc_novelty"] = f"""
+        -- first-occurrence distinct 5-grams under doc_id order
+        WITH toks AS (
+            SELECT doc_id, {_TOKENS} AS t FROM documents
+            WHERE trim(text) <> ''),
+        g AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(list_slice(t, i, i + 4), ' ')
+                       AS gram
+            FROM (SELECT doc_id, t,
+                         unnest(generate_series(1, len(t) - 4)) AS i
+                  FROM toks)),
+        f AS (SELECT gram, MIN(doc_id) AS doc_id FROM g GROUP BY gram),
+        num AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_first
+                FROM f GROUP BY doc_id),
+        den AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct
+                FROM g GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(num.n_first, 0) AS BIGINT) AS n_first,
+               CAST(COALESCE(den.n_distinct, 0) AS BIGINT)
+                   AS n_distinct,
+               CAST(CASE WHEN COALESCE(den.n_distinct, 0) = 0 THEN 0
+                    ELSE 100 * COALESCE(num.n_first, 0)
+                         // den.n_distinct END AS BIGINT)
+                   AS novelty_pct
+        FROM documents d LEFT JOIN num USING (doc_id)
+                         LEFT JOIN den USING (doc_id)
+        ORDER BY d.doc_id
+    """
+    d["source_dedup_rate"] = """
+        WITH fp AS (SELECT source, md5(COALESCE(text, '')) AS f
+                    FROM documents)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT f) AS BIGINT) AS n_distinct,
+               CAST(100 * (COUNT(*) - COUNT(DISTINCT f))
+                    // COUNT(*) AS BIGINT) AS dup_pct
+        FROM fp GROUP BY source ORDER BY source
+    """
     d["video_tracks"] = """
         -- handler sets cycle by doc_id%3: (vide), (vide,soun),
         -- (vide,soun,vide); duration_ms = 1000*d // 1000

@@ -4191,3 +4191,117 @@ def video_tracks(sf_dir: str) -> "ray.data.Dataset":
     return _documents(sf_dir, ["doc_id"]).map_batches(
         gen, batch_format="pyarrow").map_batches(
         decode, batch_format="pyarrow")
+
+
+def doc_novelty(sf_dir: str) -> "ray.data.Dataset":
+    """Per-document NOVELTY under doc_id order (the
+    contribution-aware sampling signal: how many of a doc's distinct
+    5-grams appear in NO earlier document — i.e. this doc is their
+    corpus-first occurrence). JOIN-FREE, three pure aggregate
+    exchanges over 8-byte gram fingerprints (text never shuffles):
+    distinct (doc, gfp) pairs -> groupby(gfp).Min(doc_id) (winners)
+    -> the numerator is just groupby(first_doc).count; numerator,
+    denominator and an all-docs zero row UNION into one final
+    groupby(doc).sum. novelty_pct is exact integer."""
+    import pandas as pd
+    from collections import Counter
+    width = 5
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id: list[int] = []
+        grams: list[str] = []
+        for i, t in zip(ids, texts):
+            toks = _ts.tokenize(t)
+            n = max(len(toks) - width + 1, 0)
+            if not n:
+                continue
+            uniq = set(" ".join(toks[j:j + width]) for j in range(n))
+            out_id.extend([int(i)] * len(uniq))
+            grams.extend(uniq)
+        fp = pd.util.hash_array(
+            np.asarray(grams, dtype=object)).astype(np.int64) \
+            if grams else np.zeros(0, np.int64)
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "gfp": pa.array(fp, pa.int64())})
+
+    g = _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        pairs, batch_format="pyarrow").materialize()
+    num = g.groupby("gfp").aggregate(
+        ray.data.aggregate.Min("doc_id")).map_batches(
+        lambda b: pa.table({
+            "doc_id": b.column("min(doc_id)").cast(pa.int64())}),
+        batch_format="pyarrow").groupby("doc_id").count().map_batches(
+        lambda b: pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_first": b.column("count()").cast(pa.int64()),
+            "n_distinct": pa.array([0] * b.num_rows, pa.int64())}),
+        batch_format="pyarrow")
+    den = g.groupby("doc_id").count().map_batches(
+        lambda b: pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_first": pa.array([0] * b.num_rows, pa.int64()),
+            "n_distinct": b.column("count()").cast(pa.int64())}),
+        batch_format="pyarrow")
+    zeros = _documents(sf_dir, ["doc_id"]).map_batches(
+        lambda b: pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_first": pa.array([0] * b.num_rows, pa.int64()),
+            "n_distinct": pa.array([0] * b.num_rows, pa.int64())}),
+        batch_format="pyarrow")
+    agg = num.union(den).union(zeros).groupby("doc_id").aggregate(
+        ray.data.aggregate.Sum("n_first"),
+        ray.data.aggregate.Sum("n_distinct"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        nf = batch.column("sum(n_first)").cast(pa.int64()
+                                               ).to_numpy(False)
+        nd = batch.column("sum(n_distinct)").cast(pa.int64()
+                                                  ).to_numpy(False)
+        pct = np.where(nd > 0, 100 * nf // np.maximum(nd, 1), 0)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_first": pa.array(nf, pa.int64()),
+            "n_distinct": pa.array(nd, pa.int64()),
+            "novelty_pct": pa.array(pct, pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def source_dedup_rate(sf_dir: str) -> pa.Table:
+    """Per-source exact-duplicate rate — the curation dashboard's
+    first column (which feeds are copy-heavy): docs vs distinct
+    content fingerprints per source, dup_pct exact integer. Two pure
+    aggregates ((source, fp) distinct then per-source counts); the
+    final table is |sources|-bounded."""
+    import hashlib
+
+    def fps(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table({
+            "source": batch.column("source"),
+            "fp": pa.array(
+                [hashlib.md5((t or "").encode()).hexdigest()
+                 for t in texts], pa.string())})
+
+    pairs = _documents(sf_dir, ["source", "text"]).map_batches(
+        fps, batch_format="pyarrow")
+    distinct = pairs.groupby(["source", "fp"]).count().map_batches(
+        lambda b: pa.table({"source": b.column("source")}),
+        batch_format="pyarrow").groupby("source").count().take_all()
+    totals = _documents(sf_dir, ["source"]).groupby(
+        "source").count().take_all()
+    nd = {r["source"]: r["count()"] for r in distinct}
+    nt = {r["source"]: r["count()"] for r in totals}
+    srcs = sorted(nt)
+    return pa.table({
+        "source": pa.array(srcs, pa.string()),
+        "n_docs": pa.array([nt[s] for s in srcs], pa.int64()),
+        "n_distinct": pa.array([nd.get(s, 0) for s in srcs],
+                               pa.int64()),
+        "dup_pct": pa.array(
+            [100 * (nt[s] - nd.get(s, 0)) // nt[s] if nt[s] else 0
+             for s in srcs], pa.int64())})
