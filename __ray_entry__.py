@@ -30,6 +30,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # remainder are pinned by CORRECTNESS_r03 + the committed CHECK_r4 sweep.
     return {
         # round-4 additions (driver-uncovered by construction)
+        "corpus_summary": _q.corpus_summary,
         "doc_novelty": _q.doc_novelty,
         "source_dedup_rate": _q.source_dedup_rate,
         "video_tracks": _q.video_tracks,
@@ -1631,6 +1632,18 @@ def oracle_sql() -> dict[str, str]:
     # alternate-source queries share the base oracles (same output contract)
     d["extract_text_jsonl"] = d["extract_text"]
     d["extract_text_ipc"] = d["extract_text"]
+    d["corpus_summary"] = f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len({_TOKENS}) END) AS BIGINT)
+                   AS n_tokens,
+               CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(COUNT(*) - COUNT(DISTINCT md5(COALESCE(text, '')))
+                    AS BIGINT) AS n_duplicates
+        FROM documents
+    """
     d["doc_novelty"] = f"""
         -- first-occurrence distinct 5-grams under doc_id order
         WITH toks AS (

@@ -4305,3 +4305,41 @@ def source_dedup_rate(sf_dir: str) -> pa.Table:
         "dup_pct": pa.array(
             [100 * (nt[s] - nd.get(s, 0)) // nt[s] if nt[s] else 0
              for s in srcs], pa.int64())})
+
+
+def corpus_summary(sf_dir: str) -> pa.Table:
+    """The dataset-card census — the one-row summary every released
+    corpus ships with: doc/token/char totals, distinct langs/sources,
+    exact duplicate count. ONE map pass emits per-block partial rows
+    (counts + small distinct sets ride as md5 fps through the dedup
+    machinery); totals come from bounded pure aggregates only."""
+    import hashlib
+
+    def project(batch: pa.Table) -> pa.Table:
+        t = _ts.token_count_batch(batch)
+        texts = batch.column("text").to_pylist()
+        return pa.table({
+            "lang": batch.column("lang"),
+            "source": batch.column("source"),
+            "n_tokens": t.column("n_tokens"),
+            "n_chars": pc.utf8_length(
+                batch.column("text")).cast(pa.int64()),
+            "fp": pa.array(
+                [hashlib.md5((x or "").encode()).hexdigest()
+                 for x in texts], pa.string())})
+
+    ds = _documents(sf_dir, ["doc_id", "text", "lang", "source"]
+                    ).map_batches(project,
+                                  batch_format="pyarrow").materialize()
+    n_docs = ds.count()
+    sums = ds.sum(["n_tokens", "n_chars"])
+    n_langs = ds.groupby("lang").count().count()
+    n_sources = ds.groupby("source").count().count()
+    n_distinct = ds.groupby("fp").count().count()
+    return pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "n_tokens": pa.array([int(sums["sum(n_tokens)"])], pa.int64()),
+        "n_chars": pa.array([int(sums["sum(n_chars)"])], pa.int64()),
+        "n_langs": pa.array([n_langs], pa.int64()),
+        "n_sources": pa.array([n_sources], pa.int64()),
+        "n_duplicates": pa.array([n_docs - n_distinct], pa.int64())})
