@@ -688,16 +688,17 @@ def _dsir_bucket(tok: str, n_buckets: int) -> int:
     """md5-low-32 hashing-trick bucket (the SQL oracle's
     ``('0x'||substr(md5(tok),1,8))::UBIGINT % B``); per-process memo —
     corpora repeat tokens heavily, so the md5 cost amortizes to one
-    hash per distinct token per worker."""
-    b = _DSIR_BUCKET_CACHE.get(tok)
-    if b is None:
+    hash per distinct token per worker. The memo stores the RAW 32-bit
+    hash (``% n_buckets`` applied at lookup) so two calls with
+    different ``n_buckets`` in the same worker never alias."""
+    h = _DSIR_BUCKET_CACHE.get(tok)
+    if h is None:
         import hashlib
 
-        b = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:8],
-                16) % n_buckets
+        h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:8], 16)
         if len(_DSIR_BUCKET_CACHE) < 2_000_000:
-            _DSIR_BUCKET_CACHE[tok] = b
-    return b
+            _DSIR_BUCKET_CACHE[tok] = h
+    return h % n_buckets
 
 
 def dsir_weights(docs: "ray.data.Dataset", target_lang: str = "en",

@@ -207,10 +207,17 @@ def canonicalize_url_batch(arr: pa.Array | pa.ChunkedArray,
     Two frontier entries that differ only in tracking decoration
     collapse to one canonical key (the dedup step every crawler runs
     before the fetch queue; Common Crawl's URL normalizer does the
-    same strip)."""
+    same strip). The utm match is anchored to a ``?``/``&`` separator
+    (which the replacement preserves) so a non-tracking param whose
+    name merely CONTAINS ``utm_`` (``?xutm_a=1``) survives; a run of
+    consecutive utm params is consumed in one match so the second of
+    ``?utm_a=1&utm_b=2`` cannot hide behind the first's eaten ``&``."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     x = pc.replace_substring_regex(arr, r"#.*$", "")
-    x = pc.replace_substring_regex(x, r"utm_[A-Za-z0-9_]*=[^&#]*&?", "")
+    x = pc.replace_substring_regex(
+        x,
+        r"([?&])utm_[A-Za-z0-9_]*=[^&#]*(?:&utm_[A-Za-z0-9_]*=[^&#]*)*&?",
+        r"\1")
     x = pc.replace_substring_regex(x, r"[?&]$", "")
     return x

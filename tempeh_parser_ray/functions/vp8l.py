@@ -577,6 +577,12 @@ def _encode_image_stream(bw: _LsbBitWriter, flat: np.ndarray, *,
                 j += 1
             run = j - i
         if run >= 3:
+            # cap each backref at 4096 — the max the VP8L length code
+            # represents (symbol 23); longer runs would alias the
+            # color-cache symbol range. The remainder re-enters the
+            # loop: >=3 re-detects as another run, 1-2 px fall through
+            # to the literal/cache path naturally.
+            run = min(run, 4096)
             lsym, _, _ = _prefix_code_for_value(run)
             tokens.append(("run", run))
             gfreq[256 + lsym] += 1

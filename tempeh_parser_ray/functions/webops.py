@@ -242,9 +242,16 @@ def robots_filter(frontier: "ray.data.Dataset",
             "_rx": pa.array(rxs, pa.string())})
 
     rules_ds = robots_by_domain.map_batches(explode, batch_format="pyarrow")
-    joined = frontier.join(rules_ds, join_type="left_outer",
-                           num_partitions=num_partitions,
-                           on=(domain_col,))
+    # Dedup-with-count BEFORE the rules join so (a) exact-duplicate
+    # frontier rows survive to the output (re-expanded in finish —
+    # same one-row-per-input contract as the broadcast path) and
+    # (b) the join fans out once per DISTINCT row, not per duplicate.
+    carry = list(frontier.schema().names)
+    counted = frontier.groupby(carry).aggregate(
+        ray.data.aggregate.Count())
+    joined = counted.join(rules_ds, join_type="left_outer",
+                          num_partitions=num_partitions,
+                          on=(domain_col,))
 
     def score(batch: pa.Table) -> pa.Table:
         paths = _combined(batch.column(path_col))
@@ -262,15 +269,21 @@ def robots_filter(frontier: "ray.data.Dataset",
         return t.append_column("_key", pa.array(keys, pa.int64()))
 
     scored = joined.map_batches(score, batch_format="pyarrow")
-    carry = [c for c in frontier.schema().names]
-    agg = scored.groupby(carry).aggregate(ray.data.aggregate.Max("_key"))
+    agg = scored.groupby(carry + ["count()"]).aggregate(
+        ray.data.aggregate.Max("_key"))
 
     def finish(batch: pa.Table) -> pa.Table:
         k = batch.column("max(_key)")
         allowed = pc.or_(pc.less(k, 0),
                          pc.equal(pc.bit_wise_and(k, 1), 1))
-        return batch.drop_columns(["max(_key)"]).append_column(
+        t = batch.drop_columns(["max(_key)"]).append_column(
             "allowed", allowed)
+        reps = t.column("count()").to_numpy(zero_copy_only=False)
+        t = t.drop_columns(["count()"])
+        if (reps == 1).all():
+            return t
+        return t.take(pa.array(
+            np.repeat(np.arange(len(reps)), reps), pa.int64()))
 
     return agg.map_batches(finish, batch_format="pyarrow")
 

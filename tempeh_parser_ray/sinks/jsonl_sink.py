@@ -60,8 +60,12 @@ def write_jsonl_sharded(ds: "ray.data.Dataset", out_dir: str | Path,
         if batch.num_rows == 0:
             return stats_schema.empty_table()
         if key_col in batch.column_names:
-            key_src = batch.column(key_col).to_numpy(
-                zero_copy_only=False).tobytes()
+            # hash canonical VALUE bytes — numpy tobytes() on an
+            # object-dtype (string) column would serialize pointers,
+            # making names nondeterministic across runs
+            key_src = "|".join(
+                str(v) for v in batch.column(key_col).to_pylist()
+            ).encode("utf-8")
         else:  # deterministic fallback: hash the serialized payload
             key_src = b"|".join(
                 str(c).encode() for c in batch.columns)

@@ -520,6 +520,30 @@ def test_vp8l_round_trips_all_encoder_paths():
                 img.shape[1], img.shape[0])
 
 
+def test_vp8l_long_runs_cap_at_4096():
+    # LZ77 runs longer than 4096 px must split into multiple backrefs
+    # (length symbol 23 is the VP8L max); a solid 70x70 = 4899-px run
+    # previously emitted green symbol 280, aliasing the color cache
+    import numpy as np
+    from tempeh_parser_ray.functions import vp8l
+
+    for cb in (0, 5):
+        for sz in (70, 100):
+            img = np.full((sz, sz, 4), 77, np.uint8)
+            img[..., 3] = 255
+            blob = vp8l.encode_vp8l(img, use_runs=True, cache_bits=cb)
+            out = vp8l.decode_vp8l(_vp8l_payload(blob))
+            assert out is not None and (out == img).all(), (cb, sz)
+    # >4096 run embedded mid-image, remainder 1-2 px falls to literals
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 255, (80, 80, 4), dtype=np.uint8)
+    img[10:75] = 123
+    for cb in (0, 4):
+        blob = vp8l.encode_vp8l(img, use_runs=True, cache_bits=cb)
+        out = vp8l.decode_vp8l(_vp8l_payload(blob))
+        assert out is not None and (out == img).all(), cb
+
+
 def test_vp8l_palette_round_trips():
     import numpy as np
     from tempeh_parser_ray.functions import multimodal as mm

@@ -1183,6 +1183,11 @@ def test_canonicalize_url_tracking_strip():
         ("https://a/p?utm_a=1&utm_b=2", "https://a/p"),
         ("https://a/p?q=1&utm_a=2&r=3", "https://a/p?q=1&r=3"),
         ("https://a/p?utm_a=1#f", "https://a/p"),
+        # separator-anchored: a param whose name merely CONTAINS utm_
+        # must survive; consecutive utm runs mid-query collapse cleanly
+        ("https://a/p?xutm_a=1", "https://a/p?xutm_a=1"),
+        ("https://a/p?q=1&utm_a=2&utm_b=3&r=4", "https://a/p?q=1&r=4"),
+        ("https://a/p?utm_a=1&q=2&utm_b=3", "https://a/p?q=2"),
         ("", ""),
         (None, None),
     ]
@@ -1263,6 +1268,37 @@ def test_jsonl_sink_round_trip_idempotent_and_pruned(ray_session, tmp_path):
     ).fetchone()[0]
     assert n == 9
     assert json.loads((out / "manifest.json").read_text())["n_rows"] == 9
+
+
+def test_jsonl_sink_string_key_names_deterministic(ray_session, tmp_path):
+    # shard names hash canonical VALUE bytes — a string key column
+    # must give the same file set across runs (object-dtype
+    # .tobytes() would have hashed pointers)
+    import ray
+    from tempeh_parser_ray.sinks.jsonl_sink import write_jsonl_sharded
+
+    rows = [{"url": f"https://x/{i}", "text": f"t{i}"}
+            for i in range(23)]
+    ds = ray.data.from_items(rows).repartition(3)
+    out1, out2 = tmp_path / "a", tmp_path / "b"
+    m1 = write_jsonl_sharded(ds, out1, key_col="url")
+    m2 = write_jsonl_sharded(ds, out2, key_col="url")
+    assert sorted(s["file"] for s in m1["shards"]) \
+        == sorted(s["file"] for s in m2["shards"])
+    assert m1["n_rows"] == 23
+
+
+def test_dsir_bucket_cache_independent_of_n_buckets():
+    # the per-process memo stores the raw 32-bit hash, so a second
+    # call with a DIFFERENT n_buckets must not reuse stale mod values
+    import hashlib
+
+    from tempeh_parser_ray.functions.curation import _dsir_bucket
+
+    raw = int(hashlib.md5(b"needle").hexdigest()[:8], 16)
+    assert _dsir_bucket("needle", 1024) == raw % 1024
+    assert _dsir_bucket("needle", 7) == raw % 7
+    assert _dsir_bucket("needle", 1024) == raw % 1024
 
 
 def test_resolve_url_batch_differential_vs_urljoin():

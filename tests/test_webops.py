@@ -126,6 +126,30 @@ def test_robots_filter_broadcast_vs_join_paths_equal(frontier_and_robots):
     assert d[20] is False and d[1] is True
 
 
+def test_robots_filter_duplicate_rows_survive_both_paths(
+        frontier_and_robots, ray_session):
+    # exact-duplicate frontier rows must each produce an output row in
+    # BOTH paths (one-row-per-input contract); the distributed path
+    # re-expands via the count() carried through the argmax groupby
+    import ray.data
+
+    _, robots = frontier_and_robots
+    frontier = ray.data.from_arrow(pa.table({
+        "registered_domain": pa.array(
+            ["d0.com"] * 3 + ["d1.com"] * 2, pa.string()),
+        "path": pa.array(["/s0/p9"] * 3 + ["/s1/p7"] * 2,
+                         pa.string()),
+    }))
+    for limit in (1_000_000, 0):
+        out = web.robots_filter(frontier, robots,
+                                broadcast_limit=limit,
+                                num_partitions=2).take_all()
+        rows = sorted((r["registered_domain"], r["path"],
+                       bool(r["allowed"])) for r in out)
+        assert rows == [("d0.com", "/s0/p9", False)] * 3 \
+            + [("d1.com", "/s1/p7", False)] * 2
+
+
 def test_keep_latest_broadcast_vs_join_paths_equal(ray_session):
     import ray.data
 
