@@ -1349,16 +1349,48 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY rank <= 5
             ORDER BY query_id, rank
         """,
+        # REAL-decode closed form: images cycle PNG/BMP/GIF/JPEG/VP8L
+        # by doc_id%5 with pixel values as integer functions of
+        # (doc_id, x, y, ch); top_bin is the argmax 16-bin histogram
+        # bucket (value // 16), lowest bin on ties
         "multimodal_features": """
-            SELECT doc_id AS media_id,
-                   CAST(GREATEST(CAST(FLOOR(SQRT(octet_length(
-                        encode(text)))) AS INTEGER), 1) AS INTEGER) AS width,
-                   CAST(GREATEST(octet_length(encode(text)) //
-                        GREATEST(CAST(FLOOR(SQRT(octet_length(encode(text))))
-                                 AS BIGINT), 1), 1) AS INTEGER) AS height,
-                   CAST(3 AS INTEGER) AS channels,
-                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-            FROM documents
+            WITH params AS (
+                SELECT doc_id AS media_id,
+                       4 + doc_id % 13 AS width,
+                       3 + doc_id % 11 AS height,
+                       doc_id % 5 AS fmt,
+                       CASE WHEN doc_id % 5 = 3 THEN 1
+                            WHEN doc_id % 5 = 4 THEN 4
+                            WHEN doc_id % 5 = 0 THEN
+                                 CASE (doc_id // 5) % 3 WHEN 0 THEN 1
+                                      WHEN 1 THEN 3 ELSE 4 END
+                            ELSE 3 END AS channels
+                FROM documents),
+            px AS (
+                SELECT media_id,
+                       (CASE WHEN fmt = 3
+                             THEN ((x//8)*5 + (y//8)*9
+                                   + media_id*3) % 256
+                             ELSE (x*3 + y*7 + ch*11
+                                   + media_id) % 256
+                        END) // 16 AS bin
+                FROM params, range(16) rx(x), range(13) ry(y),
+                     range(4) rc(ch)
+                WHERE x < width AND y < height AND ch < channels),
+            bc AS (SELECT media_id, bin, COUNT(*) AS n
+                   FROM px GROUP BY media_id, bin),
+            top AS (SELECT media_id, bin, n,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY media_id
+                               ORDER BY n DESC, bin ASC) AS rn
+                    FROM bc)
+            SELECT p.media_id, CAST(p.width AS BIGINT) AS width,
+                   CAST(p.height AS BIGINT) AS height,
+                   CAST(p.channels AS BIGINT) AS channels,
+                   CAST(t.bin AS BIGINT) AS top_bin,
+                   CAST(t.n AS BIGINT) AS top_bin_count
+            FROM params p
+            JOIN top t ON p.media_id = t.media_id AND t.rn = 1
         """,
         # closed form of the real container-header decode: payloads
         # cycle PNG/GIF/JPEG/BMP/WebP-VP8X by doc_id%5 with
@@ -1516,20 +1548,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM documents
             WHERE ((doc_id * 2654435761) % 4294967296) % 100 < 10
         """,
+        # REAL WAV-PCM closed form: same sample law as audio_pcm_stats
+        # framed into 64-sample windows (GROUP BY i // 64)
         "audio_features": """
-            SELECT doc_id AS media_id,
-                   CAST(LEAST(CEIL(octet_length(encode(text)) / 256.0), 64)
-                        AS BIGINT) AS n_windows,
-                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-            FROM documents
+            WITH params AS (
+                SELECT doc_id AS media_id,
+                       CAST(8000 + (doc_id % 4) * 4000 AS BIGINT)
+                           AS sample_rate,
+                       100 + doc_id % 157 AS n FROM documents),
+            s AS (
+                SELECT media_id, i // 64 AS w,
+                       ABS((i*37 + media_id*11) % 4096 - 2048) AS a
+                FROM params, range(257) r(i) WHERE i < n),
+            wins AS (SELECT media_id, w, SUM(a) AS e
+                     FROM s GROUP BY media_id, w)
+            SELECT p.media_id, p.sample_rate,
+                   CAST(p.n AS BIGINT) AS n_samples,
+                   CAST(COUNT(*) AS BIGINT) AS n_windows,
+                   CAST(SUM(wins.e) AS BIGINT) AS energy_sum,
+                   CAST(MAX(wins.e) AS BIGINT) AS peak_window
+            FROM params p JOIN wins USING (media_id)
+            GROUP BY p.media_id, p.sample_rate, p.n
         """,
+        # REAL resize closed form: same image law as image_pixel_stats
+        # (doc_id%4 format cycle) resized 16x16 nearest-neighbor —
+        # source index = (target_index * src_dim) // 16
         "media_resize": """
-            SELECT doc_id AS media_id,
-                   CAST(16 AS INTEGER) AS width,
-                   CAST(16 AS INTEGER) AS height,
-                   CAST(1 AS INTEGER) AS channels,
-                   CAST(256 AS BIGINT) AS n_bytes_out
-            FROM documents
+            WITH params AS (
+                SELECT doc_id AS media_id,
+                       4 + doc_id % 13 AS width,
+                       3 + doc_id % 11 AS height,
+                       doc_id % 4 AS fmt,
+                       CASE WHEN doc_id % 4 = 0 THEN
+                            CASE (doc_id // 4) % 3 WHEN 0 THEN 1
+                                 WHEN 1 THEN 3 ELSE 4 END
+                            WHEN doc_id % 4 = 3 THEN 1
+                       ELSE 3 END AS channels
+                FROM documents),
+            rz AS (
+                SELECT media_id,
+                       SUM(CASE WHEN fmt = 3
+                           THEN ((((x*width)//16)//8)*5
+                                 + (((y*height)//16)//8)*9
+                                 + media_id*3) % 256
+                           ELSE (((x*width)//16)*3
+                                 + (((y*height)//16))*7
+                                 + ch*11 + media_id) % 256
+                           END) AS resized_sum
+                FROM params, range(16) rx(x), range(16) ry(y),
+                     range(4) rc(ch)
+                WHERE ch < channels
+                GROUP BY media_id)
+            SELECT p.media_id,
+                   CAST(16 AS BIGINT) AS width,
+                   CAST(16 AS BIGINT) AS height,
+                   CAST(p.channels AS BIGINT) AS channels,
+                   CAST(256 * p.channels AS BIGINT) AS n_bytes_out,
+                   CAST(rz.resized_sum AS BIGINT) AS resized_sum
+            FROM params p JOIN rz USING (media_id)
         """,
         "events_asof_join": """
             WITH p AS (SELECT event_id, user_id, ts FROM events

@@ -230,12 +230,12 @@ class FrameSampleBatch:
 
 
 class ResizeStubBatch:
-    """Actor-pool stage: deterministic stand-in for an image resize to
-    ``(target, target)`` — downsamples the byte stream by striding so
-    output size is exactly ``target*target*channels`` bytes (zero-padded
-    when the source is smaller). The Ray-side contract (binary in,
-    fixed-size binary out + dims) matches what a real PIL/cv2 resize
-    stage would ship."""
+    """EXPLICIT FALLBACK stage (not the real operator — that is
+    :class:`ResizeImageBatch` below, which runs the dependency-free
+    pixel codecs): deterministic byte-stride stand-in for payloads no
+    codec covers — strides the byte stream so output size is exactly
+    ``target*target*channels`` bytes (zero-padded when the source is
+    smaller)."""
 
     def __init__(self, target: int = 64, channels: int = 3,
                  media_col: str = "media", id_col: str = "media_id"):
@@ -269,12 +269,11 @@ class ResizeStubBatch:
 
 
 class AudioFeatureStubBatch:
-    """Actor-pool stage: deterministic stand-in for audio feature
-    extraction (e.g. per-frame RMS). Frames the byte stream into
-    fixed-size windows and emits one mean-byte 'energy' per window —
-    the Ray-side contract (binary in, list<float> frame features +
-    counts out) matches a real librosa/torchaudio stage; swap the
-    window statistic for the codec call when the library exists."""
+    """EXPLICIT FALLBACK stage (not the real operator — that is
+    :class:`AudioFrameEnergyBatch` below, which parses real WAV PCM):
+    deterministic byte-window stand-in for payloads ``parse_wav_pcm``
+    cannot decode — frames the raw byte stream into fixed windows and
+    emits one mean-byte 'energy' per window."""
 
     def __init__(self, window: int = 256, max_windows: int = 64,
                  media_col: str = "media", id_col: str = "media_id"):
@@ -450,6 +449,115 @@ def resize_nearest(img: np.ndarray, tw: int, th: int) -> np.ndarray:
     yi = (np.arange(th, dtype=np.int64) * h) // th
     xi = (np.arange(tw, dtype=np.int64) * w) // tw
     return img[yi][:, xi]
+
+
+class ResizeImageBatch:
+    """Actor-pool stage: REAL pixel decode (``decode_image_pixels`` —
+    PNG/BMP/GIF/JPEG/WebP-VP8L tiers) + nearest-neighbor resize to
+    ``(target, target)``; emits the resized pixel bytes, true source
+    channel count and the integer resized pixel sum (SQL-checkable
+    closed form). Undecodable payloads raise ``ValueError`` unless
+    ``fallback_stub=True``, which degrades that row to the documented
+    :class:`ResizeStubBatch` byte-striding semantics (channels=0 marks
+    the fallback)."""
+
+    def __init__(self, target: int = 64, media_col: str = "media",
+                 id_col: str = "media_id", fallback_stub: bool = False):
+        self.target = target
+        self.media_col = media_col
+        self.id_col = id_col
+        self.fallback_stub = fallback_stub
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = self.target
+        out: list[bytes] = []
+        chans: list[int] = []
+        sums: list[int] = []
+        for cell in batch.column(self.media_col).to_pylist():
+            img = decode_image_pixels(cell or b"")
+            if img is None:
+                if not self.fallback_stub:
+                    raise ValueError(
+                        "undecodable media payload; pass "
+                        "fallback_stub=True for byte-striding output")
+                data = cell or b""
+                want = t * t
+                if len(data) >= want:
+                    idx = np.linspace(0, len(data) - 1, want,
+                                      dtype=np.int64)
+                    r = np.frombuffer(data, np.uint8)[idx]
+                else:
+                    r = np.frombuffer(
+                        data + b"\x00" * (want - len(data)), np.uint8)
+                out.append(r.tobytes())
+                chans.append(0)
+                sums.append(int(r.astype(np.int64).sum()))
+                continue
+            r = resize_nearest(img, t, t)
+            out.append(r.tobytes())
+            chans.append(img.shape[2])
+            sums.append(int(r.astype(np.int64).sum()))
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "resized": pa.array(out, pa.binary()),
+            "width": pa.array([t] * batch.num_rows, pa.int32()),
+            "height": pa.array([t] * batch.num_rows, pa.int32()),
+            "channels": pa.array(chans, pa.int32()),
+            "n_bytes_out": pa.array([len(b) for b in out], pa.int64()),
+            "resized_sum": pa.array(sums, pa.int64()),
+        })
+
+
+class AudioFrameEnergyBatch:
+    """Actor-pool stage: REAL WAV PCM parse (``parse_wav_pcm`` — 8/16/
+    24-bit RIFF walk) + per-window integer energy (sum of |sample| per
+    ``window``-sample frame) — the librosa-RMS shape with an exact
+    closed form. Non-PCM payloads raise ``ValueError`` unless
+    ``fallback_stub=True``, which degrades that row to the documented
+    :class:`AudioFeatureStubBatch` mean-byte semantics
+    (sample_rate=0 marks the fallback)."""
+
+    def __init__(self, window: int = 64, media_col: str = "media",
+                 id_col: str = "media_id", fallback_stub: bool = False):
+        self.window = window
+        self.media_col = media_col
+        self.id_col = id_col
+        self.fallback_stub = fallback_stub
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = self.window
+        rates: list[int] = []
+        counts: list[int] = []
+        feats: list[list[int]] = []
+        for cell in batch.column(self.media_col).to_pylist():
+            parsed = parse_wav_pcm(cell or b"")
+            if parsed is None:
+                if not self.fallback_stub:
+                    raise ValueError(
+                        "non-PCM media payload; pass fallback_stub="
+                        "True for byte-window output")
+                arr = np.frombuffer(cell or b"", np.uint8)
+                k = max(0, -(-len(arr) // w))
+                feats.append([int(arr[i * w:(i + 1) * w]
+                                  .astype(np.int64).sum())
+                              for i in range(k)])
+                rates.append(0)
+                counts.append(len(arr))
+                continue
+            rate, _ch, _bits, s = parsed
+            a = np.abs(s.astype(np.int64))
+            k = -(-len(a) // w) if len(a) else 0
+            feats.append([int(a[i * w:(i + 1) * w].sum())
+                          for i in range(k)])
+            rates.append(rate)
+            counts.append(len(a))
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "sample_rate": pa.array(rates, pa.int64()),
+            "n_samples": pa.array(counts, pa.int64()),
+            "n_windows": pa.array([len(f) for f in feats], pa.int64()),
+            "frame_energy": pa.array(feats, pa.list_(pa.int64())),
+        })
 
 
 def _png_filter_row(recon: np.ndarray, prev: np.ndarray, f: int,

@@ -426,14 +426,85 @@ def _media_table(sf_dir: str) -> "ray.data.Dataset":
 
 
 def multimodal_features(sf_dir: str) -> "ray.data.Dataset":
-    ds = _media_table(sf_dir).map_batches(
+    """REAL image feature extraction across ALL FIVE pixel-decoded
+    formats (doc_id%5 cycles PNG / BMP24 / GIF / JPEG-gray /
+    WebP-VP8L): deterministic images flow through the
+    ``DecodeImageBatch`` actor pool, whose real-decode branch
+    (functions/multimodal.py:decode_image_pixels) produces true dims +
+    a 16-bin pixel histogram; the query reduces that to the dominant
+    intensity bin (argmax, lowest bin on ties) + its exact pixel
+    count. Pixel values are integer closed forms of (doc_id, x, y,
+    ch), so the SQL oracle checks dims, channels AND the histogram
+    reduction bit-for-bit through every codec."""
+    import numpy as np
+
+    from ..functions import vp8l as _vp8l
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        blobs: list[bytes] = []
+        for d in ids:
+            w, h = 4 + d % 13, 3 + d % 11
+            fmt = d % 5
+            if fmt == 3:                         # JPEG gray, sequential
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                gray = (((x // 8) * 5 + (y // 8) * 9 + d * 3)
+                        % 256).astype(np.uint8)
+                blobs.append(_mm.encode_jpeg_gray(gray))
+                continue
+            c = 4 if fmt == 4 else (1, 3, 4)[(d // 5) % 3] \
+                if fmt == 0 else 3
+            x = np.arange(w)[None, :, None]
+            y = np.arange(h)[:, None, None]
+            ch = np.arange(c)[None, None, :]
+            img = ((x * 3 + y * 7 + ch * 11 + d) % 256).astype(np.uint8)
+            if fmt == 0:
+                blobs.append(_mm.encode_png(
+                    img if c > 1 else img[:, :, 0],
+                    filter_mode="cycle"))
+            elif fmt == 1:
+                blobs.append(_mm.encode_bmp24(img))
+            elif fmt == 2:
+                blobs.append(_mm.encode_gif(img))
+            else:                                # WebP lossless
+                blobs.append(_vp8l.encode_vp8l(
+                    img, use_runs=(d % 2 == 0),
+                    cache_bits=6 if d % 3 == 0 else 0))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "media": pa.array(blobs, pa.binary()),
+        })
+
+    ds = _documents(sf_dir, ["doc_id"]).map_batches(
+        gen, batch_format="pyarrow").map_batches(
         _mm.DecodeImageBatch, batch_format="pyarrow",
         concurrency=_q_pool(),
         fn_constructor_kwargs=dict(strict=False))
-    return ds.map_batches(
-        lambda b: b.select(["media_id", "width", "height", "channels",
-                            "n_bytes"]),
-        batch_format="pyarrow")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        w = batch.column("width").to_numpy(zero_copy_only=False)
+        h = batch.column("height").to_numpy(zero_copy_only=False)
+        c = batch.column("channels").to_numpy(zero_copy_only=False)
+        total = (w.astype(np.int64) * h * c)
+        f = batch.column("byte_features").combine_chunks() \
+            .values.to_numpy(zero_copy_only=False) \
+            .reshape(batch.num_rows, 16)
+        bins = np.argmax(f, axis=1)              # first max = lowest bin
+        # f = count/total in float64; count <= 832 so the product
+        # rounds back to the exact integer
+        counts = np.rint(
+            f[np.arange(batch.num_rows), bins] * total).astype(np.int64)
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "width": batch.column("width").cast(pa.int64()),
+            "height": batch.column("height").cast(pa.int64()),
+            "channels": batch.column("channels").cast(pa.int64()),
+            "top_bin": pa.array(bins, pa.int64()),
+            "top_bin_count": pa.array(counts, pa.int64()),
+        })
+
+    return ds.map_batches(finish, batch_format="pyarrow")
 
 
 def _image_blob_batch(batch: pa.Table) -> pa.Table:
@@ -765,14 +836,28 @@ def dedup_embedding(sf_dir: str) -> pa.Table:
 
 
 def media_resize(sf_dir: str) -> "ray.data.Dataset":
-    """Deterministic resize-stub plumbing over the media table."""
-    ds = _media_table(sf_dir).map_batches(
-        _mm.ResizeStubBatch, batch_format="pyarrow",
+    """REAL image resize: the shared deterministic image payloads
+    (``_pixel_image_batch`` — PNG/BMP/GIF/JPEG with per-format
+    sub-rotations) flow through the ``ResizeImageBatch`` actor pool
+    (functions/multimodal.py): real pixel decode + 16x16
+    nearest-neighbor ``resize_nearest`` + integer resized-pixel sum.
+    The SQL oracle reproduces ``resized_sum`` from the (doc_id, x, y,
+    ch) closed form, verifying decode AND the resize index math
+    bit-for-bit for every format."""
+    ds = _documents(sf_dir, ["doc_id"]).map_batches(
+        _pixel_image_batch, batch_format="pyarrow").map_batches(
+        _mm.ResizeImageBatch, batch_format="pyarrow",
         concurrency=_q_pool(),
-        fn_constructor_kwargs=dict(target=16, channels=1))
+        fn_constructor_kwargs=dict(target=16))
     return ds.map_batches(
-        lambda b: b.select(["media_id", "width", "height", "channels",
-                            "n_bytes_out"]),
+        lambda b: pa.table({
+            "media_id": b.column("media_id"),
+            "width": b.column("width").cast(pa.int64()),
+            "height": b.column("height").cast(pa.int64()),
+            "channels": b.column("channels").cast(pa.int64()),
+            "n_bytes_out": b.column("n_bytes_out"),
+            "resized_sum": b.column("resized_sum"),
+        }),
         batch_format="pyarrow")
 
 
@@ -1673,15 +1758,48 @@ def token_count_csv(sf_dir: str) -> "ray.data.Dataset":
 
 
 def audio_features(sf_dir: str) -> "ray.data.Dataset":
-    """Audio-feature stub plumbing (windowed energies) over the media
-    table; counts are SQL-checkable, energies pytest-checked."""
-    ds = _media_table(sf_dir).map_batches(
-        _mm.AudioFeatureStubBatch, batch_format="pyarrow",
+    """REAL audio feature extraction: the same deterministic WAV PCM
+    payloads as ``audio_pcm_stats`` (sample[i] = ((i*37 + id*11) %
+    4096) - 2048; 16/24-bit containers alternating) flow through the
+    ``AudioFrameEnergyBatch`` actor pool (functions/multimodal.py):
+    RIFF walk + per-64-sample-window integer energy (sum |sample|).
+    The query reduces the per-window energies to (n_windows,
+    energy_sum, peak_window) — each an exact closed form the SQL
+    oracle reproduces via ``GROUP BY i // 64``, verifying the PCM
+    decode and the framing bit-for-bit."""
+    import numpy as np
+
+    ds = _documents(sf_dir, ["doc_id"]).map_batches(
+        _wav_blob_batch, batch_format="pyarrow").map_batches(
+        _mm.AudioFrameEnergyBatch, batch_format="pyarrow",
         concurrency=_q_pool(),
-        fn_constructor_kwargs=dict(window=256, max_windows=64))
-    return ds.map_batches(
-        lambda b: b.select(["media_id", "n_windows", "n_bytes"]),
-        batch_format="pyarrow")
+        fn_constructor_kwargs=dict(window=64))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        feats = batch.column("frame_energy").combine_chunks()
+        offs = feats.offsets.to_numpy(zero_copy_only=False)
+        vals = feats.values.to_numpy(zero_copy_only=False)
+        # vectorized per-row sum/max over the flat list buffer
+        csum = np.concatenate(([0], np.cumsum(vals)))
+        sums = csum[offs[1:]] - csum[offs[:-1]]
+        if len(vals) and (offs[1:] > offs[:-1]).all():
+            # every row non-empty (always true here: n >= 100 samples
+            # -> >= 2 windows): one segmented-max kernel
+            peaks = np.maximum.reduceat(vals, offs[:-1])
+        else:  # safety fallback for empty rows
+            peaks = np.array([vals[a:b].max() if b > a else 0
+                              for a, b in zip(offs[:-1], offs[1:])],
+                             np.int64)
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "sample_rate": batch.column("sample_rate"),
+            "n_samples": batch.column("n_samples"),
+            "n_windows": batch.column("n_windows"),
+            "energy_sum": pa.array(sums.astype(np.int64), pa.int64()),
+            "peak_window": pa.array(peaks, pa.int64()),
+        })
+
+    return ds.map_batches(finish, batch_format="pyarrow")
 
 
 # --- corpus curation (functions/curation.py) -----------------------------
@@ -1985,13 +2103,73 @@ def above_median_length(sf_dir: str) -> pa.Table:
     })
 
 
+def _pixel_image_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic REAL-codec image payloads (shared by
+    ``image_pixel_stats`` and ``media_resize``): format cycles by
+    ``doc_id % 4`` — PNG (row filters cycling, direct/indexed color),
+    BMP (bottom-up/top-down 24-bit + 32-bit BGRX), GIF (sequential/
+    interlaced LZW), and JPEG (sequential / progressive / progressive+
+    successive-approximation grayscale; per-8x8-block-constant pixels
+    so the all-ones-quant path round-trips bit-exactly). Pixel values
+    are integer closed forms of (doc_id, x, y, ch), SQL-reproducible."""
+    import numpy as np  # noqa: F401 (worker-local import)
+
+    ids = batch.column("doc_id").to_pylist()
+    blobs: list[bytes] = []
+    for d in ids:
+        w, h = 4 + d % 13, 3 + d % 11
+        fmt = d % 4  # 0: PNG, 1: BMP, 2: GIF, 3: JPEG (all REAL)
+        if fmt == 3:
+            x = np.arange(w)[None, :]
+            y = np.arange(h)[:, None]
+            gray = (((x // 8) * 5 + (y // 8) * 9 + d * 3)
+                    % 256).astype(np.uint8)
+            # rotate SEQUENTIAL / PROGRESSIVE (SOF2 spectral
+            # selection) / PROGRESSIVE+SUCCESSIVE-APPROXIMATION
+            # streams: all three round-trip the block-constant
+            # image bit-exactly, so the closed-form oracle is one
+            kind = (d // 4) % 3
+            blobs.append(
+                _mm.encode_jpeg_gray(gray) if kind == 0
+                else _mm.encode_jpeg_gray_progressive(
+                    gray, successive=(kind == 2)))
+            continue
+        c = (1, 3, 4)[(d // 4) % 3] if fmt == 0 else 3
+        x = np.arange(w)[None, :, None]
+        y = np.arange(h)[:, None, None]
+        ch = np.arange(c)[None, None, :]
+        img = ((x * 3 + y * 7 + ch * 11 + d) % 256).astype(np.uint8)
+        if fmt == 0:
+            # RGB pngs alternate direct color-type 2 and INDEXED
+            # color-type 3 (<= 208 pixels always fit a palette);
+            # both decode to identical pixels
+            blobs.append(_mm.encode_png(
+                img if c > 1 else img[:, :, 0],
+                filter_mode="cycle",
+                palette=(c == 3 and (d // 8) % 2 == 1)))
+        elif fmt == 1:
+            # rotate bottom-up 24-bit / TOP-DOWN 24-bit / 32-bit
+            # BGRX layouts — one closed form, three decode paths
+            kind = (d // 4) % 3
+            blobs.append(
+                _mm.encode_bmp24(img) if kind == 0
+                else _mm.encode_bmp24(img, top_down=True)
+                if kind == 1 else _mm.encode_bmp32(img))
+        else:
+            # w*h <= 208 distinct colors: fits a GIF global
+            # palette; alternate sequential / 4-pass INTERLACED
+            blobs.append(_mm.encode_gif(
+                img, interlace=((d // 4) % 2 == 1)))
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "media": pa.array(blobs, pa.binary()),
+    })
+
+
 def image_pixel_stats(sf_dir: str) -> "ray.data.Dataset":
-    """REAL pixel-level decode + resize, no image library: deterministic
-    small images (format cycles by ``doc_id % 4``: PNG written with all
-    five row filters cycling, bottom-up 24-bit BMP, GIF via the in-repo
-    LZW pair, and baseline grayscale JPEG — real Huffman + IDCT; the
-    JPEG images are per-8x8-block constant so the all-ones-quant
-    transform path round-trips bit-exactly) are decoded back to pixel
+    """REAL pixel-level decode + resize, no image library: the shared
+    deterministic image payloads (``_pixel_image_batch`` — PNG/BMP/GIF/
+    JPEG with per-format sub-rotations) are decoded back to pixel
     arrays by the dependency-free codec (functions/multimodal.py:
     ``decode_image_pixels``) and resized 8x8 nearest-neighbor
     (``resize_nearest``). ``pixel_sum`` / ``resized_sum`` are
@@ -2000,58 +2178,6 @@ def image_pixel_stats(sf_dir: str) -> "ray.data.Dataset":
     BGR/bottom-up unswizzle, LZW, JPEG entropy+DCT, and the resize
     index math — bit-for-bit."""
     import numpy as np
-
-    def gen(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        blobs: list[bytes] = []
-        for d in ids:
-            w, h = 4 + d % 13, 3 + d % 11
-            fmt = d % 4  # 0: PNG, 1: BMP, 2: GIF, 3: JPEG (all REAL)
-            if fmt == 3:
-                x = np.arange(w)[None, :]
-                y = np.arange(h)[:, None]
-                gray = (((x // 8) * 5 + (y // 8) * 9 + d * 3)
-                        % 256).astype(np.uint8)
-                # rotate SEQUENTIAL / PROGRESSIVE (SOF2 spectral
-                # selection) / PROGRESSIVE+SUCCESSIVE-APPROXIMATION
-                # streams: all three round-trip the block-constant
-                # image bit-exactly, so the closed-form oracle is one
-                kind = (d // 4) % 3
-                blobs.append(
-                    _mm.encode_jpeg_gray(gray) if kind == 0
-                    else _mm.encode_jpeg_gray_progressive(
-                        gray, successive=(kind == 2)))
-                continue
-            c = (1, 3, 4)[(d // 4) % 3] if fmt == 0 else 3
-            x = np.arange(w)[None, :, None]
-            y = np.arange(h)[:, None, None]
-            ch = np.arange(c)[None, None, :]
-            img = ((x * 3 + y * 7 + ch * 11 + d) % 256).astype(np.uint8)
-            if fmt == 0:
-                # RGB pngs alternate direct color-type 2 and INDEXED
-                # color-type 3 (<= 208 pixels always fit a palette);
-                # both decode to identical pixels
-                blobs.append(_mm.encode_png(
-                    img if c > 1 else img[:, :, 0],
-                    filter_mode="cycle",
-                    palette=(c == 3 and (d // 8) % 2 == 1)))
-            elif fmt == 1:
-                # rotate bottom-up 24-bit / TOP-DOWN 24-bit / 32-bit
-                # BGRX layouts — one closed form, three decode paths
-                kind = (d // 4) % 3
-                blobs.append(
-                    _mm.encode_bmp24(img) if kind == 0
-                    else _mm.encode_bmp24(img, top_down=True)
-                    if kind == 1 else _mm.encode_bmp32(img))
-            else:
-                # w*h <= 208 distinct colors: fits a GIF global
-                # palette; alternate sequential / 4-pass INTERLACED
-                blobs.append(_mm.encode_gif(
-                    img, interlace=((d // 4) % 2 == 1)))
-        return pa.table({
-            "media_id": pa.array(ids, pa.int64()),
-            "media": pa.array(blobs, pa.binary()),
-        })
 
     def decode(batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id").to_pylist()
@@ -2075,7 +2201,7 @@ def image_pixel_stats(sf_dir: str) -> "ray.data.Dataset":
         })
 
     return _documents(sf_dir, ["doc_id"]).map_batches(
-        gen, batch_format="pyarrow").map_batches(
+        _pixel_image_batch, batch_format="pyarrow").map_batches(
         decode, batch_format="pyarrow")
 
 
@@ -2351,32 +2477,38 @@ def curation_pipeline(sf_dir: str, *,
     return _cur.sequence_packing(kept3, capacity=PACK_CAPACITY)
 
 
-def audio_pcm_stats(sf_dir: str) -> "ray.data.Dataset":
-    """REAL audio decode, no audio library: deterministic WAV PCM16
-    payloads (sample[i] = ((i*37 + id*11) % 4096) - 2048) are parsed
-    back through the dependency-free RIFF walk
-    (functions/multimodal.py:parse_wav_pcm16) and reduced to
-    integer-exact sample statistics — the SQL oracle reproduces every
-    value from the closed form, verifying the container walk, the
-    int16 little-endian decode, and the stats math bit-for-bit."""
+def _wav_blob_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic REAL WAV PCM payloads (shared by
+    ``audio_pcm_stats`` and ``audio_features``): sample[i] = ((i*37 +
+    id*11) % 4096) - 2048, n = 100 + id%157, alternating 16- and
+    24-bit containers — the SAME sample values decode from both, so
+    the closed form is one."""
     import numpy as np
 
-    def gen(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        blobs = []
-        for d in ids:
-            n = 100 + d % 157
-            s = ((np.arange(n) * 37 + d * 11) % 4096 - 2048).astype(
-                np.int16)
-            # alternate 16- and 24-bit containers: the SAME sample
-            # values decode from both, so the closed form is one
-            blobs.append(_mm.encode_wav_pcm(
-                s, bits=16 if d % 2 == 0 else 24,
-                rate=8000 + (d % 4) * 4000, channels=1))
-        return pa.table({
-            "media_id": pa.array(ids, pa.int64()),
-            "media": pa.array(blobs, pa.binary()),
-        })
+    ids = batch.column("doc_id").to_pylist()
+    blobs = []
+    for d in ids:
+        n = 100 + d % 157
+        s = ((np.arange(n) * 37 + d * 11) % 4096 - 2048).astype(
+            np.int16)
+        blobs.append(_mm.encode_wav_pcm(
+            s, bits=16 if d % 2 == 0 else 24,
+            rate=8000 + (d % 4) * 4000, channels=1))
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "media": pa.array(blobs, pa.binary()),
+    })
+
+
+def audio_pcm_stats(sf_dir: str) -> "ray.data.Dataset":
+    """REAL audio decode, no audio library: deterministic WAV PCM
+    payloads (``_wav_blob_batch``) are parsed back through the
+    dependency-free RIFF walk (functions/multimodal.py:parse_wav_pcm)
+    and reduced to integer-exact sample statistics — the SQL oracle
+    reproduces every value from the closed form, verifying the
+    container walk, the int16/int24 little-endian decode, and the
+    stats math bit-for-bit."""
+    import numpy as np
 
     def decode(batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id").to_pylist()
@@ -2399,7 +2531,7 @@ def audio_pcm_stats(sf_dir: str) -> "ray.data.Dataset":
         })
 
     return _documents(sf_dir, ["doc_id"]).map_batches(
-        gen, batch_format="pyarrow").map_batches(
+        _wav_blob_batch, batch_format="pyarrow").map_batches(
         decode, batch_format="pyarrow")
 
 

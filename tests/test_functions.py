@@ -176,6 +176,61 @@ def test_knn_ivf_recall_vs_brute(ray_session):
     assert recall >= 0.6, f"IVF recall too low: {recall}"
 
 
+def test_resize_image_batch_real_pixels():
+    """ResizeImageBatch decodes REAL pixels and applies the integer
+    nearest-neighbor index math; undecodable payloads raise unless
+    fallback_stub=True (channels=0 marks the fallback row)."""
+    import numpy as np
+    import pytest
+
+    img = (np.arange(5 * 7 * 3, dtype=np.uint8).reshape(5, 7, 3) * 3
+           % 256).astype(np.uint8)
+    blob = multimodal.encode_png(img)
+    batch = pa.table({"media_id": pa.array([1], pa.int64()),
+                      "media": pa.array([blob], pa.binary())})
+    out = multimodal.ResizeImageBatch(target=4)(batch)
+    want = multimodal.resize_nearest(img, 4, 4)
+    assert out.column("resized").to_pylist()[0] == want.tobytes()
+    assert out.column("channels").to_pylist() == [3]
+    assert out.column("resized_sum").to_pylist() == [
+        int(want.astype(np.int64).sum())]
+    assert out.column("n_bytes_out").to_pylist() == [4 * 4 * 3]
+
+    junk = pa.table({"media_id": pa.array([2], pa.int64()),
+                     "media": pa.array([b"not an image"], pa.binary())})
+    with pytest.raises(ValueError):
+        multimodal.ResizeImageBatch(target=4)(junk)
+    fb = multimodal.ResizeImageBatch(target=4, fallback_stub=True)(junk)
+    assert fb.column("channels").to_pylist() == [0]
+    assert len(fb.column("resized").to_pylist()[0]) == 16
+
+
+def test_audio_frame_energy_batch_real_pcm():
+    """AudioFrameEnergyBatch parses real WAV PCM and frames |sample|
+    sums per window; non-PCM raises unless fallback_stub=True."""
+    import numpy as np
+    import pytest
+
+    s = np.array([10, -20, 30, -40, 5, -5, 7], np.int16)
+    blob = multimodal.encode_wav_pcm(s, bits=16, rate=8000, channels=1)
+    batch = pa.table({"media_id": pa.array([1], pa.int64()),
+                      "media": pa.array([blob], pa.binary())})
+    out = multimodal.AudioFrameEnergyBatch(window=4)(batch)
+    assert out.column("sample_rate").to_pylist() == [8000]
+    assert out.column("n_samples").to_pylist() == [7]
+    assert out.column("n_windows").to_pylist() == [2]
+    assert out.column("frame_energy").to_pylist()[0] == [100, 17]
+
+    junk = pa.table({"media_id": pa.array([2], pa.int64()),
+                     "media": pa.array([b"xx"], pa.binary())})
+    with pytest.raises(ValueError):
+        multimodal.AudioFrameEnergyBatch(window=4)(junk)
+    fb = multimodal.AudioFrameEnergyBatch(
+        window=4, fallback_stub=True)(junk)
+    assert fb.column("sample_rate").to_pylist() == [0]
+    assert fb.column("n_windows").to_pylist() == [1]
+
+
 def test_audio_feature_stub_windows():
     data = bytes(range(256)) * 2 + b"\x10" * 10  # 2 full + 1 partial window
     batch = pa.table({"media_id": pa.array([1], pa.int64()),
