@@ -19,7 +19,7 @@ import ray
 import ray.data
 
 from .broadcast import cached_get
-from .dedup import collect_columns_agg
+from .dedup import collect_columns_agg, fp_strings64
 from .textstats import tokenize
 
 # --- sequence packing (distributed prefix-sum scan) ---------------------
@@ -131,7 +131,7 @@ def decontaminate(docs: "ray.data.Dataset", *, width: int = 8,
     n-gram overlap check run before training.
 
     Both sides explode to per-doc-DEDUPED ``(doc_id, gram-fp)`` rows
-    (vectorized siphash over the gram strings — only 8-byte
+    (the vectorized ``hash_strings64`` kernel over the gram strings — only 8-byte
     fingerprints shuffle, never gram text; the DuckDB oracle joins on
     the gram STRINGS, so agreement also certifies the fp has no
     colliding pair on this input). SIZE-ADAPTIVE overlap test: a
@@ -152,8 +152,6 @@ def decontaminate(docs: "ray.data.Dataset", *, width: int = 8,
        the hit set is small — the aggregate path has no such fragility
        and shuffles the same (doc_id, int64) rows.
     """
-    import pandas as pd
-
     def grams(batch: pa.Table, *, side_bench: bool) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         texts = batch.column("text").to_pylist()
@@ -167,8 +165,7 @@ def decontaminate(docs: "ray.data.Dataset", *, width: int = 8,
                     for j in range(len(toks) - width + 1)}
             out_id.extend([int(i)] * len(seen))
             out_g.extend(seen)
-        fp = pd.util.hash_array(np.asarray(out_g, dtype=object)).astype(
-            np.int64)
+        fp = fp_strings64(out_g)
         return pa.table({"doc_id": pa.array(out_id, pa.int64()),
                          "gfp": pa.array(fp, pa.int64())})
 
@@ -366,7 +363,6 @@ def cross_doc_gram_stats(docs: "ray.data.Dataset", *, width: int = 5
     ``shared_pct`` is integer-exact: ``100 * n_shared // n_grams``
     (0 for gram-less docs).
     """
-    import pandas as pd
     from collections import Counter
 
     def emit(batch: pa.Table) -> pa.Table:
@@ -388,8 +384,7 @@ def cross_doc_gram_stats(docs: "ray.data.Dataset", *, width: int = 5
             out_id.extend([int(i)] * len(c))
             out_g.extend(c.keys())
             out_c.extend(c.values())
-        fp = pd.util.hash_array(
-            np.asarray(out_g, dtype=object)).astype(np.int64)
+        fp = fp_strings64(out_g)
         return pa.table({
             "doc_id": pa.array(out_id + tot_id, pa.int64()),
             "gfp": pa.array(np.concatenate(
@@ -507,13 +502,10 @@ def ngram_lm_scores(docs: "ray.data.Dataset", *,
 
     Returns (doc_id, n_bigrams, ppl) with ppl rounded to 4 decimals.
     """
-    import pandas as pd
-
     def _fp(strs: list[str]) -> np.ndarray:
         if not strs:
             return np.zeros(0, np.int64)
-        return pd.util.hash_array(
-            np.asarray(strs, dtype=object)).astype(np.int64)
+        return fp_strings64(strs)
 
     def count_partial(batch: pa.Table) -> pa.Table:
         from collections import Counter

@@ -27,7 +27,6 @@ import hashlib
 from typing import Iterable, Sequence
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -169,6 +168,74 @@ def _mix64(z: np.ndarray) -> np.ndarray:
         z = (z ^ (z >> np.uint64(30))) * _MIX_M1
         z = (z ^ (z >> np.uint64(27))) * _MIX_M2
         return z ^ (z >> np.uint64(31))
+
+
+_H_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def hash_strings64(strs) -> np.ndarray:
+    """Stable vectorized 64-bit string hash — the engine-wide gram /
+    token fingerprint kernel (replaces ``pd.util.hash_array`` on the
+    hot tokenize paths: no pandas object-array walk, no dependence on
+    a pandas implementation detail).
+
+    One Arrow string-array build yields the contiguous utf-8 buffer +
+    offsets in C; the bytes are zero-padded to 8-byte words with one
+    vectorized scatter, each word is keyed by its position within its
+    string and finalized through :func:`_mix64`, and the per-string
+    word hashes fold with one segmented XOR (``bitwise_xor.reduceat``)
+    plus a length mix — no per-element cumulative dependency chains,
+    so every pass is a SIMD numpy kernel. Accepts a Python sequence
+    of strings or an Arrow (chunked) string array; returns uint64.
+    Collisions ~2^-64 per pair — the callers' SQL oracles join gram
+    STRINGS, so oracle agreement also certifies collision-freeness on
+    every tested input."""
+    if isinstance(strs, pa.ChunkedArray):
+        strs = strs.combine_chunks()
+    if isinstance(strs, pa.Array):
+        arr = strs.cast(pa.large_string())
+        if not len(arr):
+            return np.zeros(0, np.uint64)
+    else:
+        if not len(strs):
+            return np.zeros(0, np.uint64)
+        # build as 32-bit-offset string (the fast from-pylist path)
+        # and widen offsets after — pa.array(x, large_string()) is
+        # ~10x slower than this two-step
+        arr = pa.array(strs).cast(pa.large_string())
+    offs = np.frombuffer(arr.buffers()[1], np.int64,
+                         count=len(arr) + 1, offset=8 * arr.offset)
+    dbuf = arr.buffers()[2]
+    data = (np.frombuffer(dbuf, np.uint8, count=int(offs[-1]))
+            if dbuf is not None and int(offs[-1])
+            else np.zeros(0, np.uint8))
+    lens = offs[1:] - offs[:-1]
+    n_bytes = int(offs[-1] - offs[0])
+    # words per string (empty strings get one zero word so the
+    # segmented reduce has no empty segments; the length mix below
+    # still separates "" from "\\x00")
+    wc = np.maximum((lens + 7) >> 3, 1)
+    woff = np.empty(len(arr) + 1, np.int64)
+    woff[0] = 0
+    np.cumsum(wc, out=woff[1:])
+    padded = np.zeros(int(woff[-1]) * 8, np.uint8)
+    if n_bytes:
+        tgt = np.arange(n_bytes, dtype=np.int64) + np.repeat(
+            woff[:-1] * 8 - (offs[:-1] - offs[0]), lens)
+        padded[tgt] = data[int(offs[0]):int(offs[-1])]
+    words = padded.view("<u8")
+    pos = (np.arange(len(words), dtype=np.int64)
+           - np.repeat(woff[:-1], wc)).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        mixed = _mix64(words ^ _mix64(pos * _H_GOLD))
+        acc = np.bitwise_xor.reduceat(mixed, woff[:-1])
+        return _mix64(acc ^ (lens.astype(np.uint64) * _H_GOLD))
+
+
+def fp_strings64(strs) -> np.ndarray:
+    """int64 (two's-complement) view of :func:`hash_strings64` — the
+    Arrow-friendly fingerprint dtype every gram exchange ships."""
+    return hash_strings64(strs).view(np.int64)
 
 
 def minhash_signature(text: str, num_perm: int, k: int,
@@ -521,17 +588,16 @@ _SH_POWERS = np.uint64(1) << _SH_SHIFTS
 
 def _simhash_many(texts: list[str]) -> np.ndarray:
     """Vectorized 64-bit SimHash over whitespace tokens for a whole
-    batch: ONE ``pd.util.hash_array`` siphash call over the flattened
-    token array, then a per-doc segmented bit-vote via
-    ``np.add.reduceat`` — no per-document Python hashing."""
+    batch: ONE :func:`hash_strings64` call over the flattened token
+    list, then a per-doc segmented bit-vote via ``np.add.reduceat`` —
+    no per-document Python hashing."""
     toks = [t.split() if t else [] for t in texts]
     counts = np.array([len(t) for t in toks], dtype=np.int64)
     out = np.zeros(len(texts), dtype=np.uint64)
     nz = np.nonzero(counts)[0]
     if nz.size == 0:
         return out
-    flat = np.asarray([w for i in nz for w in toks[i]], dtype=object)
-    h = pd.util.hash_array(flat)
+    h = hash_strings64([w for i in nz for w in toks[i]])
     bits = ((h[:, None] >> _SH_SHIFTS[None, :]) & np.uint64(1))
     starts = np.concatenate(([0], np.cumsum(counts[nz])))[:-1]
     sums = np.add.reduceat(bits.astype(np.int64), starts, axis=0)

@@ -52,18 +52,16 @@ import ray
 import ray.data
 
 from .broadcast import cached_get
+from .dedup import fp_strings64
 from .textstats import tokenize
 
 _SCALE = 10**9
 
 
 def _fp(strs: list[str]) -> np.ndarray:
-    import pandas as pd
-
     if not strs:
         return np.zeros(0, np.int64)
-    return pd.util.hash_array(
-        np.asarray(strs, dtype=object)).astype(np.int64)
+    return fp_strings64(strs)
 
 
 def _doc_tokens(batch: pa.Table):

@@ -2335,7 +2335,6 @@ def curation_pipeline(sf_dir: str, *,
         bench set is defined over the raw corpus, before the quality
         gate). Every downstream stage consumes these columns; nothing
         tokenizes again."""
-        import pandas as pd
         texts = batch.column("text").to_pylist()
         ids = batch.column("doc_id").cast(pa.int64()).to_numpy(
             zero_copy_only=False)
@@ -2361,8 +2360,7 @@ def curation_pipeline(sf_dir: str, *,
                 continue
             grams = {" ".join(toks[j:j + W])
                      for j in range(len(toks) - W + 1)}
-            gfp = pd.util.hash_array(np.asarray(
-                sorted(grams), dtype=object)).astype(np.int64) \
+            gfp = _dedup.fp_strings64(sorted(grams)) \
                 if grams else empty
             keep_i.append(k)
             out_text.append(t if ok else None)
@@ -2867,7 +2865,10 @@ def domain_pagerank(sf_dir: str) -> "ray.data.Dataset":
     keeps edges distributed, computes out-degrees once, and runs each
     iteration as one edge pass + one groupby(dst) — rank state is
     size-adaptive (broadcast arrays here; a distributed join path
-    above the limit, pinned equal by pytest)."""
+    above the limit, pinned equal by pytest). The final rank table
+    returns as a DISTRIBUTED range-partitioned sort (like
+    ``surt_index``) — nothing collects on the driver, so the web-scale
+    ~10^8-domain rank table streams straight to a sink."""
     import numpy as np
 
     from ..functions import graph as _graph
@@ -2890,11 +2891,8 @@ def domain_pagerank(sf_dir: str) -> "ray.data.Dataset":
             "rank": pc.round(batch.column("rank"), 6),
         })
 
-    out = pa.concat_tables(list(ranks.map_batches(
-        finish, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow", batch_size=None)))
-    return out.take(pc.sort_indices(
-        out, sort_keys=[("node", "ascending")]))
+    return ranks.map_batches(
+        finish, batch_format="pyarrow").sort("node")
 
 
 def nb_lang_classify(sf_dir: str) -> "ray.data.Dataset":
@@ -4335,7 +4333,6 @@ def doc_novelty(sf_dir: str) -> "ray.data.Dataset":
     -> the numerator is just groupby(first_doc).count; numerator,
     denominator and an all-docs zero row UNION into one final
     groupby(doc).sum. novelty_pct is exact integer."""
-    import pandas as pd
     from collections import Counter
     width = 5
 
@@ -4353,8 +4350,7 @@ def doc_novelty(sf_dir: str) -> "ray.data.Dataset":
             uniq = set(" ".join(toks[j:j + width]) for j in range(n))
             out_id.extend([int(i)] * len(uniq))
             grams.extend(uniq)
-        fp = pd.util.hash_array(
-            np.asarray(grams, dtype=object)).astype(np.int64) \
+        fp = _dedup.fp_strings64(grams) \
             if grams else np.zeros(0, np.int64)
         return pa.table({"doc_id": pa.array(out_id, pa.int64()),
                          "gfp": pa.array(fp, pa.int64())})
