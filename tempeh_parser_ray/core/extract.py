@@ -52,6 +52,7 @@ class Extraction:
     n_links: int
     link_chars: int
     link_density: float
+    n_tokens: int
     error: Optional[str]
 
 
@@ -76,6 +77,13 @@ def extract(doc: ParsedDoc) -> Extraction:
     n_text_nodes = 0
     n_links = 0
     link_chars = 0
+    # whitespace-token count of the CONCATENATED text, accumulated
+    # during the walk (exactly len(text.split()): a piece whose first
+    # char continues the previous piece's trailing non-whitespace run
+    # merges one token across the boundary) — composites gate on this
+    # without re-scanning the text (web_pipeline's single tokenize)
+    n_tokens = 0
+    prev_nonws_tail = False
 
     for i in range(n):
         p = parents[i]
@@ -101,6 +109,12 @@ def extract(doc: ParsedDoc) -> Extraction:
                 link_chars += ln
             pos += ln
             n_text_nodes += 1
+            k = len(t.split())
+            if k:
+                n_tokens += k - (1 if prev_nonws_tail
+                                 and not t[0].isspace() else 0)
+            if t:
+                prev_nonws_tail = not t[-1].isspace()
         # comments / doctypes: skipped
 
     text = "".join(pieces)
@@ -114,6 +128,7 @@ def extract(doc: ParsedDoc) -> Extraction:
         n_links=n_links,
         link_chars=link_chars,
         link_density=link_chars / len(text) if text else 0.0,
+        n_tokens=n_tokens,
         error=doc.error,
     )
 

@@ -3054,11 +3054,13 @@ def web_pipeline(sf_dir: str, *, capacity: int = 64,
     composition: synthesized CC-style HTML (plus exact page clones of
     ``doc_id%7==0`` at ``+700000`` so dedup demonstrably drops rows)
     -> the fused parse+extract ACTOR POOL (the real lexer/parser, not
-    the closed form) -> token-count quality gate -> exact dedup on the
+    the closed form; token counts accumulate DURING the extraction
+    walk, core/extract.py) -> token-count quality gate (reads the
+    carried ``n_tokens`` — no re-scan) -> exact dedup on the
     extracted text (md5 winner = min doc_id; size-adaptive via
-    functions/dedup.exact_dedup) -> sequence packing over the carried
-    token counts (functions/curation.pack_counts — the extracted text
-    is tokenized ONCE, at the gate; packing reuses the counts).
+    functions/dedup.exact_dedup) -> sequence packing over the same
+    carried counts (functions/curation.pack_counts) — each document
+    is tokenized exactly once, inside the extraction actor.
 
     Scale shape: extraction and the gate are map-side; exchanges are
     exact_dedup's one pure aggregate (+ broadcast/semi-join winner
@@ -3087,12 +3089,13 @@ def web_pipeline(sf_dir: str, *, capacity: int = 64,
                              passthrough=("doc_id",))
 
     def gate(batch: pa.Table) -> pa.Table:
-        texts = batch.column("extracted_text").to_pylist()
-        n = pa.array([len(_ts.tokenize(t)) for t in texts], pa.int64())
+        # n_tokens was counted DURING the extraction walk
+        # (core/extract.py) — the gate never re-scans the text, so the
+        # composite tokenizes each document exactly once
         out = pa.table({
             "doc_id": batch.column("doc_id").cast(pa.int64()),
             "extracted_text": batch.column("extracted_text"),
-            "n_tokens": n,
+            "n_tokens": batch.column("n_tokens"),
         })
         return out.filter(pc.greater_equal(out.column("n_tokens"),
                                            min_tokens))
@@ -4327,13 +4330,14 @@ def doc_novelty(sf_dir: str) -> "ray.data.Dataset":
     """Per-document NOVELTY under doc_id order (the
     contribution-aware sampling signal: how many of a doc's distinct
     5-grams appear in NO earlier document — i.e. this doc is their
-    corpus-first occurrence). JOIN-FREE, three pure aggregate
-    exchanges over 8-byte gram fingerprints (text never shuffles):
-    distinct (doc, gfp) pairs -> groupby(gfp).Min(doc_id) (winners)
-    -> the numerator is just groupby(first_doc).count; numerator,
-    denominator and an all-docs zero row UNION into one final
-    groupby(doc).sum. novelty_pct is exact integer."""
-    from collections import Counter
+    corpus-first occurrence). JOIN-FREE, TWO pure aggregate exchanges
+    over 8-byte gram fingerprints (text never shuffles): the tokenize
+    pass emits kind-marked rows — per-(doc, gram) pairs AND one
+    per-doc distinct-count row (so the denominator needs no second
+    pass or exchange, and gram-less docs zero-fill for free); pairs ->
+    groupby(gfp).Min(doc_id) (winners), whose per-block Counter
+    partial joins the denominator rows in ONE final
+    groupby(doc_id).sum. novelty_pct is exact integer."""
     width = 5
 
     def pairs(batch: pa.Table) -> pa.Table:
@@ -4342,44 +4346,53 @@ def doc_novelty(sf_dir: str) -> "ray.data.Dataset":
         texts = batch.column("text").to_pylist()
         out_id: list[int] = []
         grams: list[str] = []
+        den_id: list[int] = []
+        den_n: list[int] = []
         for i, t in zip(ids, texts):
             toks = _ts.tokenize(t)
             n = max(len(toks) - width + 1, 0)
-            if not n:
-                continue
-            uniq = set(" ".join(toks[j:j + width]) for j in range(n))
+            uniq = set(" ".join(toks[j:j + width])
+                       for j in range(n)) if n else ()
             out_id.extend([int(i)] * len(uniq))
             grams.extend(uniq)
+            den_id.append(int(i))       # kind=1: the denominator row
+            den_n.append(len(uniq))     # (0 for gram-less docs)
         fp = _dedup.fp_strings64(grams) \
             if grams else np.zeros(0, np.int64)
-        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
-                         "gfp": pa.array(fp, pa.int64())})
+        k = len(out_id)
+        return pa.table({
+            "doc_id": pa.array(out_id + den_id, pa.int64()),
+            "gfp": pa.array(np.concatenate(
+                (fp, np.zeros(len(den_id), np.int64))), pa.int64()),
+            "n": pa.array([1] * k + den_n, pa.int64()),
+            "kind": pa.array([0] * k + [1] * len(den_id), pa.int64()),
+        })
 
     g = _documents(sf_dir, ["doc_id", "text"]).map_batches(
         pairs, batch_format="pyarrow").materialize()
-    num = g.groupby("gfp").aggregate(
+
+    def first_counts(batch: pa.Table) -> pa.Table:
+        # per-block Counter partial over the winners: shrinks the
+        # per-gram winner rows to <= |distinct docs in block| rows
+        # before the final exchange
+        import collections
+        c = collections.Counter(
+            batch.column("min(doc_id)").to_pylist())
+        return pa.table({
+            "doc_id": pa.array(list(c.keys()), pa.int64()),
+            "n_first": pa.array(list(c.values()), pa.int64()),
+            "n_distinct": pa.array([0] * len(c), pa.int64())})
+
+    num = g.filter(expr="kind == 0").groupby("gfp").aggregate(
         ray.data.aggregate.Min("doc_id")).map_batches(
-        lambda b: pa.table({
-            "doc_id": b.column("min(doc_id)").cast(pa.int64())}),
-        batch_format="pyarrow").groupby("doc_id").count().map_batches(
-        lambda b: pa.table({
-            "doc_id": b.column("doc_id"),
-            "n_first": b.column("count()").cast(pa.int64()),
-            "n_distinct": pa.array([0] * b.num_rows, pa.int64())}),
-        batch_format="pyarrow")
-    den = g.groupby("doc_id").count().map_batches(
+        first_counts, batch_format="pyarrow")
+    den = g.filter(expr="kind == 1").map_batches(
         lambda b: pa.table({
             "doc_id": b.column("doc_id"),
             "n_first": pa.array([0] * b.num_rows, pa.int64()),
-            "n_distinct": b.column("count()").cast(pa.int64())}),
+            "n_distinct": b.column("n")}),
         batch_format="pyarrow")
-    zeros = _documents(sf_dir, ["doc_id"]).map_batches(
-        lambda b: pa.table({
-            "doc_id": b.column("doc_id"),
-            "n_first": pa.array([0] * b.num_rows, pa.int64()),
-            "n_distinct": pa.array([0] * b.num_rows, pa.int64())}),
-        batch_format="pyarrow")
-    agg = num.union(den).union(zeros).groupby("doc_id").aggregate(
+    agg = num.union(den).groupby("doc_id").aggregate(
         ray.data.aggregate.Sum("n_first"),
         ray.data.aggregate.Sum("n_distinct"))
 

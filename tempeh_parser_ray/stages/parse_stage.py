@@ -119,6 +119,7 @@ class ExtractBatch(_BaseParseStage):
         n_links: list[int] = []
         link_chars: list[int] = []
         link_density: list[float] = []
+        n_tokens: list[int] = []
         html_bytes: list[int] = []
         span_offsets = [0]
         span_start_flat: list[int] = []
@@ -148,6 +149,7 @@ class ExtractBatch(_BaseParseStage):
             n_links.append(ex.n_links)
             link_chars.append(ex.link_chars)
             link_density.append(ex.link_density)
+            n_tokens.append(ex.n_tokens)
             if self.emit_spans:
                 span_start_flat.extend(ex.span_starts)
                 span_end_flat.extend(ex.span_ends)
@@ -169,6 +171,7 @@ class ExtractBatch(_BaseParseStage):
             ("n_links", pa.array(n_links, pa.int32())),
             ("link_chars", pa.array(link_chars, pa.int64())),
             ("link_density", pa.array(link_density, pa.float64())),
+            ("n_tokens", pa.array(n_tokens, pa.int64())),
             ("n_chars_extracted",
              pa.array([len(t) for t in texts], pa.int64())),
             ("html_bytes", pa.array(html_bytes, pa.int64())),

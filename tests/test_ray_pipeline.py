@@ -69,6 +69,33 @@ def test_extraction_closed_form(ray_session):
         assert tbl.column("n_links")[i].as_py() == synth.TEMPLATE_N_LINKS
         spans = tbl.column("spans")[i].as_py()
         assert "".join(text[s["start"]:s["end"]] for s in spans) == text
+        # the walk-accumulated token count IS the whitespace-token
+        # contract over the joined text (web_pipeline gates on it
+        # without re-tokenizing)
+        assert tbl.column("n_tokens")[i].as_py() == len(text.split())
+
+
+def test_extract_n_tokens_counts_across_node_boundaries():
+    """The fused token counter merges a token split across adjacent
+    text nodes (concatenation is separator-free) and ignores dropped
+    subtrees — exactly len(extracted_text.split())."""
+    from tempeh_parser_ray.core import extract as cex
+    from tempeh_parser_ray.core.api import HTMLParser
+
+    p = HTMLParser()
+    cases = [
+        "<p>ab</p><p>cd</p>",              # merge: 1 token
+        "<p>ab </p><p>cd</p>",             # no merge: 2
+        "<p>a b</p><span>c d</span>",      # boundary merge inside 4
+        "<b>a</b><i>b</i><u>c</u>",        # chained merge: 1
+        "<p>  </p><p>x</p>",               # ws-only node breaks run
+        "<p>a<script>zz zz</script>b</p>",  # dropped subtree
+        "<p>　a b</p>",           # unicode whitespace
+        "",
+    ]
+    for html in cases:
+        e = cex.extract(p.parse_string(html))
+        assert e.n_tokens == len(e.text.split()), (html, e.text)
 
 
 def test_rebatcher_splits_by_bytes():
