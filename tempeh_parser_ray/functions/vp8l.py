@@ -1,29 +1,35 @@
 """REAL dependency-free WebP-lossless (VP8L) codec subset.
 
-Decoder: the transform-free core of the published VP8L bitstream —
-LSB-first bit reading, simple AND normal (code-length-coded, DEFLATE-
-style canonical) prefix codes for all five alphabets, literal ARGB
-pixels, LZ77 backward references with prefix-coded length/distance
-extra bits (linear distance codes; the 120 2D-neighbor codes are
-parsed but rejected as out of tier rather than guessed), and the
-color cache (0x1e35a7bd multiplier hash, updated on every emitted
-pixel), the SUBTRACT_GREEN transform, the COLOR_INDEXING (palette)
-transform in its unbundled tier (17-256 entries; the palette travels
-as a delta-coded entropy sub-image, per spec), and the PREDICTOR
-transform for modes {0, 1, 2, 4, 7} with a real per-block mode
-sub-image (16x16 blocks; spec edge rules). Out of tier (returns
-``None``): the remaining predictor modes, the color transform,
-small-palette pixel bundling, and the entropy image (meta prefix
-codes) — their header bits are parsed and rejected explicitly, never
-misread.
+Decoder: the published VP8L bitstream — LSB-first bit reading,
+simple AND normal (code-length-coded, DEFLATE-style canonical)
+prefix codes for all five alphabets, literal ARGB pixels, LZ77
+backward references with prefix-coded length/distance extra bits
+(linear distance codes; the 120 2D-neighbor codes are parsed but
+rejected as out of tier rather than guessed), the color cache
+(0x1e35a7bd multiplier hash, updated on every emitted pixel), the
+ENTROPY IMAGE (meta prefix codes selecting one of N code groups per
+2^bits block), the SUBTRACT_GREEN transform, the COLOR_INDEXING
+(palette) transform including small-palette PIXEL BUNDLING (<=16
+colors pack 2/4/8 indices per coded green byte; the palette travels
+as a delta-coded entropy sub-image, per spec), the cross-component
+COLOR transform (green_to_red / green_to_blue / red_to_blue elements
+in a per-block sub-image), and the PREDICTOR transform with the FULL
+mode set 0-13 (floor averages, spec Select tie-break ``pL < pT``,
+ClampAddSubtractFull/Half, the rightmost-column TR wrap quirk) with
+a real per-block mode sub-image (spec edge rules). Out of tier
+(returns ``None``): the 2D distance map and multi-transform CHAINS
+(each transform decodes alone) — their header bits are parsed and
+rejected explicitly, never misread.
 
-Encoder: emits the same subset — optional subtract-green, distance-1 run
-backrefs for horizontal runs (linear distance code 121), optional
-color cache, canonical prefix codes written through the code-length
-code (zero runs via symbols 17/18). VP8L is lossless, so round trips
-are bit-exact by construction and the SQL oracle can pin decoded
-pixel sums in closed form, like the other in-repo codecs
-(PNG/GIF/BMP/JPEG).
+Encoder: emits the same subset — any single transform (subtract-
+green, palette incl. bundled tiers, full-mode-cycle predictor,
+color), an optional checkerboard entropy image, distance-1 run
+backrefs for horizontal runs (linear distance code 121, capped at
+the length-symbol-23 maximum 4096), optional color cache, canonical
+prefix codes written through the code-length code (zero runs via
+symbols 17/18). VP8L is lossless, so round trips are bit-exact by
+construction and the SQL oracle can pin decoded pixel sums in closed
+form, like the other in-repo codecs (PNG/GIF/BMP/JPEG).
 
 Spec: "WebP Lossless Bitstream Specification" (Google, public).
 Canonical code assignment follows the spec's DEFLATE convention:
@@ -220,22 +226,40 @@ def decode_vp8l(payload: bytes) -> Optional[np.ndarray]:
 def _decode_image_stream(rd: _LsbBitReader, w: int, h: int,
                          level0: bool) -> Optional[np.ndarray]:
     """One VP8L entropy-coded image (spec DecodeImageStream): the
-    entropy-image bit exists only at level 0; transform sub-images
-    (e.g. the palette) recurse here with ``level0=False``. Returns the
-    flat uint32 ARGB array or ``None`` for out-of-tier features."""
+    entropy image (meta prefix codes) exists only at level 0 —
+    ``spatially-coded-image = color-cache-info meta-prefix data`` per
+    the spec ABNF — and selects one of N prefix-code GROUPS per
+    ``2^bits`` block; transform sub-images (e.g. the palette) recurse
+    here with ``level0=False``. Returns the flat uint32 ARGB array or
+    ``None`` for out-of-tier features."""
     cache_bits = 0
     if rd.read(1):                               # color cache
         cache_bits = rd.read(4)
         if not 1 <= cache_bits <= 11:
             return None
+    meta_idx = None
+    meta_bits = 0
+    n_groups = 1
     if level0 and rd.read(1):                    # entropy image
-        return None
+        meta_bits = rd.read(3) + 2
+        mw = (w + (1 << meta_bits) - 1) >> meta_bits
+        mh = (h + (1 << meta_bits) - 1) >> meta_bits
+        mimg = _decode_image_stream(rd, mw, mh, level0=False)
+        if mimg is None:
+            return None
+        # meta prefix index = (red << 8) | green, per spec
+        meta_idx = ((mimg >> 8) & 0xFFFF).astype(np.int64).reshape(
+            mh, mw)
+        n_groups = int(meta_idx.max(initial=0)) + 1
     cache_size = (1 << cache_bits) if cache_bits else 0
-    green = _read_prefix_code(rd, 256 + 24 + cache_size)
-    red = _read_prefix_code(rd, 256)
-    blue = _read_prefix_code(rd, 256)
-    alpha = _read_prefix_code(rd, 256)
-    dist = _read_prefix_code(rd, 40)
+    groups: list[tuple] = []
+    for _ in range(n_groups):
+        green = _read_prefix_code(rd, 256 + 24 + cache_size)
+        red = _read_prefix_code(rd, 256)
+        blue = _read_prefix_code(rd, 256)
+        alpha = _read_prefix_code(rd, 256)
+        dist = _read_prefix_code(rd, 40)
+        groups.append((green, red, blue, alpha, dist))
 
     n_px = w * h
     argb = np.zeros(n_px, np.uint32)
@@ -247,7 +271,11 @@ def _decode_image_stream(rd: _LsbBitReader, w: int, h: int,
             cache[((_HASH_MUL * px) & 0xFFFFFFFF)
                   >> (32 - cache_bits)] = px
 
+    green, red, blue, alpha, dist = groups[0]
     while i < n_px:
+        if meta_idx is not None:
+            gi = meta_idx[(i // w) >> meta_bits, (i % w) >> meta_bits]
+            green, red, blue, alpha, dist = groups[gi]
         sym = green.decode(rd)
         if sym < 256:
             g = sym
@@ -293,70 +321,138 @@ def _pack_px(c: np.ndarray) -> int:
         | (int(c[2]) << 8) | int(c[3])
 
 
-def _inverse_predictor(argb: np.ndarray, w: int, h: int,
-                       block_bits: int, modes: np.ndarray
-                       ) -> np.ndarray:
-    """Inverse PREDICTOR transform, supported-mode subset: each coded
-    pixel is a componentwise mod-256 DELTA from its prediction — mode
-    0 = 0xff000000, 1 = L, 2 = T, 4 = TL, 7 = avg2(L, T) (floor
-    average per component). Edge rules per spec: (0,0) predicts
-    0xff000000, the rest of row 0 predicts L, column 0 predicts T."""
-    out = argb.astype(np.int64).reshape(h, w)
+def _avg2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return (a + b) >> 1
+
+
+def _predict_px(get, y: int, x: int, m: int, w: int) -> np.ndarray:
+    """Spec predictor P(m) for pixel (y, x) from already-final
+    neighbor pixels (``get(yy, xx)`` -> int64[4] ARGB components).
+    Full mode set 0-13 per the published VP8L spec pseudocode:
+    averages floor per component; Select picks L when its Manhattan
+    distance to the L+T-TL estimate is strictly smaller (ties -> T,
+    matching the spec's ``pL < pT``); ClampAddSubtractHalf truncates
+    ``(a - b) / 2`` toward zero (C semantics). TR on the rightmost
+    column reads the linear pixel buffer one past the row end — i.e.
+    the CURRENT row's first pixel (the spec's scanline-order quirk)."""
+    if m == 0:
+        return np.asarray([255, 0, 0, 0], np.int64)
+    L = get(y, x - 1)
+    if m == 1:
+        return L
+    T = get(y - 1, x)
+    if m == 2:
+        return T
+    if m == 7:
+        return _avg2(L, T)
+    TL = get(y - 1, x - 1)
+    if m == 4:
+        return TL
+    if m in (3, 5, 9, 10):
+        TR = get(y - 1, x + 1) if x + 1 < w else get(y, 0)
+        if m == 3:
+            return TR
+        if m == 5:
+            return _avg2(_avg2(L, TR), T)
+        if m == 9:
+            return _avg2(T, TR)
+        return _avg2(_avg2(L, TL), _avg2(T, TR))
+    if m == 6:
+        return _avg2(L, TL)
+    if m == 8:
+        return _avg2(TL, T)
+    if m == 11:                                  # Select
+        p = L + T - TL
+        pL = int(np.abs(p - L).sum())
+        pT = int(np.abs(p - T).sum())
+        return L if pL < pT else T
+    if m == 12:                                  # ClampAddSubtractFull
+        return np.clip(L + T - TL, 0, 255)
+    if m == 13:                                  # ClampAddSubtractHalf
+        ave = _avg2(L, T)
+        d = ave - TL
+        half = np.where(d >= 0, d >> 1, -((-d) >> 1))  # trunc toward 0
+        return np.clip(ave + half, 0, 255)
+    raise ValueError(f"predictor mode {m} out of range")
+
+
+def _predictor_pass(argb: np.ndarray, w: int, h: int, block_bits: int,
+                    modes: np.ndarray, *, inverse: bool) -> np.ndarray:
+    """Shared forward/inverse PREDICTOR pass: each coded pixel is a
+    componentwise mod-256 delta from its prediction. Edge rules per
+    spec: (0,0) predicts 0xff000000, the rest of row 0 predicts L,
+    column 0 predicts T. The inverse predicts from RECONSTRUCTED
+    pixels; the forward predicts from the originals — deltas are
+    exact mod 256, so the round trip is bit-exact."""
+    src = argb.astype(np.int64).reshape(h, w)
+    out = src.copy()
+    ref = out if inverse else src                # prediction source
+
+    def get(yy: int, xx: int) -> np.ndarray:
+        return _unpack_px(int(ref[yy, xx]))
+
     for y in range(h):
         for x in range(w):
             if x == 0 and y == 0:
-                pred = np.asarray([255, 0, 0, 0], np.int64)
+                m = 0
             elif y == 0:
-                pred = _unpack_px(int(out[0, x - 1]))
+                m = 1
             elif x == 0:
-                pred = _unpack_px(int(out[y - 1, 0]))
+                m = 2
             else:
                 m = int(modes[y >> block_bits, x >> block_bits])
-                if m == 0:
-                    pred = np.asarray([255, 0, 0, 0], np.int64)
-                elif m == 1:
-                    pred = _unpack_px(int(out[y, x - 1]))
-                elif m == 2:
-                    pred = _unpack_px(int(out[y - 1, x]))
-                elif m == 4:
-                    pred = _unpack_px(int(out[y - 1, x - 1]))
-                else:                            # 7: avg2(L, T)
-                    pred = (_unpack_px(int(out[y, x - 1]))
-                            + _unpack_px(int(out[y - 1, x]))) >> 1
-            out[y, x] = _pack_px(_unpack_px(int(out[y, x])) + pred)
+            pred = _predict_px(get, y, x, m, w)
+            cur = _unpack_px(int(src[y, x]))
+            out[y, x] = _pack_px(cur + pred if inverse else cur - pred)
     return out.reshape(-1).astype(np.uint32)
+
+
+def _inverse_predictor(argb: np.ndarray, w: int, h: int,
+                       block_bits: int, modes: np.ndarray
+                       ) -> np.ndarray:
+    return _predictor_pass(argb, w, h, block_bits, modes, inverse=True)
 
 
 def _forward_predictor(argb: np.ndarray, w: int, h: int,
                        block_bits: int, modes: np.ndarray
                        ) -> np.ndarray:
-    """Forward transform (encoder side): deltas against predictions
-    computed from the ORIGINAL pixels (the decoder reconstructs the
-    same values incrementally)."""
-    src = argb.astype(np.int64).reshape(h, w)
-    out = src.copy()
-    for y in range(h):
-        for x in range(w):
-            if x == 0 and y == 0:
-                pred = np.asarray([255, 0, 0, 0], np.int64)
-            elif y == 0:
-                pred = _unpack_px(int(src[0, x - 1]))
-            elif x == 0:
-                pred = _unpack_px(int(src[y - 1, 0]))
-            else:
-                m = int(modes[y >> block_bits, x >> block_bits])
-                if m == 0:
-                    pred = np.asarray([255, 0, 0, 0], np.int64)
-                elif m == 1:
-                    pred = _unpack_px(int(src[y, x - 1]))
-                elif m == 2:
-                    pred = _unpack_px(int(src[y - 1, x]))
-                elif m == 4:
-                    pred = _unpack_px(int(src[y - 1, x - 1]))
-                else:
-                    pred = (_unpack_px(int(src[y, x - 1]))
-                            + _unpack_px(int(src[y - 1, x]))) >> 1
-            out[y, x] = _pack_px(_unpack_px(int(src[y, x])) - pred)
+    return _predictor_pass(argb, w, h, block_bits, modes, inverse=False)
+
+
+def _ctd(t: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Spec ColorTransformDelta: ``(int8(t) * int8(c)) >> 5`` with an
+    arithmetic shift (numpy ``>>`` on int64 is arithmetic)."""
+    t8 = np.where(t >= 128, t - 256, t)
+    c8 = np.where(c >= 128, c - 256, c)
+    return (t8 * c8) >> 5
+
+
+def _color_transform(argb: np.ndarray, w: int, h: int,
+                     block_bits: int, g2r: np.ndarray,
+                     g2b: np.ndarray, r2b: np.ndarray, *,
+                     inverse: bool) -> np.ndarray:
+    """COLOR transform, both directions — pointwise (unlike the
+    predictor there is no sequential dependency, so it vectorizes).
+    Inverse per spec pseudocode: ``red += ctd(g2r, green)``, ``blue +=
+    ctd(g2b, green) + ctd(r2b, red_after)`` (the r2b term reads the
+    RECONSTRUCTED red byte); the forward direction subtracts, feeding
+    r2b the ORIGINAL red — which equals the inverse's reconstructed
+    value, so round trips are bit-exact mod 256."""
+    px = argb.reshape(h, w)
+    ys = (np.arange(h, dtype=np.int64) >> block_bits)[:, None]
+    xs = (np.arange(w, dtype=np.int64) >> block_bits)[None, :]
+    tg2r, tg2b, tr2b = g2r[ys, xs], g2b[ys, xs], r2b[ys, xs]
+    g = ((px >> 8) & 0xFF).astype(np.int64)
+    r = ((px >> 16) & 0xFF).astype(np.int64)
+    b = (px & 0xFF).astype(np.int64)
+    if inverse:
+        r = (r + _ctd(tg2r, g)) & 0xFF
+        b = (b + _ctd(tg2b, g) + _ctd(tr2b, r)) & 0xFF
+    else:
+        b = (b - _ctd(tg2b, g) - _ctd(tr2b, r)) & 0xFF
+        r = (r - _ctd(tg2r, g)) & 0xFF
+    out = (px & np.uint32(0xFF00FF00)) \
+        | (r.astype(np.uint32) << 16) | b.astype(np.uint32)
     return out.reshape(-1).astype(np.uint32)
 
 
@@ -371,11 +467,14 @@ def _decode_vp8l(payload: bytes) -> Optional[np.ndarray]:
         return None
     subtract_green = False
     palette: Optional[np.ndarray] = None
+    pal_bits = 0
     predictor: Optional[tuple] = None            # (block_bits, modes)
+    color_tf: Optional[tuple] = None             # (bits, g2r, g2b, r2b)
     while rd.read(1):                            # transform list
         ttype = rd.read(2)
         if ttype == 0:                           # PREDICTOR
-            if predictor or subtract_green or palette is not None:
+            if predictor or subtract_green or palette is not None \
+                    or color_tf is not None:
                 return None                      # combos: out of tier
             block_bits = rd.read(3) + 2
             bw_blocks = (w + (1 << block_bits) - 1) >> block_bits
@@ -385,9 +484,28 @@ def _decode_vp8l(payload: bytes) -> Optional[np.ndarray]:
             if mimg is None:
                 return None
             modes = ((mimg >> 8) & 0xFF).reshape(bh_blocks, bw_blocks)
-            if not np.isin(modes, (0, 1, 2, 4, 7)).all():
-                return None      # other predictor modes: out of tier
+            if int(modes.max(initial=0)) > 13:
+                return None      # modes 14-255 are invalid per spec
             predictor = (block_bits, modes.astype(np.int64))
+            continue
+        if ttype == 1:                           # COLOR (cross-comp.)
+            if predictor or subtract_green or palette is not None \
+                    or color_tf is not None:
+                return None                      # combos: out of tier
+            block_bits = rd.read(3) + 2
+            bw_blocks = (w + (1 << block_bits) - 1) >> block_bits
+            bh_blocks = (h + (1 << block_bits) - 1) >> block_bits
+            cimg = _decode_image_stream(rd, bw_blocks, bh_blocks,
+                                        level0=False)
+            if cimg is None:
+                return None
+            cimg = cimg.reshape(bh_blocks, bw_blocks)
+            # spec element packing: green_to_red in the BLUE byte,
+            # green_to_blue in GREEN, red_to_blue in RED
+            color_tf = (block_bits,
+                        (cimg & 0xFF).astype(np.int64),
+                        ((cimg >> 8) & 0xFF).astype(np.int64),
+                        ((cimg >> 16) & 0xFF).astype(np.int64))
             continue
         if ttype == 2:                           # SUBTRACT_GREEN
             if subtract_green:
@@ -399,8 +517,10 @@ def _decode_vp8l(payload: bytes) -> Optional[np.ndarray]:
                     or predictor is not None:
                 return None      # combinations: out of tier
             size = rd.read(8) + 1
-            if size <= 16:
-                return None      # pixel bundling: out of tier
+            # small palettes BUNDLE multiple pixel indices into one
+            # green byte: <=2 colors -> 8 px/byte, <=4 -> 4, <=16 -> 2
+            pal_bits = 3 if size <= 2 else 2 if size <= 4 \
+                else 1 if size <= 16 else 0
             deltas = _decode_image_stream(rd, size, 1, level0=False)
             if deltas is None:
                 return None
@@ -414,11 +534,25 @@ def _decode_vp8l(payload: bytes) -> Optional[np.ndarray]:
             continue
         return None             # predictor/color: out of tier
 
-    argb = _decode_image_stream(rd, w, h, level0=True)
+    # a bundling palette shrinks the CODED image width
+    iw = ((w + (1 << pal_bits) - 1) >> pal_bits) \
+        if palette is not None and pal_bits else w
+    argb = _decode_image_stream(rd, iw, h, level0=True)
     if argb is None:
         return None
     if predictor is not None:
-        argb = _inverse_predictor(argb, w, h, *predictor)
+        argb = _inverse_predictor(argb, iw, h, *predictor)
+    if color_tf is not None:
+        argb = _color_transform(argb, w, h, *color_tf, inverse=True)
+    if palette is not None and pal_bits:
+        # unbundle: pixel x reads (8 >> pal_bits) bits at offset
+        # (x % per_byte) * bpp inside packed green byte x >> pal_bits
+        bpp = 8 >> pal_bits
+        packed_g = ((argb.reshape(h, iw) >> 8) & 0xFF).astype(np.int64)
+        xs = np.arange(w, dtype=np.int64)
+        shift = ((xs & ((1 << pal_bits) - 1)) * bpp)[None, :]
+        idx = (packed_g[:, xs >> pal_bits] >> shift) & ((1 << bpp) - 1)
+        argb = (0xFF000000 | (idx.astype(np.uint32) << 8)).reshape(-1)
     flat = argb.reshape(h, w)
     g = ((flat >> 8) & 0xFF).astype(np.uint16)
     r = ((flat >> 16) & 0xFF).astype(np.uint16)
@@ -551,24 +685,50 @@ def _limited_code_lengths(freq: dict, max_len: int) -> dict[int, int]:
 
 def _encode_image_stream(bw: _LsbBitWriter, flat: np.ndarray, *,
                          use_runs: bool, cache_bits: int,
-                         level0: bool = False) -> None:
-    """Emit one entropy-coded image (cache bit + 5 prefix codes +
-    token stream) for a flat uint32 ARGB array — used for the main
-    image AND transform sub-images (palette)."""
+                         level0: bool = False, entropy_bits: int = 0,
+                         img_w: int = 0) -> None:
+    """Emit one entropy-coded image (cache bit + [entropy image] +
+    prefix codes + token stream) for a flat uint32 ARGB array — used
+    for the main image AND transform sub-images (palette / predictor
+    modes / color elements). ``entropy_bits`` > 0 (level 0 only)
+    emits a meta prefix image — a checkerboard of two prefix-code
+    GROUPS over ``2^entropy_bits`` blocks of the ``img_w``-wide image
+    — and codes each token with the group selected by its START
+    pixel's block (runs may then cross group boundaries, matching the
+    decoder's per-token group lookup). The color cache is ONE shared
+    cache across groups, per spec."""
     n_px = len(flat)
     cache_size = (1 << cache_bits) if cache_bits else 0
 
-    # one modeling pass: tokens + symbol frequencies
-    tokens: list[tuple] = []        # ('lit',px)/('run',n)/('hit',idx)
+    n_groups = 1
+    grp_of: Optional[np.ndarray] = None
+    meta: Optional[np.ndarray] = None
+    if level0 and entropy_bits:
+        assert img_w > 0 and n_px % img_w == 0
+        img_h = n_px // img_w
+        mw = (img_w + (1 << entropy_bits) - 1) >> entropy_bits
+        mh = (img_h + (1 << entropy_bits) - 1) >> entropy_bits
+        meta = (np.add.outer(np.arange(mh, dtype=np.int64),
+                             np.arange(mw, dtype=np.int64)) % 2)
+        n_groups = int(meta.max(initial=0)) + 1
+        pix = np.arange(n_px, dtype=np.int64)
+        grp_of = meta[(pix // img_w) >> entropy_bits,
+                      (pix % img_w) >> entropy_bits]
+
+    # one modeling pass: tokens + per-group symbol frequencies
+    tokens: list[tuple] = []    # (grp,'lit',px)/('run',n)/('hit',idx)
     cache = np.zeros(cache_size, np.uint32) if cache_size else None
     from collections import Counter
-    gfreq: Counter = Counter()
-    rfreq: Counter = Counter()
-    bfreq: Counter = Counter()
-    afreq: Counter = Counter()
-    dfreq: Counter = Counter()
+    gfreqs = [Counter() for _ in range(n_groups)]
+    rfreqs = [Counter() for _ in range(n_groups)]
+    bfreqs = [Counter() for _ in range(n_groups)]
+    afreqs = [Counter() for _ in range(n_groups)]
+    dfreqs = [Counter() for _ in range(n_groups)]
     i = 0
     while i < n_px:
+        grp = int(grp_of[i]) if grp_of is not None else 0
+        gfreq, rfreq, bfreq = gfreqs[grp], rfreqs[grp], bfreqs[grp]
+        afreq, dfreq = afreqs[grp], dfreqs[grp]
         px = int(flat[i])
         run = 0
         if use_runs and i > 0 and px == int(flat[i - 1]):
@@ -584,7 +744,7 @@ def _encode_image_stream(bw: _LsbBitWriter, flat: np.ndarray, *,
             # to the literal/cache path naturally.
             run = min(run, 4096)
             lsym, _, _ = _prefix_code_for_value(run)
-            tokens.append(("run", run))
+            tokens.append((grp, "run", run))
             gfreq[256 + lsym] += 1
             dsym, _, _ = _prefix_code_for_value(121)  # distance 1
             dfreq[dsym] += 1
@@ -597,11 +757,11 @@ def _encode_image_stream(bw: _LsbBitWriter, flat: np.ndarray, *,
         idx = (((_HASH_MUL * px) & 0xFFFFFFFF)
                >> (32 - cache_bits)) if cache is not None else 0
         if cache is not None and int(cache[idx]) == px and i > 0:
-            tokens.append(("hit", idx))
+            tokens.append((grp, "hit", idx))
             gfreq[256 + 24 + idx] += 1
             i += 1
             continue
-        tokens.append(("lit", px))
+        tokens.append((grp, "lit", px))
         gfreq[(px >> 8) & 0xFF] += 1
         rfreq[(px >> 16) & 0xFF] += 1
         bfreq[px & 0xFF] += 1
@@ -610,10 +770,12 @@ def _encode_image_stream(bw: _LsbBitWriter, flat: np.ndarray, *,
             cache[idx] = px
         i += 1
 
-    # degenerate alphabets still need a one-entry code
-    for fr in (gfreq, rfreq, bfreq, afreq, dfreq):
-        if not fr:
-            fr[0] = 1
+    # degenerate alphabets (incl. token-less groups) still need codes
+    for g in range(n_groups):
+        for fr in (gfreqs[g], rfreqs[g], bfreqs[g], afreqs[g],
+                   dfreqs[g]):
+            if not fr:
+                fr[0] = 1
 
     if cache_bits:
         bw.write(1, 1)
@@ -621,7 +783,16 @@ def _encode_image_stream(bw: _LsbBitWriter, flat: np.ndarray, *,
     else:
         bw.write(0, 1)
     if level0:
-        bw.write(0, 1)                           # no entropy image
+        if meta is not None:
+            bw.write(1, 1)                       # entropy image
+            bw.write(entropy_bits - 2, 3)
+            # meta prefix index travels as (red << 8) | green; two
+            # groups fit entirely in the green byte
+            _encode_image_stream(
+                bw, (meta.astype(np.uint32) << 8).reshape(-1),
+                use_runs=False, cache_bits=0)
+        else:
+            bw.write(0, 1)                       # no entropy image
 
     def emit_code(freq, alphabet: int) -> dict[int, tuple]:
         lengths = (_limited_code_lengths(freq, 15)
@@ -644,30 +815,35 @@ def _encode_image_stream(bw: _LsbBitWriter, flat: np.ndarray, *,
         _write_prefix_code(bw, lengths, alphabet)
         return _canonical_codes(lengths)
 
-    # a >255 single green symbol can't use the simple form: pad with
-    # a dummy literal so the normal form is used
-    if len(gfreq) == 1 and next(iter(gfreq)) > 255:
-        gfreq[0] += 1
-    gcodes = emit_code(gfreq, 256 + 24 + cache_size)
-    rcodes = emit_code(rfreq, 256)
-    bcodes = emit_code(bfreq, 256)
-    acodes = emit_code(afreq, 256)
-    dcodes = emit_code(dfreq, 40)
+    group_codes: list[tuple] = []
+    for g in range(n_groups):
+        gfreq = gfreqs[g]
+        # a >255 single green symbol can't use the simple form: pad
+        # with a dummy literal so the normal form is used
+        if len(gfreq) == 1 and next(iter(gfreq)) > 255:
+            gfreq[0] += 1
+        group_codes.append((
+            emit_code(gfreq, 256 + 24 + cache_size),
+            emit_code(rfreqs[g], 256),
+            emit_code(bfreqs[g], 256),
+            emit_code(afreqs[g], 256),
+            emit_code(dfreqs[g], 40)))
 
     def put(codes: dict, sym: int) -> None:
         code, ln = codes[sym]
         for k in range(ln - 1, -1, -1):
             bw.write((code >> k) & 1, 1)
 
-    for tok in tokens:
-        if tok[0] == "lit":
-            px = tok[1]
+    for grp, kind, val in tokens:
+        gcodes, rcodes, bcodes, acodes, dcodes = group_codes[grp]
+        if kind == "lit":
+            px = val
             put(gcodes, (px >> 8) & 0xFF)
             put(rcodes, (px >> 16) & 0xFF)
             put(bcodes, px & 0xFF)
             put(acodes, (px >> 24) & 0xFF)
-        elif tok[0] == "run":
-            lsym, extra, nbits = _prefix_code_for_value(tok[1])
+        elif kind == "run":
+            lsym, extra, nbits = _prefix_code_for_value(val)
             put(gcodes, 256 + lsym)
             if nbits:
                 bw.write(extra, nbits)
@@ -676,44 +852,68 @@ def _encode_image_stream(bw: _LsbBitWriter, flat: np.ndarray, *,
             if dnbits:
                 bw.write(dextra, dnbits)
         else:                                    # cache hit
-            put(gcodes, 256 + 24 + tok[1])
+            put(gcodes, 256 + 24 + val)
 
 
 def encode_vp8l(rgba: np.ndarray, *, use_runs: bool = True,
                 cache_bits: int = 0, subtract_green: bool = False,
-                palette: bool = False,
-                predictor: bool = False) -> bytes:
+                palette: bool = False, predictor: bool = False,
+                color: bool = False,
+                entropy_image: bool = False) -> bytes:
     """(h, w, 4) uint8 RGBA -> full WebP file bytes (RIFF + VP8L);
     horizontal pixel runs become distance-1 LZ77 backrefs when
     ``use_runs``; ``cache_bits`` > 0 enables the color cache (hits
     emitted whenever the current pixel is cached); ``subtract_green``
     applies the SUBTRACT_GREEN transform (the one most real encoders
-    emit); ``palette`` applies COLOR_INDEXING when the image has
-    17-256 distinct colors (the unbundled tier — small palettes would
-    need pixel bundling) — the palette travels as a delta-coded
-    entropy sub-image, per spec."""
+    emit); ``palette`` applies COLOR_INDEXING for up to 256 distinct
+    colors — the palette travels as a delta-coded entropy sub-image,
+    and palettes of <=16 colors BUNDLE multiple pixel indices per
+    coded green byte, per spec; ``predictor`` cycles per-16x16-block
+    prediction over the full mode set 0-13; ``color`` applies the
+    cross-component COLOR transform with per-block elements cycling
+    deterministically; ``entropy_image`` (combinable with any of the
+    above) codes the main image with a checkerboard meta prefix image
+    of two code groups over 4x4-pixel blocks."""
     rgba = np.asarray(rgba, np.uint8)
     h, w, nc = rgba.shape
     assert nc == 4, "encode_vp8l expects (h, w, 4) RGBA"
-    assert sum((palette, subtract_green, predictor)) <= 1, \
+    assert sum((palette, subtract_green, predictor, color)) <= 1, \
         "one transform at a time in this tier"
     argb_full = (rgba[:, :, 3].astype(np.uint32) << 24) \
         | (rgba[:, :, 0].astype(np.uint32) << 16) \
         | (rgba[:, :, 1].astype(np.uint32) << 8) \
         | rgba[:, :, 2].astype(np.uint32)
     flat = argb_full.reshape(-1)
+    enc_w = w                                    # coded-image width
 
     pal: Optional[np.ndarray] = None
+    pal_bits = 0
     if palette:
         uniq = np.unique(flat)
-        if not 17 <= len(uniq) <= 256:
+        if len(uniq) > 256:
             raise ValueError(
-                f"palette tier needs 17-256 distinct colors, "
+                f"palette tier needs <=256 distinct colors, "
                 f"got {len(uniq)}")
         pal = uniq
-        lut = {int(c): i for i, c in enumerate(uniq)}
-        flat = np.asarray([lut[int(c)] for c in flat],
-                          np.uint32) << 8      # index in GREEN
+        size = len(uniq)
+        idx = np.searchsorted(uniq, flat).astype(np.uint32)
+        pal_bits = 3 if size <= 2 else 2 if size <= 4 \
+            else 1 if size <= 16 else 0
+        if pal_bits:
+            # bundle (8 >> pal_bits)-bit indices into packed green
+            # bytes: pixel x lands in byte x >> pal_bits at bit
+            # offset (x % per_byte) * bpp
+            bpp = 8 >> pal_bits
+            per = 1 << pal_bits
+            enc_w = (w + per - 1) >> pal_bits
+            idx2d = idx.reshape(h, w)
+            packed = np.zeros((h, enc_w), np.uint32)
+            for k in range(per):
+                cols = idx2d[:, k::per]
+                packed[:, :cols.shape[1]] |= cols << (k * bpp)
+            flat = (packed << 8).reshape(-1)     # index in GREEN
+        else:
+            flat = idx << 8
     elif subtract_green:
         r16 = rgba[:, :, 0].astype(np.uint16)
         g16 = rgba[:, :, 1].astype(np.uint16)
@@ -735,12 +935,13 @@ def encode_vp8l(rgba: np.ndarray, *, use_runs: bool = True,
         block_bits = 4                           # 16x16 blocks
         bw_blocks = (w + 15) >> 4
         bh_blocks = (h + 15) >> 4
-        # per-block mode cycles over the supported set — exercises the
-        # mode SUB-IMAGE path, not just a constant predictor
-        cycle = np.asarray([1, 2, 7, 4, 0], np.int64)
+        # per-block mode cycles over the FULL mode set 0-13 —
+        # exercises the mode SUB-IMAGE path and every predictor
+        cycle = np.asarray([1, 2, 7, 4, 0, 3, 5, 6, 8, 9, 10, 11,
+                            12, 13], np.int64)
         pred_modes = cycle[
             (np.arange(bh_blocks)[:, None] * 3
-             + np.arange(bw_blocks)[None, :]) % 5]
+             + np.arange(bw_blocks)[None, :]) % len(cycle)]
         bw.write(1, 1)
         bw.write(0, 2)                           # PREDICTOR
         bw.write(block_bits - 2, 3)

@@ -4185,9 +4185,12 @@ def image_pixel_stats_webp(sf_dir: str) -> "ray.data.Dataset":
     (functions/vp8l.py — canonical prefix codes through the
     code-length code, LZ77 distance-1 runs, color cache) and decoded
     back through the full bit-level path. Encoder features cycle by
-    doc parity (runs on/off, color cache 0/6 bits) so every decode
-    branch runs under the oracle; VP8L is lossless, so pixel_sum /
-    resized_sum have the same closed form as the PNG-RGBA case."""
+    doc parity (runs on/off, color cache 0/6 bits, SUBTRACT_GREEN,
+    COLOR_INDEXING palette, full-mode PREDICTOR, cross-component
+    COLOR transform, and the checkerboard ENTROPY IMAGE) so every
+    decode branch runs under the oracle; VP8L is lossless, so
+    pixel_sum / resized_sum have the same closed form as the
+    PNG-RGBA case."""
     import numpy as np
 
     from ..functions import vp8l as _vp8l
@@ -4208,12 +4211,14 @@ def image_pixel_stats_webp(sf_dir: str) -> "ray.data.Dataset":
             n_colors = len(np.unique(argb))
             use_pal = d % 7 == 0 and 17 <= n_colors <= 256
             use_pred = d % 11 == 0 and not use_pal
+            use_color = d % 13 == 0 and not use_pal and not use_pred
             blobs.append(_vp8l.encode_vp8l(
                 img, use_runs=(d % 2 == 0),
                 cache_bits=6 if d % 3 == 0 and not use_pal else 0,
                 subtract_green=(d % 5 == 0 and not use_pal
-                                and not use_pred),
-                palette=use_pal, predictor=use_pred))
+                                and not use_pred and not use_color),
+                palette=use_pal, predictor=use_pred,
+                color=use_color, entropy_image=(d % 17 == 0)))
         return pa.table({
             "media_id": pa.array(ids, pa.int64()),
             "media": pa.array(blobs, pa.binary())})

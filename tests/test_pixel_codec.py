@@ -568,11 +568,63 @@ def test_vp8l_palette_round_trips():
         blob = vp8l.encode_vp8l(im, palette=True)
         out = vp8l.decode_vp8l(_vp8l_payload(blob))
         assert out is not None and (out == im).all(), n
-    # out-of-tier sizes raise at encode (bundling not emitted)
-    import pytest
-    small = np.zeros((4, 4, 4), np.uint8)
-    with pytest.raises(ValueError):
-        vp8l.encode_vp8l(small, palette=True)
+    # small palettes BUNDLE multiple indices per coded green byte:
+    # exercise every bundle width (1, 2 and 4 bits per pixel), odd
+    # widths that leave a partial final packed byte, and 1-px rows
+    for n_colors, shape in ((2, (9, 17)), (3, (5, 23)), (4, (1, 9)),
+                            (5, (11, 13)), (16, (7, 31)),
+                            (2, (6, 1)), (16, (3, 2))):
+        cols = (np.arange(n_colors, dtype=np.uint32) * 104729 + 3)
+        flat = cols[rng.randint(0, n_colors, shape[0] * shape[1])]
+        im = np.zeros((*shape, 4), np.uint8)
+        for ch, sh in ((0, 16), (1, 8), (2, 0), (3, 24)):
+            im[:, :, ch] = ((flat >> sh) & 0xFF).reshape(shape)
+        for kw in ({}, {"use_runs": False}, {"cache_bits": 3}):
+            blob = vp8l.encode_vp8l(im, palette=True, **kw)
+            out = vp8l.decode_vp8l(_vp8l_payload(blob))
+            assert out is not None and (out == im).all(), \
+                (n_colors, shape, kw)
+            assert (mm.decode_image_pixels(blob) == im).all()
+
+
+def test_vp8l_color_transform_round_trips():
+    import numpy as np
+    from tempeh_parser_ray.functions import vp8l
+
+    rng = np.random.RandomState(17)
+    for t in range(6):
+        img = rng.randint(0, 256, (rng.randint(1, 40),
+                                   rng.randint(1, 40), 4)
+                          ).astype(np.uint8)
+        for kw in ({"color": True}, {"color": True, "cache_bits": 4},
+                   {"color": True, "use_runs": False}):
+            blob = vp8l.encode_vp8l(img, **kw)
+            out = vp8l.decode_vp8l(_vp8l_payload(blob))
+            assert out is not None and (out == img).all(), (t, kw)
+    # multi-block image exercises per-block transform elements
+    g = rng.randint(0, 256, (37, 49, 4)).astype(np.uint8)
+    blob = vp8l.encode_vp8l(g, color=True)
+    out = vp8l.decode_vp8l(_vp8l_payload(blob))
+    assert out is not None and (out == g).all()
+
+
+def test_vp8l_entropy_image_round_trips():
+    import numpy as np
+    from tempeh_parser_ray.functions import vp8l
+
+    rng = np.random.RandomState(19)
+    for t in range(5):
+        img = rng.randint(0, 256, (rng.randint(1, 36),
+                                   rng.randint(1, 36), 4)
+                          ).astype(np.uint8)
+        for kw in ({"entropy_image": True},
+                   {"entropy_image": True, "cache_bits": 4},
+                   {"entropy_image": True, "use_runs": False},
+                   {"entropy_image": True, "subtract_green": True},
+                   {"entropy_image": True, "predictor": True}):
+            blob = vp8l.encode_vp8l(img, **kw)
+            out = vp8l.decode_vp8l(_vp8l_payload(blob))
+            assert out is not None and (out == img).all(), (t, kw)
 
 
 def test_vp8l_predictor_round_trips():
