@@ -26,60 +26,16 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordered so the driver's 50-query correctness budget lands on the
-    # queries CORRECTNESS_r03 did not cover (VERDICT r3, item 5); the
-    # remainder are pinned by CORRECTNESS_r03 + the committed CHECK_r4 sweep.
+    # queries CORRECTNESS_r01-r04 never covered (VERDICT r4, item 1) plus
+    # this round's changed queries; the rest are pinned by prior rounds'
+    # driver files and the committed CHECK_r5 full sweep.
     return {
-        # round-4 additions (driver-uncovered by construction)
-        "corpus_summary": _q.corpus_summary,
-        "doc_novelty": _q.doc_novelty,
-        "source_dedup_rate": _q.source_dedup_rate,
-        "video_tracks": _q.video_tracks,
-        "vocab_coverage": _q.vocab_coverage,
-        "token_quantiles_by_lang": _q.token_quantiles_by_lang,
-        "image_pixel_stats_webp": _q.image_pixel_stats_webp,
-        "orders_cube": _q.orders_cube,
-        "doc_length_mad": _q.doc_length_mad,
-        "image_pixel_stats_color": _q.image_pixel_stats_color,
-        "fold_text": _q.fold_text,
-        "crawl_schedule": _q.crawl_schedule,
-        "lang_confusion": _q.lang_confusion,
-        "extract_text_ipc": _q.extract_text_ipc,
-        "dataset_split": _q.dataset_split,
-        "lang_source_pivot": _q.lang_source_pivot,
-        "embedding_cov": _q.embedding_cov,
-        "url_canonical_dedup": _q.url_canonical_dedup,
-        "domain_quality": _q.domain_quality,
-        "link_degree_hist": _q.link_degree_hist,
-        "decode_entities": _q.decode_entities,
-        "host_fetch_slots": _q.host_fetch_slots,
-        "extract_metadata": _q.extract_metadata,
-        "epoch_shuffle": _q.epoch_shuffle,
-        "embedding_quantize": _q.embedding_quantize,
-        "resolve_links": _q.resolve_links,
-        "token_quantiles_sketch": _q.token_quantiles_sketch,
-        "sitemap_parse": _q.sitemap_parse,
-        "tag_histogram": _q.tag_histogram,
-        "crawl_diff": _q.crawl_diff,
-        "chunk_documents": _q.chunk_documents,
-        "label_centroids": _q.label_centroids,
-        "events_funnel": _q.events_funnel,
-        "user_retention": _q.user_retention,
-        "events_gapfill": _q.events_gapfill,
-        "surt_index": _q.surt_index,
-        "robots_filter": _q.robots_filter,
-        "anchor_text_index": _q.anchor_text_index,
-        "latest_capture": _q.latest_capture,
-        "dom_stats": _q.dom_stats,
-        "dom_select": _q.dom_select,
-        "extract_tables": _q.extract_tables,
-        "nb_lang_classify": _q.nb_lang_classify,
-        "pmi_bigrams": _q.pmi_bigrams,
-        "inverted_index": _q.inverted_index,
-        "web_pipeline": _q.web_pipeline,
-        "events_value_outliers": _q.events_value_outliers,
-        "bpe_encode": _q.bpe_encode,
-        "extract_text_pdf": _q.extract_text_pdf,
-        "extract_links": _q.extract_links,
+        # round-5 audit order: the 42 queries never driver-covered
+        # (CORRECTNESS_r01-r04 cumulative) come first, then the 8 whose
+        # implementations changed this round (multimodal trio rerouted to
+        # real codecs, doc_novelty rework, VP8L rotation, web_pipeline
+        # token carry, URL/robots ADVICE fixes) — so CORRECTNESS_r05's
+        # 50-query budget completes the cumulative audit trail.
         "events_running_total": _q.events_running_total,
         "domain_pagerank": _q.domain_pagerank,
         "dsir_weights": _q.dsir_weights,
@@ -90,7 +46,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": _q.semdedup,
         "paragraph_dedup": _q.paragraph_dedup,
         "extract_text_warc": _q.extract_text_warc,
-        "corpus_filter_funnel": _q.corpus_filter_funnel,
         "extract_spans": _q.extract_spans,
         "extract_error_contract": _q.extract_error_contract,
         "doc_freq_score": _q.doc_freq_score,
@@ -123,6 +78,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lead": _q.events_lead,
         "sliding_distinct_users": _q.sliding_distinct_users,
         "dedup_minhash_keep_distributed": _q.dedup_minhash_keep_distributed,
+        "multimodal_features": _q.multimodal_features,
+        "media_resize": _q.media_resize,
+        "audio_features": _q.audio_features,
+        "doc_novelty": _q.doc_novelty,
+        "image_pixel_stats_webp": _q.image_pixel_stats_webp,
+        "web_pipeline": _q.web_pipeline,
+        "url_canonical_dedup": _q.url_canonical_dedup,
+        "crawl_schedule": _q.crawl_schedule,
+        # remainder: pinned by CORRECTNESS_r01-r04 + CHECK_r5 sweep
+        "corpus_summary": _q.corpus_summary,
+        "source_dedup_rate": _q.source_dedup_rate,
+        "video_tracks": _q.video_tracks,
+        "vocab_coverage": _q.vocab_coverage,
+        "token_quantiles_by_lang": _q.token_quantiles_by_lang,
+        "orders_cube": _q.orders_cube,
+        "doc_length_mad": _q.doc_length_mad,
+        "image_pixel_stats_color": _q.image_pixel_stats_color,
+        "fold_text": _q.fold_text,
+        "lang_confusion": _q.lang_confusion,
+        "extract_text_ipc": _q.extract_text_ipc,
+        "dataset_split": _q.dataset_split,
+        "lang_source_pivot": _q.lang_source_pivot,
+        "embedding_cov": _q.embedding_cov,
+        "domain_quality": _q.domain_quality,
+        "link_degree_hist": _q.link_degree_hist,
+        "decode_entities": _q.decode_entities,
+        "host_fetch_slots": _q.host_fetch_slots,
+        "extract_metadata": _q.extract_metadata,
+        "epoch_shuffle": _q.epoch_shuffle,
+        "embedding_quantize": _q.embedding_quantize,
+        "resolve_links": _q.resolve_links,
+        "token_quantiles_sketch": _q.token_quantiles_sketch,
+        "sitemap_parse": _q.sitemap_parse,
+        "tag_histogram": _q.tag_histogram,
+        "crawl_diff": _q.crawl_diff,
+        "chunk_documents": _q.chunk_documents,
+        "label_centroids": _q.label_centroids,
+        "events_funnel": _q.events_funnel,
+        "user_retention": _q.user_retention,
+        "events_gapfill": _q.events_gapfill,
+        "surt_index": _q.surt_index,
+        "robots_filter": _q.robots_filter,
+        "anchor_text_index": _q.anchor_text_index,
+        "latest_capture": _q.latest_capture,
+        "dom_stats": _q.dom_stats,
+        "dom_select": _q.dom_select,
+        "extract_tables": _q.extract_tables,
+        "nb_lang_classify": _q.nb_lang_classify,
+        "pmi_bigrams": _q.pmi_bigrams,
+        "inverted_index": _q.inverted_index,
+        "events_value_outliers": _q.events_value_outliers,
+        "bpe_encode": _q.bpe_encode,
+        "extract_text_pdf": _q.extract_text_pdf,
+        "extract_links": _q.extract_links,
+        "corpus_filter_funnel": _q.corpus_filter_funnel,
         "extract_text": _q.extract_text,
         "extract_lang_stats": _q.extract_lang_stats,
         "parse_trees": _q.parse_trees,
@@ -142,7 +152,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": _q.knn_cosine,
         "knn_cosine_lsh": _q.knn_cosine_lsh,
         "knn_cosine_ivf": _q.knn_cosine_ivf,
-        "multimodal_features": _q.multimodal_features,
         "image_header_dims": _q.image_header_dims,
         "frame_offsets": _q.frame_offsets,
         "pricing_summary": _q.pricing_summary,
@@ -158,8 +167,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": _q.user_sessions,
         "sample_documents": _q.sample_documents,
         "dedup_embedding": _q.dedup_embedding,
-        "media_resize": _q.media_resize,
-        "audio_features": _q.audio_features,
         "events_asof_join": _q.events_asof_join,
         "events_range_join": _q.events_range_join,
         "events_sliding_3h": _q.events_sliding_3h,
