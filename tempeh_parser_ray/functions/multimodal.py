@@ -20,10 +20,12 @@ runs, AND successive-approximation refinement scans with correction
 bits (marker parse, canonical Huffman, dequantize, dezigzag, 2-D
 IDCT, fixed-point BT.601 conversion — see the JPEG section at the
 bottom) — progressive covers COLOR frames too (interleaved DC scans,
-per-component AC scans). Only WebP VP8(L) pixels and subsampled
-progressive still require a codec library: those paths fall back to deterministic
-byte-level features behind the ``try: import PIL`` gate
-(``strict=True`` raises ``NotImplementedError``).
+per-component AC scans) at BOTH 1x1 and standard 4:2:0 sampling
+(MCU-interleaved DC traversal with dummy blocks, per-component
+non-padded AC rasters, replication upsample). Only lossy-WebP VP8
+pixels still require a codec library: that path falls back to
+deterministic byte-level features behind the ``try: import PIL``
+gate (``strict=True`` raises ``NotImplementedError``).
 
 Batch-size guidance baked into the stage defaults: media batches should
 be sized by BYTES not rows (reuse ``stages.rebatch`` with the media
@@ -1351,10 +1353,12 @@ def decode_jpeg(blob: bytes) -> Optional[np.ndarray]:
     """REAL JPEG pixel decode -> (h, w, 1) uint8 for grayscale,
     (h, w, 3) RGB for color (fixed-point BT.601 conversion, see
     ``_ycbcr_to_rgb``). Tiers: baseline sequential grayscale / 4:4:4 /
-     4:2:0, plus PROGRESSIVE (SOF2) grayscale spectral-selection scans
-    (``_decode_jpeg_progressive``). ``None`` for anything outside the
-    tier (successive-approximation refinement scans, multi-component
-    progressive, restart intervals, truncated or hostile bytes)."""
+    4:2:0, plus PROGRESSIVE (SOF2) grayscale AND color — spectral
+    selection, EOB runs, successive-approximation refinement, at
+    1x1 or standard 4:2:0 sampling (``_decode_jpeg_progressive``).
+    ``None`` for anything outside the tier (other sampling ratios,
+    12-bit precision, arithmetic coding, restart intervals,
+    truncated or hostile bytes)."""
     try:
         out = _decode_jpeg_gray(blob)
         if out is not None:
@@ -1791,7 +1795,10 @@ def _decode_jpeg_progressive(blob: bytes) -> Optional[np.ndarray]:
     h = w = -1
     comp_ids: list = []                  # SOF order
     comp_tq: dict = {}                   # cid -> quant table id
-    coefs: dict = {}                     # cid -> (n_blocks, 64)
+    comp_samp: dict = {}                 # cid -> (hi, vi)
+    geom: dict = {}                      # cid -> dict(pcols, bhn, bwn, ch, cw)
+    coefs: dict = {}                     # cid -> (padded_blocks, 64)
+    mcu_rows = mcu_cols = 0
     p = 2
     while p + 2 <= n:
         if blob[p] != 0xFF:
@@ -1845,17 +1852,36 @@ def _decode_jpeg_progressive(blob: bytes) -> Optional[np.ndarray]:
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             ncomp = seg[5]
-            if ncomp not in (1, 3):              # 1x1-sampled tier
+            if ncomp not in (1, 3):
                 return None
-            nblocks = ((h + 7) // 8) * ((w + 7) // 8)
+            samps = [seg[7 + 3 * i] for i in range(ncomp)]
+            # tiers: all 1x1, or the standard 4:2:0 (Y 2x2, chroma 1x1)
+            if not (all(s == 0x11 for s in samps)
+                    or (ncomp == 3 and samps == [0x22, 0x11, 0x11])):
+                return None
+            hmax = max(s >> 4 for s in samps)
+            vmax = max(s & 0x0F for s in samps)
+            mcu_cols = (w + 8 * hmax - 1) // (8 * hmax)
+            mcu_rows = (h + 8 * vmax - 1) // (8 * vmax)
             for i in range(ncomp):
                 cid, samp, tq = seg[6 + 3 * i], seg[7 + 3 * i], \
                     seg[8 + 3 * i]
-                if samp != 0x11:                 # subsampled: out of tier
-                    return None
+                hi, vi = samp >> 4, samp & 0x0F
                 comp_ids.append(cid)
                 comp_tq[cid] = tq
-                coefs[cid] = np.zeros((nblocks, 64), np.int64)
+                comp_samp[cid] = (hi, vi)
+                cw = (w * hi + hmax - 1) // hmax   # component dims
+                ch = (h * vi + vmax - 1) // vmax
+                geom[cid] = {
+                    "pcols": mcu_cols * hi,        # MCU-padded grid
+                    "prows": mcu_rows * vi,
+                    "bwn": (cw + 7) // 8,          # non-padded grid
+                    "bhn": (ch + 7) // 8,
+                    "cw": cw, "ch": ch,
+                    "rep_x": hmax // hi, "rep_y": vmax // vi,
+                }
+                coefs[cid] = np.zeros(
+                    (mcu_rows * vi * mcu_cols * hi, 64), np.int64)
         elif marker == 0xC0 or (0xC1 <= marker <= 0xCF
                                 and marker not in (0xC4, 0xC8, 0xCC)):
             return None                          # baseline handled elsewhere
@@ -1905,36 +1931,61 @@ def _decode_jpeg_progressive(blob: bytes) -> Optional[np.ndarray]:
                 raise ValueError("invalid huffman code")
 
             rd = _JpegBitReader(bytes(data))
+
+            def dc_targets():
+                # DC scans with ns > 1 traverse MCU order (each scan
+                # component contributes its hi x vi sub-blocks per MCU,
+                # INCLUDING right/bottom dummy blocks); single-component
+                # DC scans traverse the component's own non-padded
+                # block raster, like AC scans.
+                if ns > 1:
+                    for myy in range(mcu_rows):
+                        for mxx in range(mcu_cols):
+                            for cid, dc_tid, _ in scomps:
+                                hi, vi = comp_samp[cid]
+                                pcols = geom[cid]["pcols"]
+                                for dy in range(vi):
+                                    for dx in range(hi):
+                                        yield (cid, dc_tid,
+                                               (myy * vi + dy) * pcols
+                                               + mxx * hi + dx)
+                else:
+                    cid, dc_tid, _ = scomps[0]
+                    g = geom[cid]
+                    for r in range(g["bhn"]):
+                        for c in range(g["bwn"]):
+                            yield cid, dc_tid, r * g["pcols"] + c
+
             if ss == 0 and ah == 0:              # DC first scan
                 if se != 0:
                     return None
-                # interleaved over components at 1x1 sampling: one DC
-                # per scan component per block position
                 prev = {cid: 0 for cid, _, _ in scomps}
-                for bi in range(nblocks):
-                    for cid, dc_tid, _ in scomps:
-                        tab = hufftables[(0, dc_tid)]
-                        s = huff(rd, tab)
-                        if s > 11:
-                            raise ValueError("bad DC category")
-                        if s:
-                            v = rd.read(s)
-                            if v < (1 << (s - 1)):
-                                v -= (1 << s) - 1
-                            prev[cid] += v
-                        coefs[cid][bi, 0] = prev[cid] << al
+                for cid, dc_tid, bi in dc_targets():
+                    tab = hufftables[(0, dc_tid)]
+                    s = huff(rd, tab)
+                    if s > 11:
+                        raise ValueError("bad DC category")
+                    if s:
+                        v = rd.read(s)
+                        if v < (1 << (s - 1)):
+                            v -= (1 << s) - 1
+                        prev[cid] += v
+                    coefs[cid][bi, 0] = prev[cid] << al
             elif ss == 0:                        # DC refinement: 1 bit
                 if se != 0:
                     return None
-                for bi in range(nblocks):
-                    for cid, _, _ in scomps:
-                        if rd.read(1):
-                            # two's-complement OR appends the bit for
-                            # negative coefficients too (libjpeg)
-                            coefs[cid][bi, 0] |= 1 << al
+                for cid, _, bi in dc_targets():
+                    if rd.read(1):
+                        # two's-complement OR appends the bit for
+                        # negative coefficients too (libjpeg)
+                        coefs[cid][bi, 0] |= 1 << al
             elif ah != 0:                        # AC refinement (band)
                 cid, _, ac_tid = scomps[0]
                 ccoefs = coefs[cid]
+                g = geom[cid]
+                ac_order = [r * g["pcols"] + c
+                            for r in range(g["bhn"])
+                            for c in range(g["bwn"])]
                 tab = hufftables[(1, ac_tid)]
                 p1, m1 = 1 << al, -(1 << al)
 
@@ -1943,7 +1994,7 @@ def _decode_jpeg_progressive(blob: bytes) -> Optional[np.ndarray]:
                         row[k] += p1 if row[k] >= 0 else m1
 
                 eobrun = 0
-                for bi in range(nblocks):
+                for bi in ac_order:
                     row = ccoefs[bi]
                     k = ss
                     if eobrun == 0:
@@ -1981,9 +2032,13 @@ def _decode_jpeg_progressive(blob: bytes) -> Optional[np.ndarray]:
             else:                                # AC first scan (band)
                 cid, _, ac_tid = scomps[0]
                 ccoefs = coefs[cid]
+                g = geom[cid]
+                ac_order = [r * g["pcols"] + c
+                            for r in range(g["bhn"])
+                            for c in range(g["bwn"])]
                 tab = hufftables[(1, ac_tid)]
                 eobrun = 0
-                for bi in range(nblocks):
+                for bi in ac_order:
                     if eobrun:
                         eobrun -= 1
                         continue
@@ -2012,21 +2067,26 @@ def _decode_jpeg_progressive(blob: bytes) -> Optional[np.ndarray]:
         p += 2 + seg_len
     if not coefs or h <= 0 or w <= 0:
         return None
-    nbx = (w + 7) // 8
     planes = []
     for cid in comp_ids:
         qt = qtables[comp_tq[cid]]
-        out = np.zeros((((h + 7) // 8) * 8, nbx * 8), np.uint8)
-        for bi in range(len(coefs[cid])):
-            coef = np.zeros(64, np.float64)
-            # coef rows are zigzag-ordered; qt is natural order, so
-            # the dequant multiplier must be re-zigzagged to align
-            coef[_JPEG_ZZ] = coefs[cid][bi] * qt[_JPEG_ZZ]
-            block = _DCT_M.T @ coef.reshape(8, 8) @ _DCT_M + 128.0
-            by, bx = divmod(bi, nbx)
-            out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = np.clip(
-                np.round(block), 0, 255).astype(np.uint8)
-        planes.append(out[:h, :w])
+        g = geom[cid]
+        out = np.zeros((g["bhn"] * 8, g["bwn"] * 8), np.uint8)
+        for r in range(g["bhn"]):
+            for c in range(g["bwn"]):
+                bi = r * g["pcols"] + c
+                coef = np.zeros(64, np.float64)
+                # coef rows are zigzag-ordered; qt is natural order, so
+                # the dequant multiplier must be re-zigzagged to align
+                coef[_JPEG_ZZ] = coefs[cid][bi] * qt[_JPEG_ZZ]
+                block = _DCT_M.T @ coef.reshape(8, 8) @ _DCT_M + 128.0
+                out[r * 8:r * 8 + 8, c * 8:c * 8 + 8] = np.clip(
+                    np.round(block), 0, 255).astype(np.uint8)
+        plane = out[:g["ch"], :g["cw"]]
+        if g["rep_y"] > 1 or g["rep_x"] > 1:     # replication upsample
+            plane = np.repeat(np.repeat(plane, g["rep_y"], axis=0),
+                              g["rep_x"], axis=1)
+        planes.append(plane[:h, :w])
     if len(planes) == 1:
         return planes[0][:, :, None]
     return _ycbcr_to_rgb(np.stack(planes, axis=-1))
@@ -2035,59 +2095,111 @@ def _decode_jpeg_progressive(blob: bytes) -> Optional[np.ndarray]:
 def encode_jpeg_color_progressive(ycbcr: np.ndarray, *,
                                   q_table: Optional[np.ndarray] = None,
                                   bands: tuple = ((1, 5), (6, 63)),
-                                  successive: bool = False) -> bytes:
-    """REAL progressive-JPEG encoder for 4:4:4 color: an INTERLEAVED
-    DC scan over all three components, then per-component AC band
-    scans (progressive AC scans are single-component by spec);
+                                  successive: bool = False,
+                                  subsample: bool = False) -> bytes:
+    """REAL progressive-JPEG encoder for color: an INTERLEAVED DC scan
+    over all three components, then per-component AC band scans
+    (progressive AC scans are single-component by spec);
     ``successive=True`` adds the Ah=1/Al=0 refinement passes. Input is
-    (h, w, 3) uint8 Y/Cb/Cr planes like :func:`encode_jpeg_color`."""
+    (h, w, 3) uint8 Y/Cb/Cr planes like :func:`encode_jpeg_color`.
+    ``subsample=True`` emits the standard 4:2:0 geometry: the DC scan
+    walks 16x16 MCUs (four Y blocks + Cb + Cr, INCLUDING right/bottom
+    dummy blocks of the MCU-padded grid), while each AC scan walks
+    only its component's non-padded block raster — exactly the
+    traversal the spec (and libjpeg) uses, which the progressive
+    decoder above mirrors. Chroma is taken at the top-left of each
+    2x2 like :func:`encode_jpeg_color`."""
     import struct
     ycbcr = np.asarray(ycbcr, np.uint8)
     h, w, nc = ycbcr.shape
     assert nc == 3
     q = (np.ones((8, 8), np.int64) if q_table is None
          else np.asarray(q_table, np.int64))
-    pad = np.pad(ycbcr, ((0, (-h) % 8), (0, (-w) % 8), (0, 0)),
+    mcu = 16 if subsample else 8
+    pad = np.pad(ycbcr, ((0, (-h) % mcu), (0, (-w) % mcu), (0, 0)),
                  mode="edge")
     ph, pw = pad.shape[:2]
 
+    def fdct(block: np.ndarray) -> np.ndarray:
+        f = _DCT_M @ (block.astype(np.float64) - 128.0) @ _DCT_M.T
+        zz = np.round(f / q).astype(np.int64).flatten()[_JPEG_ZZ]
+        np.clip(zz[1:], -1023, 1023, out=zz[1:])
+        return zz
+
+    # per component: MCU-padded block grid (row-major) + its grid
+    # shape + the non-padded (bhn, bwn) AC-scan extent
     comp_blocks: list[list[np.ndarray]] = [[], [], []]
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for ci in range(3):
-                f = _DCT_M @ (pad[by:by + 8, bx:bx + 8, ci]
-                              .astype(np.float64) - 128.0) @ _DCT_M.T
-                zz = np.round(f / q).astype(np.int64
-                                            ).flatten()[_JPEG_ZZ]
-                np.clip(zz[1:], -1023, 1023, out=zz[1:])
-                comp_blocks[ci].append(zz)
+    if not subsample:
+        for by in range(0, ph, 8):
+            for bx in range(0, pw, 8):
+                for ci in range(3):
+                    comp_blocks[ci].append(
+                        fdct(pad[by:by + 8, bx:bx + 8, ci]))
+        grids = [(ph // 8, pw // 8)] * 3
+        extents = [((h + 7) // 8, (w + 7) // 8)] * 3
+    else:
+        for by in range(0, ph, 8):
+            for bx in range(0, pw, 8):
+                comp_blocks[0].append(fdct(pad[by:by + 8, bx:bx + 8, 0]))
+        chroma = pad[::2, ::2, 1:]               # top-left of each 2x2
+        ch2, cw2 = chroma.shape[:2]              # multiples of 8
+        for by in range(0, ch2, 8):
+            for bx in range(0, cw2, 8):
+                for ci in (1, 2):
+                    comp_blocks[ci].append(
+                        fdct(chroma[by:by + 8, bx:bx + 8, ci - 1]))
+        grids = [(ph // 8, pw // 8), (ch2 // 8, cw2 // 8),
+                 (ch2 // 8, cw2 // 8)]
+        cbh = ((h + 1) // 2 + 7) // 8            # ceil(ceil(h/2)/8)
+        cbw = ((w + 1) // 2 + 7) // 8
+        extents = [((h + 7) // 8, (w + 7) // 8), (cbh, cbw),
+                   (cbh, cbw)]
 
     dc_codes = _jpeg_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_codes = _jpeg_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
-    nblocks = len(comp_blocks[0])
+
+    def dc_order():
+        # interleaved MCU traversal (incl. dummy blocks)
+        if not subsample:
+            for bi in range(len(comp_blocks[0])):
+                for ci in range(3):
+                    yield ci, bi
+        else:
+            ygw = grids[0][1]
+            cgw = grids[1][1]
+            for my in range(ph // 16):
+                for mx in range(pw // 16):
+                    for dy in (0, 1):
+                        for dx in (0, 1):
+                            yield 0, (2 * my + dy) * ygw + 2 * mx + dx
+                    yield 1, my * cgw + mx
+                    yield 2, my * cgw + mx
+
+    def ac_blocks(ci: int) -> list:
+        (bhn, bwn), (_, gw) = extents[ci], grids[ci]
+        return [comp_blocks[ci][r * gw + c]
+                for r in range(bhn) for c in range(bwn)]
 
     def dc_scan(al: int) -> bytes:
         bw = _JpegBitWriter()
         prev = [0, 0, 0]
-        for bi in range(nblocks):
-            for ci in range(3):                  # interleaved
-                dc = int(comp_blocks[ci][bi][0]) >> al
-                diff = dc - prev[ci]
-                prev[ci] = dc
-                s = _jpeg_size_cat(diff)
-                code, ln = dc_codes[s]
-                bw.write(code, ln)
-                if s:
-                    bw.write(diff if diff > 0
-                             else diff + (1 << s) - 1, s)
+        for ci, bi in dc_order():
+            dc = int(comp_blocks[ci][bi][0]) >> al
+            diff = dc - prev[ci]
+            prev[ci] = dc
+            s = _jpeg_size_cat(diff)
+            code, ln = dc_codes[s]
+            bw.write(code, ln)
+            if s:
+                bw.write(diff if diff > 0
+                         else diff + (1 << s) - 1, s)
         bw.flush()
         return bytes(bw.buf)
 
     def dc_refine(al: int) -> bytes:
         bw = _JpegBitWriter()
-        for bi in range(nblocks):
-            for ci in range(3):
-                bw.write((int(comp_blocks[ci][bi][0]) >> al) & 1, 1)
+        for ci, bi in dc_order():
+            bw.write((int(comp_blocks[ci][bi][0]) >> al) & 1, 1)
         bw.flush()
         return bytes(bw.buf)
 
@@ -2104,8 +2216,9 @@ def encode_jpeg_color_progressive(ycbcr: np.ndarray, *,
     out += b"\xff\xdb" + struct.pack(">HB", 67, 0x00)
     out += bytes(int(x) for x in q.flatten()[_JPEG_ZZ])
     out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, h, w, 3)
-    for cid in (1, 2, 3):
-        out += bytes([cid, 0x11, 0])
+    y_samp = 0x22 if subsample else 0x11
+    for cid, samp in ((1, y_samp), (2, 0x11), (3, 0x11)):
+        out += bytes([cid, samp, 0])
     for cls, bits, vals in ((0x00, _JPEG_DC_BITS, _JPEG_DC_VALS),
                             (0x10, _JPEG_AC_BITS, _JPEG_AC_VALS)):
         out += b"\xff\xc4" + struct.pack(
@@ -2117,12 +2230,12 @@ def encode_jpeg_color_progressive(ycbcr: np.ndarray, *,
     for ci, cid in enumerate((1, 2, 3)):
         for ss, se in bands:
             out += sos([cid], ss, se, 0, first_al, _jpeg_prog_ac_scan(
-                comp_blocks[ci], ss, se, first_al, ac_codes))
+                ac_blocks(ci), ss, se, first_al, ac_codes))
     if successive:
         out += sos([1, 2, 3], 0, 0, 1, 0, dc_refine(0))
         for ci, cid in enumerate((1, 2, 3)):
             for ss, se in bands:
                 out += sos([cid], ss, se, 1, 0, _jpeg_prog_ac_refine(
-                    comp_blocks[ci], ss, se, 0, ac_codes))
+                    ac_blocks(ci), ss, se, 0, ac_codes))
     out += b"\xff\xd9"
     return bytes(out)

@@ -4044,10 +4044,13 @@ def image_pixel_stats_color(sf_dir: str) -> "ray.data.Dataset":
     _ycbcr_to_rgb) — all-ones quant keeps the transform bit-exact, and
     the integer conversion is reproduced verbatim by the SQL oracle,
     so pixel_sum / resized_sum verify the ENTIRE color path
-    bit-for-bit. Sampling cycles by parity: even docs 4:4:4
-    (per-8x8-constant planes), odd docs the standard 4:2:0
-    (per-16x16-constant planes, four-Y+Cb+Cr MCUs, chroma
-    replication upsample)."""
+    bit-for-bit. Sampling/mode cycles four ways: even docs 4:4:4
+    (per-8x8-constant planes; sequential vs progressive+SA by
+    d//2 parity), odd docs the standard 4:2:0 (per-16x16-constant
+    planes, four-Y+Cb+Cr MCUs, chroma replication upsample;
+    sequential vs progressive+SA by d//2 parity — the progressive
+    4:2:0 decode walks MCU-interleaved DC scans with dummy blocks
+    and per-component non-padded AC rasters)."""
     import numpy as np
 
     def gen(batch: pa.Table) -> pa.Table:
@@ -4063,8 +4066,13 @@ def image_pixel_stats_color(sf_dir: str) -> "ray.data.Dataset":
                 (7 * bx + 11 * by + d) % 256,
                 (13 * bx + 17 * by + 5 * d) % 256,
             ], axis=-1).astype(np.uint8)
-            if d % 2 == 1:                       # 4:2:0 sequential
-                blobs.append(_mm.encode_jpeg_color(ycc, subsample=True))
+            if d % 2 == 1:
+                if (d // 2) % 2 == 0:            # 4:2:0 sequential
+                    blobs.append(_mm.encode_jpeg_color(
+                        ycc, subsample=True))
+                else:                            # 4:2:0 progressive+SA
+                    blobs.append(_mm.encode_jpeg_color_progressive(
+                        ycc, successive=True, subsample=True))
             elif (d // 2) % 2 == 0:              # 4:4:4 sequential
                 blobs.append(_mm.encode_jpeg_color(ycc))
             else:                                # 4:4:4 progressive+SA

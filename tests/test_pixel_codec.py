@@ -762,3 +762,54 @@ def test_mp4_track_inventory():
     assert mm.parse_mp4_tracks(b"garbage") is None
     for cut in range(0, len(blob), 9):
         mm.parse_mp4_tracks(blob[:cut])  # must not raise
+
+
+def test_jpeg_420_progressive_matches_baseline():
+    """Progressive 4:2:0 streams (MCU-interleaved DC scans including
+    dummy blocks, per-component non-padded AC rasters, with and
+    without SA refinement) decode pixel-identical to the baseline
+    4:2:0 stream of the same coefficients — non-trivial quant tables
+    so zigzag/dequant/traversal bugs cannot hide."""
+    import numpy as np
+    from tempeh_parser_ray.functions import multimodal as mm
+
+    rng = np.random.RandomState(11)
+    for t in range(30):
+        ycc = rng.randint(0, 256, (rng.randint(1, 40),
+                                   rng.randint(1, 40), 3)
+                          ).astype(np.uint8)
+        q = np.clip(rng.randint(1, 12, (8, 8)), 1, None)
+        base = mm.decode_jpeg(mm.encode_jpeg_color(
+            ycc, q_table=q, subsample=True))
+        prog = mm.decode_jpeg(mm.encode_jpeg_color_progressive(
+            ycc, q_table=q, successive=bool(t % 2), subsample=True))
+        assert prog is not None and (prog == base).all(), t
+
+
+def test_jpeg_420_progressive_round_trip_bit_exact():
+    """Per-16x16-constant planes with all-ones quant round-trip the
+    progressive 4:2:0 path bit-exactly against the closed form
+    (chroma top-left-of-2x2 then replication upsample) — the same
+    invariant image_pixel_stats_color's oracle relies on."""
+    import numpy as np
+    from tempeh_parser_ray.functions import multimodal as mm
+
+    for d, (h, w) in enumerate([(16, 16), (3, 5), (17, 33), (24, 24),
+                                (15, 31), (1, 1), (40, 9)]):
+        bx = (np.arange(w) // 16)[None, :]
+        by = (np.arange(h) // 16)[:, None]
+        ycc = np.stack([(5 * bx + 9 * by + 3 * d) % 256,
+                        (7 * bx + 11 * by + d) % 256,
+                        (13 * bx + 17 * by + 5 * d) % 256],
+                       axis=-1).astype(np.uint8)
+        blob = mm.encode_jpeg_color_progressive(
+            ycc, successive=bool(d % 2), subsample=True)
+        out = mm.decode_jpeg(blob)
+        y = ycc[:, :, 0]
+        cb = np.repeat(np.repeat(ycc[::2, ::2, 1], 2, 0), 2, 1)[:h, :w]
+        cr = np.repeat(np.repeat(ycc[::2, ::2, 2], 2, 0), 2, 1)[:h, :w]
+        exp = mm._ycbcr_to_rgb(np.stack([y, cb, cr], axis=-1))
+        assert out is not None and np.array_equal(out, exp), (h, w)
+        # truncation/hostile sweep: never crash
+        for cut in range(2, len(blob), 37):
+            mm.decode_jpeg(blob[:cut])
