@@ -85,8 +85,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_pixel_stats_webp": _q.image_pixel_stats_webp,
         "web_pipeline": _q.web_pipeline,
         "url_canonical_dedup": _q.url_canonical_dedup,
-        "crawl_schedule": _q.crawl_schedule,
+        "image_pixel_stats_vp8": _q.image_pixel_stats_vp8,
         # remainder: pinned by CORRECTNESS_r01-r04 + CHECK_r5 sweep
+        # (crawl_schedule yielded its audit slot to the new VP8 query:
+        # driver-green in r04 and re-verified by this round's sweep)
+        "crawl_schedule": _q.crawl_schedule,
         "corpus_summary": _q.corpus_summary,
         "source_dedup_rate": _q.source_dedup_rate,
         "video_tracks": _q.video_tracks,
@@ -1817,6 +1820,67 @@ def oracle_sql() -> dict[str, str]:
                         + ch*11 + media_id) % 256) AS resized_sum
             FROM params, range(8) rx(x), range(8) ry(y), range(4) rc(ch)
             GROUP BY media_id)
+        SELECT p.media_id, CAST(p.width AS BIGINT) AS width,
+               CAST(p.height AS BIGINT) AS height,
+               CAST(px.pixel_sum AS BIGINT) AS pixel_sum,
+               CAST(rz.resized_sum AS BIGINT) AS resized_sum
+        FROM params p JOIN px USING (media_id) JOIN rz USING (media_id)
+    """
+    d["image_pixel_stats_vp8"] = """
+        -- per-16x16-MB-constant YCbCr planes; VP8's DC-only residual
+        -- solve is exact at qi=0, chroma subsampling is invisible on
+        -- 16-aligned-constant planes, and the fixed-point BT.601
+        -- integer conversion below is character-for-character the
+        -- engine's _ycbcr_to_rgb (nonneg numerators: floor == trunc)
+        WITH params AS (
+            SELECT doc_id AS media_id,
+                   8 + doc_id % 41 AS width,
+                   6 + doc_id % 37 AS height
+            FROM documents),
+        pix AS (
+            SELECT media_id, width, height, x, y,
+                   (5*(x//16) + 9*(y//16) + 3*media_id) % 256 AS yy,
+                   (7*(x//16) + 11*(y//16) + media_id) % 256 AS cb,
+                   (13*(x//16) + 17*(y//16) + 5*media_id) % 256 AS cr
+            FROM params, range(48) rx(x), range(42) ry(y)
+            WHERE x < width AND y < height),
+        rgb AS (
+            SELECT media_id,
+                   GREATEST(0, LEAST(255,
+                       (1000000*yy + 1402000*(cr-128) + 256500000)
+                           // 1000000 - 256))
+                 + GREATEST(0, LEAST(255,
+                       (1000000*yy - 344136*(cb-128) - 714136*(cr-128)
+                        + 256500000) // 1000000 - 256))
+                 + GREATEST(0, LEAST(255,
+                       (1000000*yy + 1772000*(cb-128) + 256500000)
+                           // 1000000 - 256)) AS s
+            FROM pix),
+        px AS (SELECT media_id, SUM(s) AS pixel_sum FROM rgb
+               GROUP BY media_id),
+        rpix AS (
+            SELECT media_id,
+                   (5*(((x*width)//8)//16) + 9*(((y*height)//8)//16)
+                    + 3*media_id) % 256 AS yy,
+                   (7*(((x*width)//8)//16) + 11*(((y*height)//8)//16)
+                    + media_id) % 256 AS cb,
+                   (13*(((x*width)//8)//16) + 17*(((y*height)//8)//16)
+                    + 5*media_id) % 256 AS cr
+            FROM params, range(8) rx(x), range(8) ry(y)),
+        rrgb AS (
+            SELECT media_id,
+                   GREATEST(0, LEAST(255,
+                       (1000000*yy + 1402000*(cr-128) + 256500000)
+                           // 1000000 - 256))
+                 + GREATEST(0, LEAST(255,
+                       (1000000*yy - 344136*(cb-128) - 714136*(cr-128)
+                        + 256500000) // 1000000 - 256))
+                 + GREATEST(0, LEAST(255,
+                       (1000000*yy + 1772000*(cb-128) + 256500000)
+                           // 1000000 - 256)) AS s
+            FROM rpix),
+        rz AS (SELECT media_id, SUM(s) AS resized_sum FROM rrgb
+               GROUP BY media_id)
         SELECT p.media_id, CAST(p.width AS BIGINT) AS width,
                CAST(p.height AS BIGINT) AS height,
                CAST(px.pixel_sum AS BIGINT) AS pixel_sum,

@@ -91,6 +91,7 @@ QUERY_NAMES = [
     "embedding_cov", "lang_source_pivot", "dataset_split",
     "extract_text_ipc", "lang_confusion", "fold_text", "crawl_schedule", "image_pixel_stats_color",
     "orders_cube", "doc_length_mad", "image_pixel_stats_webp",
+    "image_pixel_stats_vp8",
     "vocab_coverage", "token_quantiles_by_lang", "video_tracks",
     "doc_novelty", "source_dedup_rate", "corpus_summary",
 ]

@@ -22,10 +22,13 @@ IDCT, fixed-point BT.601 conversion — see the JPEG section at the
 bottom) — progressive covers COLOR frames too (interleaved DC scans,
 per-component AC scans) at BOTH 1x1 and standard 4:2:0 sampling
 (MCU-interleaved DC traversal with dummy blocks, per-component
-non-padded AC rasters, replication upsample). Only lossy-WebP VP8
-pixels still require a codec library: that path falls back to
-deterministic byte-level features behind the ``try: import PIL``
-gate (``strict=True`` raises ``NotImplementedError``).
+non-padded AC rasters, replication upsample). Lossy-WebP VP8 intra
+keyframes decode through functions/vp8.py (RFC 6386 bool coder,
+token trees, exact fixed-point WHT/IDCT, whole-block intra
+prediction). Payloads outside every tier (interframes, B_PRED,
+arithmetic-coded JPEG, ...) fall back to deterministic byte-level
+features behind the ``try: import PIL`` gate (``strict=True``
+raises ``NotImplementedError``).
 
 Batch-size guidance baked into the stage defaults: media batches should
 be sized by BYTES not rows (reuse ``stages.rebatch`` with the media
@@ -371,15 +374,24 @@ def decode_image_pixels(blob: bytes) -> Optional[np.ndarray]:
     payload is not an 8-bit non-interlaced gray/RGB/RGBA PNG, a
     global-palette non-interlaced GIF (real LZW inflate below), an
     uncompressed bottom-up 24-bit BMP, a JPEG in the decoded tiers
-    (baseline gray/4:4:4/4:2:0, progressive gray/color), or a
-    transform-free WebP-lossless VP8L stream (functions/vp8l.py;
-    callers fall back to the header/stub path)."""
+    (baseline gray/4:4:4/4:2:0, progressive gray/color), a WebP-
+    lossless VP8L stream (functions/vp8l.py), or a lossy-WebP VP8
+    intra keyframe (functions/vp8.py — decoded to RGB through the
+    shared fixed-point BT.601 conversion after replication upsample,
+    like the JPEG color tiers; callers fall back to the header/stub
+    path)."""
     n = len(blob)
     if n >= 21 and blob[:4] == b"RIFF" and blob[8:12] == b"WEBP" \
             and blob[12:16] == b"VP8L":
         from . import vp8l as _vp8l
         ln = int.from_bytes(blob[16:20], "little")
         return _vp8l.decode_vp8l(blob[20:20 + ln])
+    if n >= 21 and blob[:4] == b"RIFF" and blob[8:12] == b"WEBP" \
+            and blob[12:16] == b"VP8 ":
+        from . import vp8 as _vp8
+        ln = int.from_bytes(blob[16:20], "little")
+        ycc = _vp8.decode_vp8(blob[20:20 + ln])
+        return None if ycc is None else _ycbcr_to_rgb(ycc)
     if n >= 4 and blob[:2] == b"\xff\xd8":
         return decode_jpeg(blob)
     if n > 45 and blob[:8] == b"\x89PNG\r\n\x1a\n":
@@ -455,7 +467,7 @@ def resize_nearest(img: np.ndarray, tw: int, th: int) -> np.ndarray:
 
 class ResizeImageBatch:
     """Actor-pool stage: REAL pixel decode (``decode_image_pixels`` —
-    PNG/BMP/GIF/JPEG/WebP-VP8L tiers) + nearest-neighbor resize to
+    PNG/BMP/GIF/JPEG/WebP-VP8L/VP8 tiers) + nearest-neighbor resize to
     ``(target, target)``; emits the resized pixel bytes, true source
     channel count and the integer resized pixel sum (SQL-checkable
     closed form). Undecodable payloads raise ``ValueError`` unless

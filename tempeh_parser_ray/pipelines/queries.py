@@ -4255,6 +4255,64 @@ def image_pixel_stats_webp(sf_dir: str) -> "ray.data.Dataset":
         decode, batch_format="pyarrow")
 
 
+def image_pixel_stats_vp8(sf_dir: str) -> "ray.data.Dataset":
+    """REAL lossy-WebP (VP8) intra-keyframe pixel decode, no image
+    library: per-16x16-macroblock-constant YCbCr planes are encoded by
+    the in-repo VP8 encoder (functions/vp8.py — RFC 6386 bool coder,
+    keyframe header, DC/V/H/TM intra prediction cycling per MB, Y2/WHT
+    + 4x4 IDCT exact fixed-point transform path, token tree with
+    categories and above/left non-zero contexts) and decoded back
+    through the full bitstream path; the DC-only residual solve is
+    EXACT at qi=0, so decode(encode(img)) is bit-identical and
+    pixel_sum / resized_sum share image_pixel_stats_color's closed
+    form with bs=16 (chroma top-left-of-2x2 + replication upsample is
+    invisible on 16-aligned-constant planes; RGB via the shared
+    fixed-point BT.601 conversion the SQL reproduces verbatim)."""
+    import numpy as np
+
+    from ..functions import vp8 as _vp8
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        blobs: list[bytes] = []
+        for d in ids:
+            w, h = 8 + d % 41, 6 + d % 37
+            bx = (np.arange(w) // 16)[None, :]
+            by = (np.arange(h) // 16)[:, None]
+            ycc = np.stack([
+                (5 * bx + 9 * by + 3 * d) % 256,
+                (7 * bx + 11 * by + d) % 256,
+                (13 * bx + 17 * by + 5 * d) % 256,
+            ], axis=-1).astype(np.uint8)
+            blobs.append(_vp8.encode_webp_vp8(ycc))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "media": pa.array(blobs, pa.binary())})
+
+    def decode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        ws, hs, sums, rsums = [], [], [], []
+        for blob in batch.column("media").to_pylist():
+            img = _mm.decode_image_pixels(blob)
+            h, w, c = img.shape
+            assert c == 3
+            ws.append(w)
+            hs.append(h)
+            sums.append(int(img.astype(np.int64).sum()))
+            rsums.append(int(_mm.resize_nearest(img, 8, 8)
+                             .astype(np.int64).sum()))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "pixel_sum": pa.array(sums, pa.int64()),
+            "resized_sum": pa.array(rsums, pa.int64())})
+
+    return _documents(sf_dir, ["doc_id"]).map_batches(
+        gen, batch_format="pyarrow").map_batches(
+        decode, batch_format="pyarrow")
+
+
 def vocab_coverage(sf_dir: str) -> pa.Table:
     """Tokenizer-vocabulary planning curve: what fraction of corpus
     token OCCURRENCES the top-K words cover (the decision table for
