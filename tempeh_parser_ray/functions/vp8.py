@@ -559,22 +559,58 @@ def _decode_vp8(payload: bytes) -> Optional[np.ndarray]:
 
 # --- encoder -----------------------------------------------------------------
 
+# float forward transforms, derived numerically as the inverses of the
+# exact fixed-point _idct4x4/_iwht4x4 linear maps (the fixed-point
+# truncation makes them only approximately linear; the closed-loop
+# encoder below absorbs the wobble, bounded by the lossy pytest)
+_FWD_DCT = None
+_FWD_WHT = None
+
+
+def _forward_mats():
+    global _FWD_DCT, _FWD_WHT
+    if _FWD_DCT is None:
+        s = 1 << 12
+        m = np.zeros((16, 16))
+        wm = np.zeros((16, 16))
+        for j in range(16):
+            e = [0] * 16
+            e[j] = s
+            m[:, j] = np.array(_idct4x4(e), float) / s
+            wm[:, j] = np.array(_iwht4x4(e), float) / s
+        _FWD_DCT = np.linalg.inv(m)
+        _FWD_WHT = np.linalg.inv(wm)
+    return _FWD_DCT, _FWD_WHT
+
+
+def _zz_levels(raster_levels: np.ndarray) -> list:
+    return [int(raster_levels[_ZIGZAG[i]]) for i in range(16)]
+
 
 def encode_vp8(ycbcr: np.ndarray, *, qi: int = 0,
                mode_cycle: bool = True) -> bytes:
-    """Encode (h, w, 3) uint8 Y/Cb/Cr planes that are CONSTANT within
-    each 16x16 macroblock (the natural test-pattern contract — edge
-    MBs take the top-left value) into a spec-structured VP8 keyframe.
-    The encoder is a decoder simulator: per MB it computes the real
-    intra prediction from the already-reconstructed planes, solves the
-    DC-only residual EXACTLY (Y via the Y2/WHT path with level
-    8r - 4 so ((8r - 4) * y2dc/8 + 4) >> 3 == r at qi = 0; chroma via
-    level 2r - 1), and reproduces the decoder's inverse transforms, so
-    decode(encode(img)) == img bit-for-bit. ``mode_cycle`` rotates
-    DC/V/H/TM prediction per MB so every predictor runs under the
-    oracle; chroma is taken at the top-left of each 2x2 like the JPEG
-    4:2:0 tier. Only qi == 0 solves exactly (y2dc == 8, uvdc == 4);
-    other qi values are accepted for bitstream tests but are lossy."""
+    """Encode (h, w, 3) uint8 Y/Cb/Cr planes into a spec-structured
+    VP8 keyframe. The encoder is a closed-loop decoder simulator: per
+    MB it computes the real intra prediction from the
+    already-reconstructed planes and reproduces the decoder's inverse
+    transforms, so its reconstruction state never drifts. Two residual
+    paths:
+
+    - MB-CONSTANT planes (the test-pattern contract) solve the
+      DC-only residual EXACTLY (Y via the Y2/WHT path with level
+      8r - 4 so ((8r - 4) * y2dc/8 + 4) >> 3 == r at qi = 0; chroma
+      via level 2r - 1): decode(encode(img)) == img bit-for-bit.
+      Only qi == 0 solves exactly (y2dc == 8, uvdc == 4).
+    - ARBITRARY content goes through the full forward path: per-4x4
+      forward DCT (the numerically-derived inverse of the exact
+      fixed-point IDCT), subblock DCs through the forward WHT into
+      Y2, quantization at the qi-mapped factors — lossy with a small
+      bounded error (see the tolerance pytest), like any real VP8
+      encode.
+
+    ``mode_cycle`` rotates DC/V/H/TM prediction per MB so every
+    predictor runs under the oracle; chroma is taken at the top-left
+    of each 2x2 like the JPEG 4:2:0 tier."""
     ycbcr = np.asarray(ycbcr, np.uint8)
     h, w, nc = ycbcr.shape
     assert nc == 3
@@ -594,7 +630,24 @@ def encode_vp8(ycbcr: np.ndarray, *, qi: int = 0,
     vplane = np.zeros_like(tv)
 
     p_skip = 200
-    mb_recs = []                           # (skip, ymode, uvmode, levels)
+    fdct, fwht = _forward_mats()
+    zero16 = [0] * 16
+
+    def _quant_block(resid4: np.ndarray, dcf: int, acf: int,
+                     keep_dc: bool) -> tuple:
+        """Forward-transform + quantize one 4x4 residual; returns
+        (zigzag levels, dequantized raster coeffs, float desired DC)."""
+        cf = fdct @ resid4.astype(float).reshape(16)
+        lv = np.zeros(16, np.int64)
+        lv[0] = int(np.clip(np.round(cf[0] / dcf), -2114, 2114)) \
+            if keep_dc else 0
+        lv[1:] = np.clip(np.round(cf[1:] / acf), -2114, 2114)
+        deq = lv.copy()
+        deq[0] *= dcf
+        deq[1:] *= acf
+        return _zz_levels(lv), deq, float(cf[0])
+
+    mb_recs = []        # (skip, ymode, uvmode, {y2, y, u, v} zz levels)
     for my in range(mb_rows):
         for mx in range(mb_cols):
             yx, yy = mx * 16, my * 16
@@ -603,51 +656,119 @@ def encode_vp8(ycbcr: np.ndarray, *, qi: int = 0,
             pred_y = _predict(yplane, yx, yy, 16, mode)
             pred_u = _predict(uplane, cx, cy, 8, mode)
             pred_v = _predict(vplane, cx, cy, 8, mode)
-            # constant-per-MB contract: one residual per plane
-            r_y = int(ty[yy, yx]) - int(pred_y[0, 0])
-            r_u = int(tu[cy, cx]) - int(pred_u[0, 0])
-            r_v = int(tv[cy, cx]) - int(pred_v[0, 0])
+            tgt_y = ty[yy:yy + 16, yx:yx + 16]
+            tgt_u = tu[cy:cy + 8, cx:cx + 8]
+            tgt_v = tv[cy:cy + 8, cx:cx + 8]
+            const_mb = (np.all(tgt_y == tgt_y[0, 0])
+                        and np.all(tgt_u == tgt_u[0, 0])
+                        and np.all(tgt_v == tgt_v[0, 0]))
             const_pred = (np.all(pred_y == pred_y[0, 0])
                           and np.all(pred_u == pred_u[0, 0])
                           and np.all(pred_v == pred_v[0, 0]))
-            if not const_pred:
-                # non-constant prediction (V/H over a varying border):
-                # fall back to DC_PRED, whose output is always flat
+            if const_mb and not const_pred:
+                # keep the exact path: DC_PRED output is always flat
                 mode = DC_PRED
                 pred_y = _predict(yplane, yx, yy, 16, mode)
                 pred_u = _predict(uplane, cx, cy, 8, mode)
                 pred_v = _predict(vplane, cx, cy, 8, mode)
-                r_y = int(ty[yy, yx]) - int(pred_y[0, 0])
-                r_u = int(tu[cy, cx]) - int(pred_u[0, 0])
-                r_v = int(tv[cy, cx]) - int(pred_v[0, 0])
-            if r_y == 0 and r_u == 0 and r_v == 0:
-                mb_recs.append((1, mode, mode, None))
-                yplane[yy:yy + 16, yx:yx + 16] = pred_y
-                uplane[cy:cy + 8, cx:cx + 8] = pred_u
-                vplane[cy:cy + 8, cx:cx + 8] = pred_v
-                continue
-            l_y2 = 8 * r_y - 4 if r_y else 0
-            l_u = 2 * r_u - 1 if r_u else 0
-            l_v = 2 * r_v - 1 if r_v else 0
-            mb_recs.append((0, mode, mode, (l_y2, l_u, l_v)))
+                const_pred = True
+            if const_mb and const_pred:
+                # EXACT DC-only path (bit-exact residual solve; the
+                # round-trip contract for MB-constant test patterns)
+                r_y = int(tgt_y[0, 0]) - int(pred_y[0, 0])
+                r_u = int(tgt_u[0, 0]) - int(pred_u[0, 0])
+                r_v = int(tgt_v[0, 0]) - int(pred_v[0, 0])
+                if r_y == 0 and r_u == 0 and r_v == 0:
+                    mb_recs.append((1, mode, mode, None))
+                    yplane[yy:yy + 16, yx:yx + 16] = pred_y
+                    uplane[cy:cy + 8, cx:cx + 8] = pred_u
+                    vplane[cy:cy + 8, cx:cx + 8] = pred_v
+                    continue
+                l_y2 = 8 * r_y - 4 if r_y else 0
+                l_u = 2 * r_u - 1 if r_u else 0
+                l_v = 2 * r_v - 1 if r_v else 0
+                lv_u = [l_u] + [0] * 15
+                blocks = {"y2": [l_y2] + [0] * 15,
+                          "y": [zero16] * 16,
+                          "u": [lv_u] * 4,
+                          "v": [[l_v] + [0] * 15] * 4}
+                y2deq = [l_y2 * fac["y2dc"]] + [0] * 15
+                ydeqs = [[0] * 16] * 16
+                udeqs = [[l_u * fac["uvdc"]] + [0] * 15] * 4
+                vdeqs = [[l_v * fac["uvdc"]] + [0] * 15] * 4
+            else:
+                # GENERIC lossy path: full forward DCT per subblock,
+                # subblock DCs routed through the forward WHT into Y2
+                resid_y = tgt_y - pred_y
+                ylv, ydeqs, dcs = [], [], []
+                for sb in range(16):
+                    sy, sx = divmod(sb, 4)
+                    lvz, deq, dcf_ = _quant_block(
+                        resid_y[sy * 4:sy * 4 + 4, sx * 4:sx * 4 + 4],
+                        fac["y1dc"], fac["y1ac"], keep_dc=False)
+                    ylv.append(lvz)
+                    ydeqs.append(deq.tolist())
+                    dcs.append(dcf_)
+                y2f = fwht @ np.array(dcs)
+                y2lv = np.zeros(16, np.int64)
+                y2lv[0] = int(np.clip(
+                    np.round(y2f[0] / fac["y2dc"]), -2114, 2114))
+                y2lv[1:] = np.clip(
+                    np.round(y2f[1:] / fac["y2ac"]), -2114, 2114)
+                y2deq = y2lv.copy()
+                y2deq[0] *= fac["y2dc"]
+                y2deq[1:] *= fac["y2ac"]
+                y2deq = y2deq.tolist()
+                ulv, udeqs = [], []
+                vlv, vdeqs = [], []
+                for lst, dlst, tgt, pred in ((ulv, udeqs, tgt_u, pred_u),
+                                             (vlv, vdeqs, tgt_v, pred_v)):
+                    resid = tgt - pred
+                    for sb in range(4):
+                        sy, sx = divmod(sb, 2)
+                        lvz, deq, _ = _quant_block(
+                            resid[sy * 4:sy * 4 + 4, sx * 4:sx * 4 + 4],
+                            fac["uvdc"], fac["uvac"], keep_dc=True)
+                        lst.append(lvz)
+                        dlst.append(deq.tolist())
+                blocks = {"y2": _zz_levels(y2lv),
+                          "y": ylv, "u": ulv, "v": vlv}
+                if (not any(blocks["y2"])
+                        and not any(any(b) for b in ylv)
+                        and not any(any(b) for b in ulv)
+                        and not any(any(b) for b in vlv)):
+                    mb_recs.append((1, mode, mode, None))
+                    yplane[yy:yy + 16, yx:yx + 16] = np.clip(
+                        pred_y, 0, 255)
+                    uplane[cy:cy + 8, cx:cx + 8] = np.clip(
+                        pred_u, 0, 255)
+                    vplane[cy:cy + 8, cx:cx + 8] = np.clip(
+                        pred_v, 0, 255)
+                    continue
+            mb_recs.append((0, mode, mode, blocks))
             # reproduce the decoder's reconstruction exactly
-            y2 = [0] * 16
-            y2[0] = l_y2 * fac["y2dc"]
-            ydc = _iwht4x4(y2)
+            ydc = _iwht4x4(y2deq)
             rec_y = np.zeros((16, 16), np.int64)
             for sb in range(16):
                 sy, sx = divmod(sb, 4)
-                px = _idct4x4([ydc[sb]] + [0] * 15)
+                coefs = list(ydeqs[sb])
+                coefs[0] = ydc[sb]
+                px = _idct4x4(coefs)
                 rec_y[sy * 4:sy * 4 + 4, sx * 4:sx * 4 + 4] = \
                     np.array(px, np.int64).reshape(4, 4)
             yplane[yy:yy + 16, yx:yx + 16] = np.clip(
                 pred_y + rec_y, 0, 255)
-            for lvl, tgt, pred in ((l_u, uplane, pred_u),
-                                   (l_v, vplane, pred_v)):
-                px = _idct4x4([lvl * fac["uvdc"]] + [0] * 15)
-                blk = np.array(px, np.int64).reshape(4, 4)
-                rec = np.tile(blk, (2, 2))
-                tgt[cy:cy + 8, cx:cx + 8] = np.clip(pred + rec, 0, 255)
+            for deqs, tgt, pred in ((udeqs, uplane, pred_u),
+                                    (vdeqs, vplane, pred_v)):
+                rec = np.zeros((8, 8), np.int64)
+                for sb in range(4):
+                    sy, sx = divmod(sb, 2)
+                    px = _idct4x4(deqs[sb])
+                    rec[sy * 4:sy * 4 + 4, sx * 4:sx * 4 + 4] = \
+                        np.array(px, np.int64).reshape(4, 4)
+                base_y, base_x = cy, cx
+                tgt[base_y:base_y + 8, base_x:base_x + 8] = np.clip(
+                    pred + rec, 0, 255)
 
     # ---- first partition ----
     e = _BoolEnc()
@@ -728,7 +849,7 @@ def encode_vp8(ycbcr: np.ndarray, *, qi: int = 0,
     for my in range(mb_rows):
         left_nz = [[0] * 4, [0], [0] * 2, [0] * 2]
         for mx in range(mb_cols):
-            skip, _, _, levels = mb_recs[mi]
+            skip, _, _, blocks = mb_recs[mi]
             mi += 1
             if skip:
                 for pl, width in ((0, 4), (1, 1), (2, 2), (3, 2)):
@@ -737,25 +858,20 @@ def encode_vp8(ycbcr: np.ndarray, *, qi: int = 0,
                         above_nz[pl][base + i] = 0
                         left_nz[pl][i] = 0
                 continue
-            l_y2, l_u, l_v = levels
             ctx = above_nz[1][mx] + left_nz[1][0]
-            y2lv = [0] * 16
-            y2lv[0] = l_y2
-            nz2 = write_block(1, ctx, y2lv, 0)
+            nz2 = write_block(1, ctx, blocks["y2"], 0)
             above_nz[1][mx] = left_nz[1][0] = nz2
             for sb in range(16):
                 sy, sx = divmod(sb, 4)
                 ctx = above_nz[0][4 * mx + sx] + left_nz[0][sy]
-                nzb = write_block(0, ctx, [0] * 16, 1)
+                nzb = write_block(0, ctx, blocks["y"][sb], 1)
                 above_nz[0][4 * mx + sx] = left_nz[0][sy] = nzb
-            for lvl, nz_i in ((l_u, 2), (l_v, 3)):
-                lv = [0] * 16
-                lv[0] = lvl
+            for key, nz_i in (("u", 2), ("v", 3)):
                 for sb in range(4):
                     sy, sx = divmod(sb, 2)
                     ctx = (above_nz[nz_i][2 * mx + sx]
                            + left_nz[nz_i][sy])
-                    nzb = write_block(2, ctx, lv, 0)
+                    nzb = write_block(2, ctx, blocks[key][sb], 0)
                     above_nz[nz_i][2 * mx + sx] = nzb
                     left_nz[nz_i][sy] = nzb
     part2 = t.get_bytes()

@@ -129,3 +129,41 @@ def test_vp8_transforms_match_dc_only_closed_form():
         assert ydc == [(d2 + 3) >> 3] * 16
         px = v8._idct4x4([d2] + [0] * 15)
         assert px == [(d2 + 4) >> 3] * 16
+
+
+def test_vp8_generic_content_bounded_error():
+    """Arbitrary (non-MB-constant) content goes through the full
+    forward DCT + WHT path: lossy, with a small bounded error at
+    qi=0 (quant step 4; fixed-point wobble <= ~4), like the JPEG
+    lossy tolerance test."""
+    rng = np.random.RandomState(5)
+    for t in range(8):
+        h, w = int(rng.randint(1, 70)), int(rng.randint(1, 70))
+        ycc = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        out = v8.decode_vp8(v8.encode_vp8(ycc, mode_cycle=bool(t % 2)))
+        assert out is not None and out.shape == (h, w, 3)
+        exp = _expected_ycc(ycc).astype(int)
+        assert int(np.abs(out.astype(int) - exp).max()) <= 4, t
+    # smooth gradients compress tighter
+    x = np.arange(64)[None, :]
+    yv = np.arange(48)[:, None]
+    ycc = np.stack([(x * 2 + yv) % 256, (x + yv * 2) % 256,
+                    (x * 3 + yv * 0) % 256], -1).astype(np.uint8)
+    out = v8.decode_vp8(v8.encode_vp8(ycc))
+    exp = _expected_ycc(ycc).astype(int)
+    assert int(np.abs(out.astype(int) - exp).max()) <= 2
+
+
+def test_vp8_qi_sweep_decodes():
+    """Coarser quantizer indices stay decodable (larger loss is
+    expected; the in-repo monotone qlookup maps qi upward)."""
+    rng = np.random.RandomState(9)
+    ycc = rng.randint(0, 256, (33, 49, 3)).astype(np.uint8)
+    prev_payload = None
+    for qi in (0, 8, 31, 127):
+        blob = v8.encode_vp8(ycc, qi=qi)
+        out = v8.decode_vp8(blob)
+        assert out is not None and out.shape == (33, 49, 3), qi
+        if prev_payload is not None:
+            assert len(blob) <= prev_payload  # coarser -> smaller
+        prev_payload = len(blob)
