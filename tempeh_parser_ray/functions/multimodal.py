@@ -472,15 +472,20 @@ class ResizeImageBatch:
     channel count and the integer resized pixel sum (SQL-checkable
     closed form). Undecodable payloads raise ``ValueError`` unless
     ``fallback_stub=True``, which degrades that row to the documented
-    :class:`ResizeStubBatch` byte-striding semantics (channels=0 marks
-    the fallback)."""
+    :class:`ResizeStubBatch` byte-striding semantics at
+    ``fallback_channels`` (the stub's default 3, so the emitted
+    byte count is ``target*target*fallback_channels`` exactly like
+    the stub; the ``channels`` COLUMN is 0 to mark the fallback
+    row)."""
 
     def __init__(self, target: int = 64, media_col: str = "media",
-                 id_col: str = "media_id", fallback_stub: bool = False):
+                 id_col: str = "media_id", fallback_stub: bool = False,
+                 fallback_channels: int = 3):
         self.target = target
         self.media_col = media_col
         self.id_col = id_col
         self.fallback_stub = fallback_stub
+        self.fallback_channels = fallback_channels
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         t = self.target
@@ -495,7 +500,7 @@ class ResizeImageBatch:
                         "undecodable media payload; pass "
                         "fallback_stub=True for byte-striding output")
                 data = cell or b""
-                want = t * t
+                want = t * t * self.fallback_channels
                 if len(data) >= want:
                     idx = np.linspace(0, len(data) - 1, want,
                                       dtype=np.int64)
@@ -527,16 +532,21 @@ class AudioFrameEnergyBatch:
     24-bit RIFF walk) + per-window integer energy (sum of |sample| per
     ``window``-sample frame) — the librosa-RMS shape with an exact
     closed form. Non-PCM payloads raise ``ValueError`` unless
-    ``fallback_stub=True``, which degrades that row to the documented
-    :class:`AudioFeatureStubBatch` mean-byte semantics
-    (sample_rate=0 marks the fallback)."""
+    ``fallback_stub=True``, which degrades that row to
+    :class:`AudioFeatureStubBatch`'s shape: FLOOR of the per-window
+    mean BYTE (so fallback magnitudes sit on the stub's 0-255 scale,
+    as integers to share the ``frame_energy`` list<int64> column),
+    capped at ``max_windows`` like the stub; sample_rate=0 marks the
+    fallback and ``n_samples`` then counts raw bytes."""
 
     def __init__(self, window: int = 64, media_col: str = "media",
-                 id_col: str = "media_id", fallback_stub: bool = False):
+                 id_col: str = "media_id", fallback_stub: bool = False,
+                 max_windows: int = 64):
         self.window = window
         self.media_col = media_col
         self.id_col = id_col
         self.fallback_stub = fallback_stub
+        self.max_windows = max_windows
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         w = self.window
@@ -551,9 +561,10 @@ class AudioFrameEnergyBatch:
                         "non-PCM media payload; pass fallback_stub="
                         "True for byte-window output")
                 arr = np.frombuffer(cell or b"", np.uint8)
-                k = max(0, -(-len(arr) // w))
+                k = min(self.max_windows, max(0, -(-len(arr) // w)))
                 feats.append([int(arr[i * w:(i + 1) * w]
-                                  .astype(np.int64).sum())
+                                  .astype(np.int64).sum()
+                                  // len(arr[i * w:(i + 1) * w]))
                               for i in range(k)])
                 rates.append(0)
                 counts.append(len(arr))

@@ -48,7 +48,8 @@ class _BoolDec:
     """Bool decoder: 8-bit probability of the 0-branch, 8-bit-renorm
     range coder over a big-endian bit stream (RFC 6386 §7.2)."""
 
-    __slots__ = ("data", "pos", "value", "range", "bit_count")
+    __slots__ = ("data", "pos", "value", "range", "bit_count",
+                 "overrun")
 
     def __init__(self, data: bytes):
         self.data = data
@@ -58,6 +59,10 @@ class _BoolDec:
         self.value = (b0 << 8) | b1
         self.range = 255
         self.bit_count = 0
+        # refills past the end zero-fill; overrun records that it
+        # happened so a truncated stream is rejected, not fabricated
+        # (the encoder's get_bytes pads so full decodes never overrun)
+        self.overrun = len(data) < 2
 
     def bool(self, prob: int) -> int:
         split = 1 + (((self.range - 1) * prob) >> 8)
@@ -77,6 +82,8 @@ class _BoolDec:
                 self.bit_count = 0
                 if self.pos < len(self.data):
                     self.value |= self.data[self.pos]
+                else:
+                    self.overrun = True
                 self.pos += 1
         return ret
 
@@ -99,33 +106,51 @@ class _BoolDec:
 
 
 class _BoolEnc:
-    """Bool encoder, arbitrary-precision formulation: ``low``
-    accumulates the interval base exactly (Python big ints absorb
-    carries), and the final codeword is ``low`` itself emitted at the
-    accumulated scale — any stream whose value falls in
+    """Bool encoder. The codeword is the exact interval base ``low``
+    emitted at the accumulated scale — any stream whose value falls in
     [low, low + range) decodes to the encoded bits, and ``low`` is the
-    smallest such stream. Mathematically equivalent to the carry-
-    propagating byte-at-a-time encoder in the RFC; pinned against
-    :class:`_BoolDec` by an exhaustive random property test."""
+    smallest such stream. ``low`` is held CHUNKED for linear time: the
+    settled top bytes live in ``buf`` (a ``+1`` carry from an interval
+    add walks back through 0xFF bytes, RFC-style) and only the bottom
+    ``kbits`` (< 24) stay in the integer ``low`` — equivalent to the
+    carry-propagating byte-at-a-time encoder in RFC 6386; pinned
+    against :class:`_BoolDec` by an exhaustive random property test.
+    Exact-value invariant: full_low = int(buf) << kbits | low, with
+    full_low + range <= 2 ** (8 * len(buf) + kbits), which bounds
+    every carry inside ``buf``."""
 
-    __slots__ = ("low", "range", "shifts")
+    __slots__ = ("low", "range", "kbits", "buf")
 
     def __init__(self):
         self.low = 0
         self.range = 255
-        self.shifts = 0
+        self.kbits = 8
+        self.buf = bytearray()
 
     def put(self, bit: int, prob: int = 128) -> None:
         split = 1 + (((self.range - 1) * prob) >> 8)
         if bit:
             self.low += split
+            if self.low >> self.kbits:     # carry into settled bytes
+                self.low -= 1 << self.kbits
+                i = len(self.buf) - 1
+                while i >= 0 and self.buf[i] == 0xFF:
+                    self.buf[i] = 0
+                    i -= 1
+                if i < 0:                  # impossible per invariant
+                    raise OverflowError("bool-encoder carry underflow")
+                self.buf[i] += 1
             self.range -= split
         else:
             self.range = split
         while self.range < 128:
             self.range <<= 1
             self.low <<= 1
-            self.shifts += 1
+            self.kbits += 1
+        while self.kbits >= 24:            # settle whole top bytes
+            self.kbits -= 8
+            self.buf.append((self.low >> self.kbits) & 0xFF)
+            self.low &= (1 << self.kbits) - 1
 
     def literal(self, v: int, n: int) -> None:
         for i in range(n - 1, -1, -1):
@@ -160,13 +185,14 @@ class _BoolEnc:
 
     def get_bytes(self) -> bytes:
         # decoder window reads 8 fractional bits ahead of the range
-        # scale, plus a 16-bit initial fill: pad low to (shifts + 8)
-        # bits, then two spare zero bytes for the final refills
-        total = self.shifts + 8
-        pad = (-total) % 8
-        v = self.low << pad
-        nbytes = (total + pad) // 8
-        return v.to_bytes(nbytes, "big") + b"\x00\x00"
+        # scale, plus a 16-bit initial fill: pad the active tail to a
+        # byte boundary, then two spare zero bytes for the final
+        # refills (total bits = shifts + 8 = 8 * len(buf) + kbits)
+        pad = (-self.kbits) % 8
+        nbytes = (self.kbits + pad) // 8
+        return (bytes(self.buf)
+                + (self.low << pad).to_bytes(nbytes, "big")
+                + b"\x00\x00")
 
 
 def _tree_contains(tree: tuple, node: int, leaf: int) -> bool:
@@ -552,6 +578,8 @@ def _decode_vp8(payload: bytes) -> Optional[np.ndarray]:
                 plane[cbase_y:cbase_y + 8, cbase_x:cbase_x + 8] = \
                     np.clip(arr + resid, 0, 255).astype(np.uint8)
 
+    if d.overrun or td.overrun:
+        return None                        # truncated stream
     cb = np.repeat(np.repeat(uplane, 2, axis=0), 2, axis=1)
     cr = np.repeat(np.repeat(vplane, 2, axis=0), 2, axis=1)
     return np.stack([yplane[:h, :w], cb[:h, :w], cr[:h, :w]], axis=-1)
@@ -665,14 +693,17 @@ def encode_vp8(ycbcr: np.ndarray, *, qi: int = 0,
             const_pred = (np.all(pred_y == pred_y[0, 0])
                           and np.all(pred_u == pred_u[0, 0])
                           and np.all(pred_v == pred_v[0, 0]))
-            if const_mb and not const_pred:
+            if const_mb and not const_pred and qi == 0:
                 # keep the exact path: DC_PRED output is always flat
                 mode = DC_PRED
                 pred_y = _predict(yplane, yx, yy, 16, mode)
                 pred_u = _predict(uplane, cx, cy, 8, mode)
                 pred_v = _predict(vplane, cx, cy, 8, mode)
                 const_pred = True
-            if const_mb and const_pred:
+            if const_mb and const_pred and qi == 0:
+                # the exact solve below is only valid at qi == 0
+                # (y2dc == 8, uvdc == 4); at qi > 0 MB-constant blocks
+                # take the generic quantized path like everything else
                 # EXACT DC-only path (bit-exact residual solve; the
                 # round-trip contract for MB-constant test patterns)
                 r_y = int(tgt_y[0, 0]) - int(pred_y[0, 0])

@@ -948,6 +948,30 @@ def encode_vp8l(rgba: np.ndarray, *, use_runs: bool = True,
         mflat = (pred_modes.astype(np.uint32) << 8).reshape(-1)
         _encode_image_stream(bw, mflat, use_runs=False, cache_bits=0)
         flat = _forward_predictor(flat, w, h, block_bits, pred_modes)
+    if color:
+        block_bits = 4                           # 16x16 blocks
+        bw_blocks = (w + 15) >> 4
+        bh_blocks = (h + 15) >> 4
+        # per-block (g2r, g2b, r2b) elements cycle deterministically
+        # over a small signed-byte set (values are the int8-coded
+        # bytes the decoder feeds ColorTransformDelta)
+        vals = np.asarray([0, 16, 240, 32, 224, 8, 248, 64], np.int64)
+        grid = (np.arange(bh_blocks, dtype=np.int64)[:, None] * 5
+                + np.arange(bw_blocks, dtype=np.int64)[None, :])
+        g2r = vals[grid % len(vals)]
+        g2b = vals[(grid + 3) % len(vals)]
+        r2b = vals[(grid + 5) % len(vals)]
+        bw.write(1, 1)
+        bw.write(1, 2)                           # COLOR (cross-comp.)
+        bw.write(block_bits - 2, 3)
+        # spec element packing: g2r in BLUE byte, g2b in GREEN,
+        # r2b in RED (mirrors the decoder's unpack)
+        cflat = ((r2b.astype(np.uint32) << 16)
+                 | (g2b.astype(np.uint32) << 8)
+                 | g2r.astype(np.uint32)).reshape(-1)
+        _encode_image_stream(bw, cflat, use_runs=False, cache_bits=0)
+        flat = _color_transform(flat, w, h, block_bits,
+                                g2r, g2b, r2b, inverse=False)
     if subtract_green:
         bw.write(1, 1)                           # transform present
         bw.write(2, 2)                           # SUBTRACT_GREEN
@@ -970,7 +994,9 @@ def encode_vp8l(rgba: np.ndarray, *, use_runs: bool = True,
         _encode_image_stream(bw, dflat, use_runs=False, cache_bits=0)
     bw.write(0, 1)                               # end of transforms
     _encode_image_stream(bw, flat, use_runs=use_runs,
-                         cache_bits=cache_bits, level0=True)
+                         cache_bits=cache_bits, level0=True,
+                         entropy_bits=2 if entropy_image else 0,
+                         img_w=enc_w)
 
     payload = b"\x2f" + bw.flush()
     chunk = b"VP8L" + len(payload).to_bytes(4, "little") + payload

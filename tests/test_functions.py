@@ -202,7 +202,11 @@ def test_resize_image_batch_real_pixels():
         multimodal.ResizeImageBatch(target=4)(junk)
     fb = multimodal.ResizeImageBatch(target=4, fallback_stub=True)(junk)
     assert fb.column("channels").to_pylist() == [0]
-    assert len(fb.column("resized").to_pylist()[0]) == 16
+    # fallback mirrors ResizeStubBatch's byte count: t*t*channels(=3)
+    assert len(fb.column("resized").to_pylist()[0]) == 4 * 4 * 3
+    stub = multimodal.ResizeStubBatch(target=4, channels=3)(junk)
+    assert (fb.column("resized").to_pylist()
+            == stub.column("resized").to_pylist())
 
 
 def test_audio_frame_energy_batch_real_pcm():
@@ -229,6 +233,15 @@ def test_audio_frame_energy_batch_real_pcm():
         window=4, fallback_stub=True)(junk)
     assert fb.column("sample_rate").to_pylist() == [0]
     assert fb.column("n_windows").to_pylist() == [1]
+    # fallback is the stub's mean-byte scale (floored): b"xx" -> 120
+    assert fb.column("frame_energy").to_pylist()[0] == [120]
+    # window cap mirrors the stub's max_windows
+    longjunk = pa.table({
+        "media_id": pa.array([3], pa.int64()),
+        "media": pa.array([bytes(range(256)) * 4], pa.binary())})
+    capped = multimodal.AudioFrameEnergyBatch(
+        window=4, fallback_stub=True, max_windows=8)(longjunk)
+    assert capped.column("n_windows").to_pylist() == [8]
 
 
 def test_audio_feature_stub_windows():
