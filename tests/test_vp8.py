@@ -120,6 +120,72 @@ def test_vp8_hostile_truncation_and_bitflips_never_crash():
         v8.decode_vp8(bytes(b))
 
 
+def test_vp8_truncation_rejected_not_fabricated():
+    """Cutting the stream inside either partition must yield None
+    (the bool decoder records refills past end-of-data), never a
+    zero-filled fabrication; the intact stream still decodes."""
+    rng = np.random.RandomState(11)
+    ycc = rng.randint(0, 256, (48, 48, 3)).astype(np.uint8)
+    blob = v8.encode_vp8(ycc, qi=10)
+    first = int.from_bytes(blob[0:3], "little") >> 5
+    for cut in (12, 10 + first // 2, 10 + first, 10 + first + 3,
+                len(blob) // 2, len(blob) - 4):
+        assert v8.decode_vp8(blob[:cut]) is None, cut
+    assert v8.decode_vp8(blob) is not None
+
+
+def test_vp8_flat_blocks_bounded_at_coarse_qi():
+    """MB-constant content at qi > 0 must take the generic quantized
+    path (the exact DC-only solve is valid only at qi = 0): the
+    reconstruction error stays within a few quant steps instead of
+    the blow-out the ungated exact formula produced."""
+    flat = np.full((32, 32, 3), 200, np.uint8)
+    assert np.array_equal(v8.decode_vp8(v8.encode_vp8(flat, qi=0)),
+                          flat)
+    for qi in (8, 40, 90, 127):
+        out = v8.decode_vp8(v8.encode_vp8(flat, qi=qi))
+        err = int(np.abs(out.astype(int) - flat.astype(int)).max())
+        assert err <= 25, (qi, err)
+
+
+def test_vp8_bool_encoder_linear_chunking_matches_bigint():
+    """The chunked carry-propagating bool encoder must emit the same
+    bytes as the exact big-int formulation it replaced."""
+
+    class BigIntEnc:
+        def __init__(self):
+            self.low, self.range, self.shifts = 0, 255, 0
+
+        def put(self, bit, prob=128):
+            split = 1 + (((self.range - 1) * prob) >> 8)
+            if bit:
+                self.low += split
+                self.range -= split
+            else:
+                self.range = split
+            while self.range < 128:
+                self.range <<= 1
+                self.low <<= 1
+                self.shifts += 1
+
+        def get_bytes(self):
+            total = self.shifts + 8
+            pad = (-total) % 8
+            return ((self.low << pad).to_bytes((total + pad) // 8,
+                                               "big") + b"\x00\x00")
+
+    rng = np.random.RandomState(17)
+    for _ in range(60):
+        n = int(rng.randint(1, 500))
+        bits = rng.randint(0, 2, n)
+        probs = rng.randint(1, 255, n)
+        a, b = v8._BoolEnc(), BigIntEnc()
+        for bit, p in zip(bits, probs):
+            a.put(int(bit), int(p))
+            b.put(int(bit), int(p))
+        assert a.get_bytes() == b.get_bytes()
+
+
 def test_vp8_transforms_match_dc_only_closed_form():
     """The exact fixed-point relations the encoder's residual solve
     relies on: iwht(DC-only y2) spreads ((y2dc+3)>>3) to all 16 luma
