@@ -606,6 +606,9 @@ def test_vp8l_color_transform_round_trips():
     blob = vp8l.encode_vp8l(g, color=True)
     out = vp8l.decode_vp8l(_vp8l_payload(blob))
     assert out is not None and (out == g).all()
+    # non-vacuity: the flag must change the stream (a silent no-op
+    # would round-trip trivially and test nothing)
+    assert blob != vp8l.encode_vp8l(g)
 
 
 def test_vp8l_entropy_image_round_trips():
@@ -625,6 +628,11 @@ def test_vp8l_entropy_image_round_trips():
             blob = vp8l.encode_vp8l(img, **kw)
             out = vp8l.decode_vp8l(_vp8l_payload(blob))
             assert out is not None and (out == img).all(), (t, kw)
+    # non-vacuity: the flag must change the stream (a silent no-op
+    # would round-trip trivially and test nothing)
+    g = rng.randint(0, 256, (24, 33, 4)).astype(np.uint8)
+    assert (vp8l.encode_vp8l(g, entropy_image=True)
+            != vp8l.encode_vp8l(g))
 
 
 def test_vp8l_predictor_round_trips():
