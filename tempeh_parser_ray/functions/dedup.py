@@ -191,7 +191,9 @@ def hash_strings64(strs) -> np.ndarray:
     STRINGS, so oracle agreement also certifies collision-freeness on
     every tested input."""
     if isinstance(strs, pa.ChunkedArray):
-        strs = strs.combine_chunks()
+        # widen offsets BEFORE compacting: >2 GB of string data
+        # cannot live in a single 32-bit-offset chunk
+        strs = strs.cast(pa.large_string()).combine_chunks()
     if isinstance(strs, pa.Array):
         arr = strs.cast(pa.large_string())
         if not len(arr):
@@ -201,8 +203,17 @@ def hash_strings64(strs) -> np.ndarray:
             return np.zeros(0, np.uint64)
         # build as 32-bit-offset string (the fast from-pylist path)
         # and widen offsets after — pa.array(x, large_string()) is
-        # ~10x slower than this two-step
-        arr = pa.array(strs).cast(pa.large_string())
+        # ~10x slower than this two-step. pa.array returns a
+        # CHUNKED array when the list tops 2 GB of string data
+        # (documented pyarrow behavior) — widen to 64-bit offsets
+        # FIRST (a single 32-bit-offset chunk cannot hold 2 GB),
+        # then compact so the buffer/offset walk below sees one
+        # contiguous Array.
+        arr = pa.array(strs)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.cast(pa.large_string()).combine_chunks()
+        else:
+            arr = arr.cast(pa.large_string())
     offs = np.frombuffer(arr.buffers()[1], np.int64,
                          count=len(arr) + 1, offset=8 * arr.offset)
     dbuf = arr.buffers()[2]

@@ -125,12 +125,23 @@ def parse_image_header(blob: bytes
 
 class DecodeImageBatch:
     """Actor-pool stage: media binary -> (width, height, channels,
-    features[16]). Real decode requires PIL (absent here -> stub)."""
+    features[16]). Decode preference: Pillow when present (unless
+    ``prefer_builtin``), else the in-repo dependency-free codecs,
+    else real header parse + byte features, else a documented stub.
+
+    ``prefer_builtin=True`` pins the in-repo codec branch so output
+    is ENVIRONMENT-INDEPENDENT — required by callers with bit-exact
+    oracles (PIL's palette-GIF handling reports 1 channel over
+    palette indices where the in-repo decoder materializes RGB, and
+    PIL builds without WebP support reject the VP8L rows)."""
 
     def __init__(self, strict: bool = False, media_col: str = "media",
-                 id_col: str = "media_id"):
+                 id_col: str = "media_id", prefer_builtin: bool = False):
         self.media_col = media_col
         self.id_col = id_col
+        if prefer_builtin:
+            self._pil = False
+            return
         try:
             import PIL.Image  # noqa: F401
             self._pil = True

@@ -444,21 +444,13 @@ def multimodal_features(sf_dir: str) -> "ray.data.Dataset":
         ids = batch.column("doc_id").to_pylist()
         blobs: list[bytes] = []
         for d in ids:
-            w, h = 4 + d % 13, 3 + d % 11
             fmt = d % 5
             if fmt == 3:                         # JPEG gray, sequential
-                x = np.arange(w)[None, :]
-                y = np.arange(h)[:, None]
-                gray = (((x // 8) * 5 + (y // 8) * 9 + d * 3)
-                        % 256).astype(np.uint8)
-                blobs.append(_mm.encode_jpeg_gray(gray))
+                blobs.append(_mm.encode_jpeg_gray(_jpeg_gray_law(d)))
                 continue
             c = 4 if fmt == 4 else (1, 3, 4)[(d // 5) % 3] \
                 if fmt == 0 else 3
-            x = np.arange(w)[None, :, None]
-            y = np.arange(h)[:, None, None]
-            ch = np.arange(c)[None, None, :]
-            img = ((x * 3 + y * 7 + ch * 11 + d) % 256).astype(np.uint8)
+            img = _pixel_law(d, c)
             if fmt == 0:
                 blobs.append(_mm.encode_png(
                     img if c > 1 else img[:, :, 0],
@@ -480,7 +472,10 @@ def multimodal_features(sf_dir: str) -> "ray.data.Dataset":
         gen, batch_format="pyarrow").map_batches(
         _mm.DecodeImageBatch, batch_format="pyarrow",
         concurrency=_q_pool(),
-        fn_constructor_kwargs=dict(strict=False))
+        # prefer_builtin pins the in-repo codec branch so the
+        # bit-exact SQL oracle holds on ANY host (a PIL install
+        # would change palette-GIF channels and reject VP8L rows)
+        fn_constructor_kwargs=dict(strict=False, prefer_builtin=True))
 
     def finish(batch: pa.Table) -> pa.Table:
         w = batch.column("width").to_numpy(zero_copy_only=False)
@@ -563,7 +558,10 @@ def image_header_dims(sf_dir: str) -> "ray.data.Dataset":
         _image_blob_batch, batch_format="pyarrow").map_batches(
         _mm.DecodeImageBatch, batch_format="pyarrow",
         concurrency=_q_pool(),
-        fn_constructor_kwargs=dict(strict=False))
+        # prefer_builtin pins the in-repo codec branch so the
+        # bit-exact SQL oracle holds on ANY host (a PIL install
+        # would change palette-GIF channels and reject VP8L rows)
+        fn_constructor_kwargs=dict(strict=False, prefer_builtin=True))
     return ds.map_batches(
         lambda b: b.select(["media_id", "width", "height", "channels",
                             "n_bytes"]),
@@ -2103,6 +2101,35 @@ def above_median_length(sf_dir: str) -> pa.Table:
     })
 
 
+def _pixel_law(d: int, c: int) -> "np.ndarray":
+    """THE shared closed-form pixel law every image SQL oracle mirrors
+    verbatim: an (h, w, c) uint8 image with value
+    ``(x*3 + y*7 + ch*11 + d) % 256`` at ``w = 4 + d%13``,
+    ``h = 3 + d%11``. One definition — the generators that feed
+    ``multimodal_features`` / ``image_pixel_stats`` / ``media_resize``
+    / ``image_pixel_stats_webp`` all call here, so the law cannot
+    drift between a query and its oracle twin."""
+    import numpy as np
+    w, h = 4 + d % 13, 3 + d % 11
+    x = np.arange(w)[None, :, None]
+    y = np.arange(h)[:, None, None]
+    ch = np.arange(c)[None, None, :]
+    return ((x * 3 + y * 7 + ch * 11 + d) % 256).astype(np.uint8)
+
+
+def _jpeg_gray_law(d: int) -> "np.ndarray":
+    """Shared 8x8-block-constant grayscale law for the JPEG arms
+    (block-constant so every JPEG variant round-trips bit-exactly
+    under all-ones quant): ``((x//8)*5 + (y//8)*9 + d*3) % 256`` at
+    the same w/h law as :func:`_pixel_law`."""
+    import numpy as np
+    w, h = 4 + d % 13, 3 + d % 11
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    return (((x // 8) * 5 + (y // 8) * 9 + d * 3) % 256).astype(
+        np.uint8)
+
+
 def _pixel_image_batch(batch: pa.Table) -> pa.Table:
     """Deterministic REAL-codec image payloads (shared by
     ``image_pixel_stats`` and ``media_resize``): format cycles by
@@ -2117,13 +2144,9 @@ def _pixel_image_batch(batch: pa.Table) -> pa.Table:
     ids = batch.column("doc_id").to_pylist()
     blobs: list[bytes] = []
     for d in ids:
-        w, h = 4 + d % 13, 3 + d % 11
         fmt = d % 4  # 0: PNG, 1: BMP, 2: GIF, 3: JPEG (all REAL)
         if fmt == 3:
-            x = np.arange(w)[None, :]
-            y = np.arange(h)[:, None]
-            gray = (((x // 8) * 5 + (y // 8) * 9 + d * 3)
-                    % 256).astype(np.uint8)
+            gray = _jpeg_gray_law(d)
             # rotate SEQUENTIAL / PROGRESSIVE (SOF2 spectral
             # selection) / PROGRESSIVE+SUCCESSIVE-APPROXIMATION
             # streams: all three round-trip the block-constant
@@ -2135,10 +2158,7 @@ def _pixel_image_batch(batch: pa.Table) -> pa.Table:
                     gray, successive=(kind == 2)))
             continue
         c = (1, 3, 4)[(d // 4) % 3] if fmt == 0 else 3
-        x = np.arange(w)[None, :, None]
-        y = np.arange(h)[:, None, None]
-        ch = np.arange(c)[None, None, :]
-        img = ((x * 3 + y * 7 + ch * 11 + d) % 256).astype(np.uint8)
+        img = _pixel_law(d, c)
         if fmt == 0:
             # RGB pngs alternate direct color-type 2 and INDEXED
             # color-type 3 (<= 208 pixels always fit a palette);
@@ -4207,11 +4227,7 @@ def image_pixel_stats_webp(sf_dir: str) -> "ray.data.Dataset":
         ids = batch.column("doc_id").to_pylist()
         blobs: list[bytes] = []
         for d in ids:
-            w, h = 4 + d % 13, 3 + d % 11
-            x = np.arange(w)[None, :, None]
-            y = np.arange(h)[:, None, None]
-            ch = np.arange(4)[None, None, :]
-            img = ((x * 3 + y * 7 + ch * 11 + d) % 256).astype(np.uint8)
+            img = _pixel_law(d, 4)
             argb = ((img[:, :, 3].astype(np.uint32) << 24)
                     | (img[:, :, 0].astype(np.uint32) << 16)
                     | (img[:, :, 1].astype(np.uint32) << 8)

@@ -60,15 +60,20 @@ def write_jsonl_sharded(ds: "ray.data.Dataset", out_dir: str | Path,
         if batch.num_rows == 0:
             return stats_schema.empty_table()
         if key_col in batch.column_names:
-            # hash canonical VALUE bytes — numpy tobytes() on an
-            # object-dtype (string) column would serialize pointers,
-            # making names nondeterministic across runs
-            key_src = "|".join(
-                str(v) for v in batch.column(key_col).to_pylist()
-            ).encode("utf-8")
+            # hash canonical VALUE bytes, length-prefixed so the
+            # encoding is collision-free (a bare '|'.join would map
+            # keys ['a|b'] and ['a','b'] to the same name and let one
+            # shard silently overwrite the other); numpy tobytes() on
+            # an object-dtype (string) column is no good either — it
+            # would serialize pointers, making names nondeterministic
+            vals = [str(v).encode("utf-8")
+                    for v in batch.column(key_col).to_pylist()]
+            key_src = b"".join(
+                len(v).to_bytes(4, "big") + v for v in vals)
         else:  # deterministic fallback: hash the serialized payload
-            key_src = b"|".join(
-                str(c).encode() for c in batch.columns)
+            vals = [str(c).encode("utf-8") for c in batch.columns]
+            key_src = b"".join(
+                len(v).to_bytes(4, "big") + v for v in vals)
         name = f"part-{hashlib.md5(key_src).hexdigest()[:16]}.jsonl"
         tmp = out / f".{name}.tmp"
         batch.to_pandas().to_json(tmp, orient="records", lines=True,
