@@ -1288,6 +1288,28 @@ def test_jsonl_sink_string_key_names_deterministic(ray_session, tmp_path):
     assert m1["n_rows"] == 23
 
 
+def test_jsonl_sink_shard_names_collision_free(ray_session, tmp_path):
+    # the name hash length-prefixes each key value: blocks with keys
+    # ['a|b'] and ['a', 'b'] must get DIFFERENT shard files (a bare
+    # '|'.join mapped both to one name, silently overwriting a shard)
+    import pyarrow as pa
+    import ray
+    from tempeh_parser_ray.sinks.jsonl_sink import write_jsonl_sharded
+
+    t1 = pa.table({"url": ["a|b"], "text": ["one"]})
+    t2 = pa.table({"url": ["a", "b"], "text": ["two", "three"]})
+    ds = ray.data.from_arrow([t1, t2])  # exactly two blocks
+    m = write_jsonl_sharded(ds, tmp_path / "c", key_col="url")
+    names = [s["file"] for s in m["shards"]]
+    assert len(set(names)) == len(names) == 2
+    assert m["n_rows"] == 3
+    import duckdb
+    n = duckdb.sql(
+        f"select count(*) from read_json_auto('{tmp_path}/c/part-*.jsonl')"
+    ).fetchone()[0]
+    assert n == 3
+
+
 def test_dsir_bucket_cache_independent_of_n_buckets():
     # the per-process memo stores the raw 32-bit hash, so a second
     # call with a DIFFERENT n_buckets must not reuse stale mod values
