@@ -145,8 +145,6 @@ def extract_main_text(doc: ParsedDoc, link_density_threshold: float = 0.5) -> st
 
     dropped = bytearray(n)
     linked = bytearray(n)
-    total_chars = [0] * (n + 1)  # per-element subtree text chars (+1: root)
-    link_chars_arr = [0] * (n + 1)
 
     keep_text: list[int] = []
     for i in range(n):

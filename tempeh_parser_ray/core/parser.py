@@ -105,7 +105,6 @@ def parse_tokens(tokens: list[Token], tag_name_casing: str = "lower") -> ParsedD
         elif tt == OPENING_TAGNAME:
             tag = _case(t[1], tag_name_casing)
             pending_attrs: list[list[Any]] = []
-            committed = -1
             i += 1
             while i < n:
                 t2 = tokens[i]
@@ -137,7 +136,6 @@ def parse_tokens(tokens: list[Token], tag_name_casing: str = "lower") -> ParsedD
                         doc.attr_col.append(ac)
                     if t2t == OPENING_TAG_END:
                         stack.append((node, tag))
-                    committed = node
                     break
                 elif t2t == EOF:
                     return doc  # element dropped (parseTemplate.js:154-155)
@@ -157,7 +155,6 @@ def parse_tokens(tokens: list[Token], tag_name_casing: str = "lower") -> ParsedD
                     )
                     return doc
                 i += 1
-            del committed
         elif tt == CLOSING_TAGNAME:
             tag = _case(t[1], tag_name_casing)
             for d in range(len(stack) - 1, -1, -1):

@@ -85,6 +85,12 @@ def pagerank(edges: "ray.data.Dataset", *, damping: float = 0.85,
     small = n_nodes <= broadcast_limit
     if small:
         deg_n, deg_v = _collect_two_cols(outdeg, "src", "sum(weight)")
+        # searchsorted below requires key-sorted arrays — sort the
+        # PAIR explicitly instead of relying on Ray's sort-based
+        # aggregate happening to emit key-ordered blocks (hash-based
+        # aggregation would silently misalign every degree lookup)
+        deg_order = np.argsort(deg_n)
+        deg_n, deg_v = deg_n[deg_order], deg_v[deg_order]
         deg_ref = ray.put((deg_n, deg_v.astype(np.float64)))
         node_ids = np.sort(_collect_two_cols(nodes, "node", "count()")[0])
         rank_ref = ray.put((node_ids,

@@ -23,15 +23,33 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from .broadcast import cached_get
+
 
 def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
     arr = batch.column(col)
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        # reshape(0, -1) cannot infer a width — return an explicit
+        # (0, d) so empty query grabs (e.g. absent query ids) flow
+        # through matmuls instead of crashing
+        d = (arr.type.list_size
+             if pa.types.is_fixed_size_list(arr.type) else 0)
+        return np.zeros((0, d), np.float64)
     # list<float> -> (n, dim) float64
     flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-    n = len(arr)
     return flat.reshape(n, -1)
+
+
+def _empty_knn_table() -> pa.Table:
+    return pa.table({
+        "query_id": pa.array([], pa.int64()),
+        "neighbor_id": pa.array([], pa.int64()),
+        "rank": pa.array([], pa.int64()),
+        "cosine_sim": pa.array([], pa.float64()),
+    })
 
 
 def knn_cosine_brute(embeddings: "ray.data.Dataset",
@@ -53,10 +71,12 @@ def knn_cosine_brute(embeddings: "ray.data.Dataset",
         mask = pa.array([i in qset for i in ids])
         return batch.filter(mask)
 
-    qtab = pa.concat_tables(
-        tb for tb in embeddings.map_batches(
-            grab_queries, batch_format="pyarrow").iter_batches(
-                batch_format="pyarrow", batch_size=None))
+    qparts = list(embeddings.map_batches(
+        grab_queries, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None))
+    if not qparts or sum(t.num_rows for t in qparts) == 0:
+        return _empty_knn_table()          # no query id present
+    qtab = pa.concat_tables(qparts)
     q_ids = qtab.column(id_col).to_pylist()
     qmat = _batch_matrix(qtab, vec_col)
     qnorm = np.linalg.norm(qmat, axis=1)
@@ -64,7 +84,7 @@ def knn_cosine_brute(embeddings: "ray.data.Dataset",
     queries_ref = ray.put((q_ids, qmat, qnorm))
 
     def partial_topk(batch: pa.Table) -> pa.Table:
-        q_ids_l, qm, qn = ray.get(queries_ref)
+        q_ids_l, qm, qn = cached_get(queries_ref)
         ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
         mat = _batch_matrix(batch, vec_col)
         norms = np.linalg.norm(mat, axis=1)
@@ -178,10 +198,12 @@ def knn_cosine_lsh(embeddings: "ray.data.Dataset",
     # Query codes are computed LOCALLY from the grabbed query vectors
     # with the same fixed planes — one cheap scan of the raw embeddings
     # instead of a second full bucketing pass over the whole table.
-    qrows = pa.concat_tables(
-        tb for tb in embeddings.map_batches(
-            grab, batch_format="pyarrow").iter_batches(
-                batch_format="pyarrow", batch_size=None))
+    qparts = list(embeddings.map_batches(
+        grab, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None))
+    if not qparts or sum(t.num_rows for t in qparts) == 0:
+        return _empty_knn_table()          # no query id present
+    qrows = pa.concat_tables(qparts)
     qcodes = _codes(_batch_matrix(qrows, vec_col), planes)  # (Q, L)
     # Per-table probe sets: query code plus Hamming-1 neighbors. Tiny
     # (Q * L * (n_bits+1) ints) — shipped in the task closure.
@@ -285,7 +307,7 @@ def embedding_near_dup_pairs(embeddings: "ray.data.Dataset",
     ids_ref = ray.put(cand_ids)
 
     def grab_cands(batch: pa.Table) -> pa.Table:
-        want = ray.get(ids_ref)
+        want = cached_get(ids_ref)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         return batch.filter(pa.array(np.isin(ids, want)))
 
@@ -305,7 +327,7 @@ def embedding_near_dup_pairs(embeddings: "ray.data.Dataset",
     sub_ref = ray.put((sub_ids, sub_unit))
 
     def verify(batch: pa.Table) -> pa.Table:
-        ids_sorted, unit = ray.get(sub_ref)
+        ids_sorted, unit = cached_get(sub_ref)
         a = batch.column("id_a").to_numpy(zero_copy_only=False)
         b = batch.column("id_b").to_numpy(zero_copy_only=False)
         va = unit[np.searchsorted(ids_sorted, a)]
@@ -370,7 +392,7 @@ def train_ivf_centroids(embeddings: "ray.data.Dataset",
         cref = ray.put(centroids)
 
         def partial(batch: pa.Table) -> pa.Table:
-            c = ray.get(cref)
+            c = cached_get(cref)
             u = _unit_rows(_batch_matrix(batch, vec_col))
             assign = np.argmax(u @ c.T, axis=1)
             sums = np.zeros_like(c)
@@ -418,10 +440,12 @@ def knn_cosine_ivf(embeddings: "ray.data.Dataset",
         mask = pa.array([i in qset for i in batch.column(id_col).to_pylist()])
         return batch.filter(mask)
 
-    qrows = pa.concat_tables(
-        tb for tb in embeddings.map_batches(
-            grab, batch_format="pyarrow").iter_batches(
-                batch_format="pyarrow", batch_size=None))
+    qparts = list(embeddings.map_batches(
+        grab, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None))
+    if not qparts or sum(t.num_rows for t in qparts) == 0:
+        return _empty_knn_table()          # no query id present
+    qrows = pa.concat_tables(qparts)
     qu = _unit_rows(_batch_matrix(qrows, vec_col))
     probe: set[int] = set()
     for row in qu @ centroids.T:
@@ -430,7 +454,7 @@ def knn_cosine_ivf(embeddings: "ray.data.Dataset",
     probe_sorted = sorted(probe)
 
     def in_lists(batch: pa.Table) -> pa.Table:
-        c = ray.get(cref)
+        c = cached_get(cref)
         u = _unit_rows(_batch_matrix(batch, vec_col))
         assign = np.argmax(u @ c.T, axis=1)
         mask = np.isin(assign, probe_sorted)
@@ -467,7 +491,7 @@ def semdedup(embeddings: "ray.data.Dataset", *, threshold: float = 0.95,
     cref = ray.put(centroids)
 
     def assign(batch: pa.Table) -> pa.Table:
-        c = ray.get(cref)
+        c = cached_get(cref)
         u = _unit_rows(_batch_matrix(batch, vec_col))
         cl = np.argmax(u @ c.T, axis=1).astype(np.int32)
         return pa.table({
@@ -554,8 +578,6 @@ def scalar_quantize(embeddings: "ray.data.Dataset",
     mx = np.asarray([r["max(mx)"] for r in bounds], np.int64)
     span = np.maximum(mx - mn, 1)         # constant dims -> q = 0
     bref = ray.put((mn, span))
-
-    from .broadcast import cached_get
 
     def quantize(batch: pa.Table) -> pa.Table:
         lo, sp = cached_get(bref)

@@ -977,8 +977,6 @@ def running_total_events(events: "ray.data.Dataset", *,
 
 # --- funnel / retention / gap-fill (event-stream analytics) ----------------
 
-HOUR_US = 3_600_000_000
-
 
 def _assert_nonneg(ts: np.ndarray, what: str) -> None:
     """Truncating and flooring division disagree below zero — the

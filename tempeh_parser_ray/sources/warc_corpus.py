@@ -100,12 +100,27 @@ def _valid_header(buf: bytes, pos: int) -> tuple[dict, int, int] | None:
         return None
     headers: dict[str, str] = {}
     lines = buf[pos:hdr_end].split(b"\r\n")
+    last_key: str | None = None
     for ln in lines[1:]:  # lines[0] is the magic
-        k, sep, v = ln.partition(b": ")
+        if ln[:1] in (b" ", b"\t"):
+            # ISO 28500 allows RFC-822-style folded continuations
+            if last_key is None:
+                return None
+            try:
+                headers[last_key] += " " + ln.strip().decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+            continue
+        # ISO 28500 grammar: field-name ":" [field-value] — the space
+        # after the colon is OPTIONAL, so split on bare ':' and strip
+        # surrounding whitespace (a 'Name:value' writer must not make
+        # the record look like a false sync and get silently dropped)
+        k, sep, v = ln.partition(b":")
         if not sep or not k:
             return None
         try:
-            headers[k.decode("ascii")] = v.decode("utf-8")
+            last_key = k.decode("ascii").strip()
+            headers[last_key] = v.decode("utf-8").strip()
         except UnicodeDecodeError:
             return None
     if "Content-Length" not in headers:
@@ -149,7 +164,17 @@ def _parse_range(path: str, start: int, end: int) -> list[dict]:
             if hit < 0 or base + hit >= end:
                 break  # next record (if any) belongs to a later range
             ensure(base + hit + 16384)  # header slack (EOF-tolerant)
-            parsed = _valid_header(buf, hit)
+            while True:
+                parsed = _valid_header(buf, hit)
+                if parsed is not None:
+                    break
+                if buf.find(b"\r\n\r\n", hit) >= 0:
+                    break  # terminator seen: structurally invalid
+                # the header block may simply extend past the buffer
+                # tail — grow before declaring a false sync, else a
+                # large genuine header is silently dropped
+                if not ensure(base + len(buf) + 65536):
+                    break  # EOF — genuinely unterminated
             if parsed is None:
                 pos = hit + 1  # false sync inside a payload: keep scanning
                 continue

@@ -188,6 +188,8 @@ class TableExtractBatch(_BaseParseStage):
     (nearest-cell rule). ``is_header`` is the cell's own tag
     (``th`` vs ``td``)."""
 
+    REQUIRES_LOWER_TAGS = True
+
     TRACK_POSITIONS = False
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -291,6 +293,8 @@ class SitemapBatch(_BaseParseStage):
     rule); a missing child yields ''. Entries outside ``<urlset>`` are
     ignored. XML is parsed by the same HTML5 lexer (sitemaps carry no
     HTML quirks: no raw-text tags, no void tags)."""
+
+    REQUIRES_LOWER_TAGS = True
 
     TRACK_POSITIONS = False
 
@@ -403,6 +407,8 @@ class MetadataBatch(_BaseParseStage):
     (SURVEY P1), so a duplicated attribute on one tag reads as its
     last value here too.
     """
+
+    REQUIRES_LOWER_TAGS = True
 
     TRACK_POSITIONS = False
 

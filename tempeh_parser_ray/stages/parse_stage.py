@@ -62,6 +62,11 @@ class _BaseParseStage:
     # line/column bookkeeping entirely (parse errors re-run with
     # positions inside core.parser for reference-exact messages).
     TRACK_POSITIONS = True
+    # Stages whose selectors compare against lowercase tag literals
+    # ('a', 'table', 'url', 'meta', ...) set this so a non-default
+    # casing fails loudly at construction instead of silently
+    # matching nothing.
+    REQUIRES_LOWER_TAGS = False
 
     def __init__(self, tag_name_casing: str = "lower",
                  ignore_self_closing_syntax: bool = False,
@@ -72,6 +77,11 @@ class _BaseParseStage:
         # regex tables (module import) before the first batch.
         self.options = ParserOptions(tag_name_casing,
                                      ignore_self_closing_syntax)
+        if self.REQUIRES_LOWER_TAGS and tag_name_casing != "lower":
+            raise ValueError(
+                f"{type(self).__name__} selects on lowercase-"
+                "normalized tag names; construct it with "
+                "tag_name_casing='lower' (the default)")
         self.html_column = html_column
         self.passthrough = passthrough
         self.keep_html = keep_html
@@ -331,6 +341,8 @@ class LinksBatch(_BaseParseStage):
     nearest enclosing <a> without materializing child lists). Docs
     with no links emit nothing; parse errors emit nothing for the
     broken tail but never abort (P5)."""
+
+    REQUIRES_LOWER_TAGS = True
 
     TRACK_POSITIONS = False
 

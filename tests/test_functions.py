@@ -106,6 +106,20 @@ def test_knn_brute_agrees_with_numpy(ray_session):
     assert got_ids == want
 
 
+def test_knn_absent_query_ids_return_empty(ray_session):
+    # an absent query id must yield an empty (schema-stable) result,
+    # not a reshape crash in _batch_matrix on the 0-row query grab
+    ray = ray_session
+    tbl = pq.read_table(Path(SF_DIR) / "embeddings.parquet")
+    ds = ray.data.from_arrow(tbl)
+    for fn in (similarity.knn_cosine_brute, similarity.knn_cosine_lsh,
+               similarity.knn_cosine_ivf):
+        got = fn(ds, [10**12], k=3)
+        assert got.num_rows == 0
+        assert got.column_names == ["query_id", "neighbor_id",
+                                    "rank", "cosine_sim"]
+
+
 def test_token_and_quality_stats():
     batch = pa.table({
         "doc_id": pa.array([1, 2, 3], pa.int64()),

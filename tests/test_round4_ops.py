@@ -126,6 +126,44 @@ def test_warc_false_magic_in_payload_resyncs(tmp_path):
             [(0, evil), (1, b"<p>ok</p>")], f"range_bytes={rb}"
 
 
+def test_warc_headers_without_space_and_folded(tmp_path):
+    # ISO 28500 makes the space after ':' optional and allows folded
+    # continuation lines — neither variant may be dropped as a false
+    # sync (that would be silent data loss on foreign WARC writers)
+    html = b"<p>tight</p>"
+    head = (b"WARC/1.0\r\n"
+            b"WARC-Type:response\r\n"
+            b"WARC-Record-ID:<urn:synth:7>\r\n"
+            b"WARC-Target-URI: http://x/\r\n"
+            b"X-Synth-Lang:fr\r\n"
+            b"X-Long-Field: part one\r\n"
+            b"\tpart two\r\n"
+            + b"Content-Length:%d\r\n\r\n" % len(html))
+    f = tmp_path / "d.warc"
+    f.write_bytes(head + html + b"\r\n\r\n"
+                  + _warc._record_bytes(8, "u8", "en", b"<p>n</p>"))
+    got = _warc._parse_range(str(f), 0, f.stat().st_size)
+    assert [(r["doc_id"], r["lang"], r["html"]) for r in got] == \
+        [(7, "fr", html), (8, "en", b"<p>n</p>")]
+
+
+def test_warc_header_block_larger_than_initial_slack(tmp_path):
+    # a header block bigger than the 16 KiB ensure() slack must grow
+    # the buffer and parse, not be misclassified as a false sync
+    html = b"<p>big-head</p>"
+    filler = b"X-Pad: " + b"p" * 40000 + b"\r\n"
+    head = (b"WARC/1.0\r\n"
+            b"WARC-Record-ID: <urn:synth:9>\r\n"
+            + filler
+            + b"Content-Length: %d\r\n\r\n" % len(html))
+    f = tmp_path / "e.warc"
+    f.write_bytes(head + html + b"\r\n\r\n")
+    # range ends immediately after the magic so the header lies
+    # almost entirely past the initial read window
+    got = _warc._parse_range(str(f), 0, 12)
+    assert [(r["doc_id"], r["html"]) for r in got] == [(9, html)]
+
+
 def test_warc_truncated_record_raises(tmp_path):
     recs = _mk_records(2)
     f = tmp_path / "c.warc"
