@@ -192,6 +192,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 _EXTRACTED = ("'home ' || lang || source || ' #' || "
               "CAST(doc_id AS VARCHAR) || text || 'contact: mail'")
 
+# SQL twin of the engine's tokenize() (Python str.split). CONTRACT:
+# equivalence holds for ASCII-space-delimited text with no edge
+# whitespace — the shape the synthetic corpus guarantees. They diverge
+# on exotic edges (DuckDB trim() strips only ' ' and RE2 \s is
+# ASCII-only, while str.split() handles all Unicode whitespace), so a
+# testdata refresh that introduces edge tabs/newlines or U+00A0 must
+# update BOTH sides together (e.g. trim(text, ' \t\n\r')).
 _TOKENS = r"string_split_regex(trim(text), '\s+')"
 _EN_STOP = ("['the','a','of','and','to','in','is','that','it','for',"
             "'was','on','are','with','as']")

@@ -110,6 +110,13 @@ def ensure_corpus(sf_dir: str, replicas: int) -> Path:
     marker = out / "_DONE"
     if marker.exists():
         return out
+    if out.exists():
+        # a crashed generation left partial parquet; write_parquet
+        # APPENDS (per-execution UUID filenames), so stale files would
+        # silently inflate every subsequent headline measurement —
+        # start clean instead
+        import shutil
+        shutil.rmtree(out)
     import pyarrow as pa
     import pyarrow.parquet as pq
     import ray
@@ -173,6 +180,19 @@ def consume(result) -> int:
 
 def time_queries(sf_dir: str) -> dict[str, float]:
     from tempeh_parser_ray.pipelines import queries as q
+
+    # QUERY_NAMES is hand-ordered (the MinHash-family memoization note
+    # above), so it cannot simply be list(queries()) — but drift from
+    # the registry must fail loudly, not silently skip a query
+    import __ray_entry__ as _entry
+    registry = set(_entry.queries())
+    missing = registry - set(QUERY_NAMES)
+    extra = set(QUERY_NAMES) - registry
+    if missing or extra:
+        raise RuntimeError(
+            f"bench QUERY_NAMES drifted from __ray_entry__.queries(): "
+            f"missing={sorted(missing)} extra={sorted(extra)}")
+
     out: dict[str, float] = {}
     for name in QUERY_NAMES:
         t0 = time.time()
@@ -268,6 +288,7 @@ def run_scaling(args) -> dict:
             "efficiency": round(eff, 3),
         },
         "html_mb": best[hi]["html_mb"],
+        "replicas": best[hi]["replicas"],
     }
     _record_scaling(out, lo, hi)
     return out
@@ -293,7 +314,7 @@ def _record_scaling(out: dict, lo: int, hi: int) -> None:
 {marker}
 
 Same materialized corpus ({out['html_mb']} MB html, sf{out['sf']} x
-{REPLICAS} replicas), fresh `ray.init(address="local", num_cpus=K)`
+{out['replicas']} replicas), fresh `ray.init(address="local", num_cpus=K)`
 processes — the sandbox stand-in for N-node vs 4N-node clusters.
 
 | num_cpus | seconds | docs/sec | MB/sec |

@@ -100,7 +100,14 @@ def nb_lang_classify(docs: "ray.data.Dataset", *,
                      join_parts: int = 8) -> "ray.data.Dataset":
     """Train the NB language model on ``docs`` (doc_id, text, lang) and
     classify every non-empty document. Returns (doc_id, lang,
-    pred_lang, pred_score)."""
+    pred_lang, pred_score).
+
+    ``docs`` is consumed 2x (broadcast path) / 3x (distributed path) —
+    each pass re-executes the caller's upstream pipeline. That is the
+    right trade for a parquet-backed source (re-reading beats pinning
+    the full text corpus in the object store at 100 TB); a caller
+    feeding an EXPENSIVE computed dataset should pass
+    ``docs.materialize()`` instead."""
 
     def count_partial(batch: pa.Table) -> pa.Table:
         from collections import Counter
@@ -275,6 +282,11 @@ def nb_lang_classify(docs: "ray.data.Dataset", *,
         m = batch.column("mult").to_numpy(zero_copy_only=False)
         denom = np.asarray([n_c[c] + V for c in lg], np.int64)
         dw = np.asarray([consts[c][0] for c in lg], np.int64)
+        # same int64 overflow guard the broadcast path has — this IS
+        # the big-corpus path, so silent wraparound here would be the
+        # worst possible failure mode
+        assert (int(n.max(initial=0)) + 1) < 2**63 // _SCALE, \
+            "token count overflows the fixed-point scale"
         corr = m * (((n + 1) * _SCALE) // denom - dw)
         return pa.table({
             "doc_id": batch.column("doc_id").cast(pa.int64()),
@@ -295,29 +307,63 @@ def nb_lang_classify(docs: "ray.data.Dataset", *,
     corr = joined.map_batches(corr_rows, batch_format="pyarrow")
     dmeta = docs.map_batches(doc_meta_rows, batch_format="pyarrow")
 
-    def finish(group: pa.Table) -> pa.Table:
-        classes, consts, _, _ = cached_get(consts_ref)
-        is_meta = group.column("is_meta").to_numpy(zero_copy_only=False)
-        lgs = group.column("clang").to_pylist()
-        cr = group.column("corr").to_numpy(zero_copy_only=False)
-        mi = int(np.flatnonzero(is_meta == 1)[0])
-        m_d, true_lang = int(cr[mi]), lgs[mi]
-        scores = []
-        for c in classes:
-            dw, prior = consts[c]
-            s = prior + m_d * dw
-            for lg, is_m, v in zip(lgs, is_meta, cr):
-                if not is_m and lg == c:
-                    s += int(v)
-            scores.append(s)
-        best = int(np.argmax(scores))
+    # One mergeable aggregate folds each doc's rows into (per-class
+    # corr sums, M_d, true lang) — accumulate_block is ONE vectorized
+    # pass over the group's slice (np.add.at), not a per-class rescan,
+    # and no per-document pyarrow Table is ever built. The argmax then
+    # runs batched in numpy over MANY docs per map_batches call — the
+    # same shape the broadcast classify uses.
+    from ray.data.block import BlockAccessor
+
+    classes_l, consts_l, _, _ = ray.get(consts_ref)
+    cls_idx = {c: i for i, c in enumerate(classes_l)}
+    n_cls = len(classes_l)
+
+    def acc_block(acc, block):
+        t = BlockAccessor.for_block(block).to_arrow()
+        sums, m_d, true_lang = acc
+        sums = np.asarray(sums, np.int64).copy()
+        is_meta = t.column("is_meta").to_numpy(zero_copy_only=False)
+        cr = t.column("corr").to_numpy(zero_copy_only=False)
+        lgs = t.column("clang").to_pylist()
+        meta = is_meta == 1
+        if meta.any():
+            mi = int(np.flatnonzero(meta)[0])
+            m_d, true_lang = int(cr[mi]), lgs[mi]
+        ci = np.asarray([cls_idx[lg] for lg in lgs], np.int64)
+        np.add.at(sums, ci[~meta], cr[~meta])
+        return (sums.tolist(), m_d, true_lang)
+
+    def merge(a, b):
+        sa, ma, la = a
+        sb, mb, lb = b
+        return ((np.asarray(sa, np.int64)
+                 + np.asarray(sb, np.int64)).tolist(),
+                mb if ma < 0 else ma, lb if ma < 0 else la)
+
+    agg = ray.data.aggregate.AggregateFn(
+        init=lambda k: ([0] * n_cls, -1, ""),
+        accumulate_block=acc_block, merge=merge, name="nbacc")
+    folded = corr.union(dmeta).groupby("doc_id").aggregate(agg)
+
+    prior_v = np.asarray([consts_l[c][1] for c in classes_l], np.int64)
+    dw_v = np.asarray([consts_l[c][0] for c in classes_l], np.int64)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        res = batch.column("nbacc").to_pylist()
+        if not res:
+            return _OUT_SCHEMA.empty_table()
+        sums = np.asarray([r[0] for r in res], np.int64)  # (n, C)
+        m_d = np.asarray([r[1] for r in res], np.int64)
+        scores = prior_v[None, :] + m_d[:, None] * dw_v[None, :] + sums
+        best = np.argmax(scores, axis=1)  # first max = lowest class
         return pa.table({
-            "doc_id": pa.array(
-                [int(group.column("doc_id")[0].as_py())], pa.int64()),
-            "lang": pa.array([true_lang], pa.string()),
-            "pred_lang": pa.array([classes[best]], pa.string()),
-            "pred_score": pa.array([scores[best]], pa.int64()),
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "lang": pa.array([r[2] for r in res], pa.string()),
+            "pred_lang": pa.array(
+                [classes_l[int(b)] for b in best], pa.string()),
+            "pred_score": pa.array(
+                scores[np.arange(len(best)), best], pa.int64()),
         })
 
-    return corr.union(dmeta).groupby("doc_id").map_groups(
-        finish, batch_format="pyarrow")
+    return folded.map_batches(explode, batch_format="pyarrow")

@@ -57,6 +57,11 @@ def main() -> None:
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name must not yield a green "0 fail" summary that
+        # verified nothing
+        sys.exit(f"unknown query name(s): {sorted(unknown)}")
     n_pass = n_fail = n_rows_only = 0
     for name, fn in qs.items():
         if only and name not in only:

@@ -30,15 +30,20 @@ const out = [];
 for (const { input, file, options } of cases) {
   const parser = new HTMLParser(options ?? {});
   asyncCrash = null;
+  let hangTimer = null;
   try {
     const result = file != null
       ? parser.parseFile(file)
       : parser.parseString(input);
     const nodes = await Promise.race([
       result.toArray(),
-      new Promise((_r, rej) =>
-        setTimeout(() => rej(new Error("REF-HANG")), 2000)),
+      new Promise((_r, rej) => {
+        hangTimer = setTimeout(() => rej(new Error("REF-HANG")), 2000);
+      }),
     ]);
+    // drain the microtask queue so a late fire-and-forget rejection
+    // from THIS case lands here, not on the next case's asyncCrash
+    await new Promise((r) => setImmediate(r));
     out.push(asyncCrash != null
       ? { error: "REF-CRASH: " + asyncCrash }
       : { nodes });
@@ -47,6 +52,10 @@ for (const { input, file, options } of cases) {
     out.push(msg === "REF-HANG" || asyncCrash != null
       ? { error: "REF-CRASH: " + (asyncCrash ?? msg) }
       : { error: msg });
+  } finally {
+    // never let a won race leave its 2s loser timer keeping the
+    // process alive after the last case
+    if (hangTimer != null) clearTimeout(hangTimer);
   }
 }
 process.stdout.write(
