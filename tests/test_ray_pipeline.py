@@ -428,3 +428,36 @@ def test_streaming_split_ingest_covers_all_docs(ray_session):
         t.join()
     assert not (seen[0] & seen[1])
     assert len(seen[0] | seen[1]) == 500
+
+
+def test_run_job_cli_subprocess(tmp_path):
+    """tools/run_job.py is the `ray job submit` entrypoint: it owns its
+    own Ray session (so it runs as a subprocess here), wraps
+    run_extraction_job, prints ONE JSON line of totals, and resumes —
+    the second invocation skips every lineage-committed shard."""
+    import json
+    import subprocess
+    import sys
+
+    docs = pq.read_table(Path(SF_DIR) / "documents.parquet")
+    corpus = synth.synthesize_batch(docs)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    half = corpus.num_rows // 2
+    pq.write_table(corpus.slice(0, half), in_dir / "a.parquet")
+    pq.write_table(corpus.slice(half), in_dir / "b.parquet")
+
+    repo = Path(__file__).resolve().parent.parent
+    cmd = [sys.executable, str(repo / "tools" / "run_job.py"),
+           "--input", str(in_dir), "--output", str(tmp_path / "out"),
+           "--shard-size", "1", "--no-spans"]
+    p1 = subprocess.run(cmd, capture_output=True, text=True, timeout=240)
+    assert p1.returncode == 0, p1.stderr[-2000:]
+    t1 = json.loads(p1.stdout.strip().splitlines()[-1])
+    assert t1["shards_run"] == 2 and t1["n_docs"] == corpus.num_rows
+    assert t1["n_errors"] == 0
+
+    p2 = subprocess.run(cmd, capture_output=True, text=True, timeout=240)
+    assert p2.returncode == 0, p2.stderr[-2000:]
+    t2 = json.loads(p2.stdout.strip().splitlines()[-1])
+    assert t2["shards_run"] == 0 and t2["shards_skipped"] == 2
